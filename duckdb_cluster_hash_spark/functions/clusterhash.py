@@ -136,6 +136,27 @@ def cluster_node_pudf(n_nodes: int = DEFAULT_NODES) -> F.pandas_udf:
     return cluster_node
 
 
+# Default hot-path implementation: the Arrow-batched UDF benchmarked ~7x
+# faster than the interpreted higher-order-function fold at sf0.1 (the fold
+# pays per-byte element_at dispatch; the UDF is one numpy pass per byte
+# position).  Keep the native expression for Python-less contexts.
+_DEFAULT_SLOT_UDF = None
+
+
+def slot_udf_col(key) -> Column:
+    """``cluster_slot`` via the default (pandas-UDF) implementation."""
+    global _DEFAULT_SLOT_UDF
+    if _DEFAULT_SLOT_UDF is None:
+        _DEFAULT_SLOT_UDF = cluster_slot_pudf()
+    return _DEFAULT_SLOT_UDF(_as_col(key))
+
+
+def node_udf_col(key, n_nodes: int = DEFAULT_NODES) -> Column:
+    """``cluster_node`` = integer arithmetic over the slot UDF (stays JVM
+    side after the one Arrow exchange; no second Python round-trip)."""
+    return node_of_slot_col(slot_udf_col(key), n_nodes)
+
+
 # ---------------------------------------------------------------------------
 # Native Column expressions (pure JVM, no Python worker)
 # ---------------------------------------------------------------------------

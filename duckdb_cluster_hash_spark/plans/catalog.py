@@ -1,0 +1,569 @@
+"""Named query catalog — the driver-checkable surface of the engine.
+
+Every entry pairs a Spark implementation (DataFrame-first, Catalyst-friendly)
+with an independent DuckDB oracle SQL string.  The driver runs both at
+sf=0.01 and compares row-count + schema + order-insensitive value hash, so:
+
+- every computed column is aliased identically on both sides;
+- floating aggregates go through DECIMAL(18,4) (exact, order-independent
+  summation) and come back as ``round(double, 2)`` so partial-aggregation
+  order on Spark's side cannot flip a bit;
+- timestamps are returned as DATE / epoch buckets / formatted strings,
+  never raw (parquet ns vs us precision differs between engines);
+- sums of integers are cast to BIGINT in the oracle (DuckDB widens to
+  HUGEINT, Spark to LONG).
+
+Cross-cutting scale notes (100 TB): each query is expressed so Catalyst
+keeps scan-level column pruning + predicate pushdown; small dimensions are
+broadcast explicitly; top-k goes through ``ORDER BY ... LIMIT`` so Spark
+plans ``TakeOrderedAndProject`` instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_cluster_hash_spark.functions.clusterhash import (
+    cluster_node_col,
+    cluster_slot_col,
+    node_udf_col,
+    slot_udf_col,
+)
+from duckdb_cluster_hash_spark.oracle import node_sql, slot_sql
+from duckdb_cluster_hash_spark.sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a named query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# A DECIMAL-exact money sum that is bit-stable regardless of partial-agg
+# order, surfaced as a rounded double.
+def _money_sum(col: str):
+    return F.round(F.sum(F.col(col).cast("decimal(18,4)")).cast("double"), 2)
+
+
+def _money_sum_expr(expr_col) -> F.Column:
+    return F.round(F.sum(expr_col.cast("decimal(18,4)")).cast("double"), 2)
+
+
+# ---------------------------------------------------------------------------
+# Tier A/B — cluster-hash queries (reference README surface)
+# ---------------------------------------------------------------------------
+
+_GOLDEN_KEYS = [
+    "foo", "bar", "user:1000", "{user:1000}:profile", "{user:1000}:sessions",
+    "product:5432", "{user:profile}:1000", "", "{}", "user:{}", "{}}x",
+    "a{b}c{d}e", "{{x}}", "Customer#000000000", "Customer#000000001",
+    "Customer#000000002", "order:1", "order:2", "{cust:0}:order:1",
+    "ключ", "日本語キー",
+]
+
+
+def _values_clause(keys: list[str]) -> str:
+    quoted = ", ".join("('" + k.replace("'", "''") + "')" for k in keys)
+    return f"(VALUES {quoted}) AS t(key)"
+
+
+@query(
+    "cluster_scalar_goldens",
+    oracle=(
+        f"SELECT key, {slot_sql('key')} AS slot, {node_sql('key')} AS node6, "
+        f"{node_sql('key', 3)} AS node3 FROM {_values_clause(_GOLDEN_KEYS)}"
+    ),
+)
+def cluster_scalar_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden key corpus through the native Column implementation (Tier A)."""
+    df = spark.createDataFrame([(k,) for k in _GOLDEN_KEYS], "key string")
+    return df.select(
+        "key",
+        cluster_slot_col("key").alias("slot"),
+        cluster_node_col("key").alias("node6"),
+        cluster_node_col("key", 3).alias("node3"),
+    )
+
+
+@query(
+    "cluster_node_distribution",
+    oracle=(
+        f"SELECT {node_sql('c_name')} AS node_id, count(*) AS key_count "
+        "FROM customer GROUP BY node_id ORDER BY node_id"
+    ),
+)
+def cluster_node_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship README query (README.md:115-120): shard histogram of keys."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(node_udf_col("c_name").alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("key_count"))
+        .orderBy("node_id")
+    )
+
+
+@query(
+    "cluster_user_keys_histogram",
+    oracle=(
+        f"WITH keys AS (SELECT 'user:' || i::VARCHAR AS key FROM generate_series(1, 1000) t(i)) "
+        f"SELECT {node_sql('key', 3)} AS node_id, count(*) AS key_count "
+        "FROM keys GROUP BY node_id ORDER BY node_id"
+    ),
+)
+def cluster_user_keys_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated corpus (README.md:108-120): generate_series -> || -> agg."""
+    keys = spark.range(1, 1001).select(
+        F.concat(F.lit("user:"), F.col("id").cast("string")).alias("key")
+    )
+    return (
+        keys.select(node_udf_col("key", 3).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count("*").alias("key_count"))
+        .orderBy("node_id")
+    )
+
+
+@query(
+    "cluster_slot_projection",
+    oracle=(
+        f"SELECT c_custkey, c_name AS key, {slot_sql('c_name')} AS slot, "
+        f"{node_sql('c_name')} AS node_id FROM customer"
+    ),
+)
+def cluster_slot_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row scalar projection over a scan (README.md:81-85 shape, B10)."""
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("key"),
+        slot_udf_col("c_name").alias("slot"),
+        node_udf_col("c_name").alias("node_id"),
+    )
+
+
+_HASHTAG_KEY_SQL = (
+    "'{cust:' || o_custkey::VARCHAR || '}:order:' || o_orderkey::VARCHAR"
+)
+
+
+@query(
+    "cluster_hashtag_colocation",
+    oracle=(
+        f"WITH keyed AS (SELECT o_custkey, {slot_sql(_HASHTAG_KEY_SQL)} AS slot FROM orders) "
+        "SELECT o_custkey, count(DISTINCT slot) AS n_slots, min(slot) AS slot "
+        "FROM keyed GROUP BY o_custkey"
+    ),
+)
+def cluster_hashtag_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-tags co-locate a customer's orders on one slot (README.md:90-102)."""
+    keyed = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        slot_udf_col(
+            F.concat(
+                F.lit("{cust:"),
+                F.col("o_custkey").cast("string"),
+                F.lit("}:order:"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("slot"),
+    )
+    return keyed.groupBy("o_custkey").agg(
+        F.countDistinct("slot").alias("n_slots"), F.min("slot").alias("slot")
+    )
+
+
+_ITEM_KEY_SQL = "'item:' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR"
+
+
+@query(
+    "cluster_hot_slots_topk",
+    oracle=(
+        f"WITH keyed AS (SELECT {slot_sql(_ITEM_KEY_SQL)} AS slot FROM lineitem) "
+        "SELECT slot, count(*) AS cnt FROM keyed GROUP BY slot "
+        "ORDER BY cnt DESC, slot LIMIT 20"
+    ),
+)
+def cluster_hot_slots_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-slot top-k (C2): ORDER BY+LIMIT -> TakeOrderedAndProject."""
+    keyed = _t(spark, sf_dir, "lineitem").select(
+        slot_udf_col(
+            F.concat(
+                F.lit("item:"),
+                F.col("l_orderkey").cast("string"),
+                F.lit(":"),
+                F.col("l_linenumber").cast("string"),
+            )
+        ).alias("slot")
+    )
+    return (
+        keyed.groupBy("slot")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("slot"))
+        .limit(20)
+    )
+
+
+_ORDER_KEY_SQL = "'order:' || o_orderkey::VARCHAR"
+
+
+@query(
+    "cluster_skew_report",
+    oracle=(
+        f"WITH keyed AS (SELECT {node_sql(_ORDER_KEY_SQL)} AS node_id FROM orders), "
+        "agg AS (SELECT node_id, count(*) AS cnt FROM keyed GROUP BY node_id) "
+        "SELECT node_id, cnt, "
+        "(10000 * cnt) // (SELECT sum(cnt) FROM agg) AS share_bp "
+        "FROM agg ORDER BY node_id"
+    ),
+)
+def cluster_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/skew analysis (C2): per-node share in basis points."""
+    from pyspark.sql.window import Window
+
+    keyed = _t(spark, sf_dir, "orders").select(
+        node_udf_col(
+            F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))
+        ).alias("node_id")
+    )
+    agg = keyed.groupBy("node_id").agg(F.count("*").alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy())
+    return agg.select(
+        "node_id",
+        "cnt",
+        F.floor((10000 * F.col("cnt")) / total).alias("share_bp"),
+    ).orderBy("node_id")
+
+
+# ---------------------------------------------------------------------------
+# Tier B — relational analytics over the star schema (host-engine surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge, "
+        "count(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+    ),
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate with pushed-down filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    one_minus_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    one_plus_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(18,4)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(
+                F.sum(dec("l_extendedprice") * one_minus_disc).cast("double"), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(dec("l_extendedprice") * one_minus_disc * one_plus_tax).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=(
+        "SELECT l_orderkey, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue, "
+        "CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15' "
+        "AND l_shipdate > TIMESTAMP '1996-03-15' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) DESC, l_orderkey LIMIT 10"
+    ),
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective join + top-k (TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") *
+           (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).alias("_rev_exact"))
+        .orderBy(F.desc("_rev_exact"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev_exact").cast("double"), 2).alias("revenue"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=(
+        "SELECT n_name, "
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY n_name ORDER BY revenue DESC, n_name"
+    ),
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; dims broadcast, facts shuffle on keys."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") *
+           (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("_rev_exact"))
+        .select(
+            "n_name",
+            F.round(F.col("_rev_exact").cast("double"), 2).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "nation_top_customers_window",
+    oracle=(
+        "WITH spend AS ("
+        "  SELECT c_custkey, c_name, c_nationkey, "
+        "         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_exact "
+        "  FROM customer JOIN orders ON c_custkey = o_custkey "
+        "  GROUP BY c_custkey, c_name, c_nationkey), "
+        "ranked AS ("
+        "  SELECT n_name, c_name, spend_exact, "
+        "         rank() OVER (PARTITION BY n_name ORDER BY spend_exact DESC, c_custkey) AS rnk "
+        "  FROM spend JOIN nation ON c_nationkey = n_nationkey) "
+        "SELECT n_name, c_name, round(CAST(spend_exact AS DOUBLE), 2) AS spend, rnk "
+        "FROM ranked WHERE rnk <= 3 ORDER BY n_name, rnk"
+    ),
+)
+def nation_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: rank-per-group with deterministic ties."""
+    from pyspark.sql.window import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    spend = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend_exact"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("spend_exact"), F.asc("c_custkey")
+    )
+    return (
+        spend.join(F.broadcast(nation), spend.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_name", "spend_exact", F.rank().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            "c_name",
+            F.round(F.col("spend_exact").cast("double"), 2).alias("spend"),
+            "rnk",
+        )
+        .orderBy("n_name", "rnk")
+    )
+
+
+@query(
+    "orders_monthly_priority",
+    oracle=(
+        "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, "
+        "o_orderpriority, count(*) AS n_orders, "
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price "
+        "FROM orders GROUP BY order_month, o_orderpriority "
+        "ORDER BY order_month, o_orderpriority"
+    ),
+)
+def orders_monthly_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: date_trunc month x priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_month", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tier C — events / documents analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_hourly",
+    oracle=(
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_bucket, "
+        "event_type, count(*) AS n_events, "
+        "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value "
+        "FROM events GROUP BY hour_bucket, event_type "
+        "ORDER BY hour_bucket, event_type"
+    ),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window batch equivalent (C7): hourly event rollup."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(
+                F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600
+            ).alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            _money_sum("value").alias("total_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
+@query(
+    "events_json_stats",
+    oracle=(
+        "SELECT event_type, count(*) AS n_events, "
+        "min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k, "
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k, "
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column (C6): JSON prop extraction + stats."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "docs_stats_by_lang",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+        "CAST(sum(length(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS sum_tokens "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+)
+def docs_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-corpus profile (C6): per-language doc/char/token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(tokens).alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "docs_exact_dedup",
+    oracle=(
+        "WITH h AS (SELECT md5(text) AS th FROM documents), "
+        "g AS (SELECT th, count(*) AS cnt FROM h GROUP BY th) "
+        "SELECT CAST(sum(cnt) AS BIGINT) AS total_docs, "
+        "count(*) AS distinct_docs, "
+        "count(*) FILTER (WHERE cnt > 1) AS dup_groups, "
+        "COALESCE(CAST(sum(cnt - 1) FILTER (WHERE cnt > 1) AS BIGINT), 0) AS dup_docs "
+        "FROM g"
+    ),
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup profile (C3): md5-hash groups over document text."""
+    docs = _t(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("th")).agg(F.count("*").alias("cnt"))
+    return groups.agg(
+        F.sum("cnt").alias("total_docs"),
+        F.count("*").alias("distinct_docs"),
+        F.count(F.when(F.col("cnt") > 1, 1)).alias("dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1)), F.lit(0)
+        ).alias("dup_docs"),
+    )
