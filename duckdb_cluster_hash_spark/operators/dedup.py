@@ -1,0 +1,337 @@
+"""Deduplication operators for large text corpora (SURVEY.md §2 Tier C3/C4).
+
+All operators are pure DataFrame compositions (no Python UDFs in the hot
+path) and are designed around *one* shuffle each at scale:
+
+- exact dedup: hash-groupBy on a digest of the dedup key, so wide text
+  never travels through the shuffle;
+- n-gram Jaccard: inverted-index self-join on shingles (shuffle on the
+  shingle, never an all-pairs cross join); a ``max_df`` guard drops
+  stop-shingles that would otherwise explode the candidate space and skew
+  the shuffle;
+- MinHash + LSH banding: k min-hashes in a single aggregation pass, then a
+  self-join on band digests — candidates only, verified with exact Jaccard
+  computed *only on candidate pairs*;
+- SimHash: 64-bit signature via per-bit majority vote over token hashes,
+  one aggregation pass.
+
+Hash primitive everywhere is ``conv(substr(md5(x),1,15),16,10)`` — a
+60-bit integer that DuckDB reproduces bit-exactly
+(``('0x'||substr(md5(x),1,15))::BIGINT``), keeping every operator
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "dedup_representatives",
+    "word_ngrams",
+    "shingle_table",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_neardup_pairs",
+    "simhash64",
+    "simhash_neardup_pairs",
+]
+
+
+def _h60(col: Column) -> Column:
+    """Deterministic 60-bit hash shared bit-exactly with the DuckDB oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (C3)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (first wins arbitrarily).
+
+    For wide payloads prefer :func:`dedup_representatives`, which shuffles
+    a digest instead of the full row.
+    """
+    return df.dropDuplicates(cols)
+
+
+def dedup_representatives(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """One representative id per distinct ``text_col`` value.
+
+    Groups on ``md5(text)`` so the shuffle carries a 32-byte digest + id,
+    not the document body — the difference between shuffling 100 TB and
+    shuffling ~2% of it.  Returns (dup_hash, keep_id, n_copies).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("dup_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams of a space-separated text column.
+
+    Built from ``split`` + ``transform`` over index sequences — stays in
+    whole-stage codegen, no Python.
+    """
+    ws = F.split(text, " ")
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(ws, i + F.lit(j)) for j in range(n)]
+    )
+    grams = F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), gram)
+    # guard: shorter than n words -> single gram of the whole text
+    return F.array_distinct(
+        F.when(F.size(ws) >= n, grams).otherwise(F.array(text))
+    )
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exploded (id, shingle) pairs — the inverted-index input."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted index (C4 baseline)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with word-n-gram Jaccard >= threshold.
+
+    Inverted-index plan: explode shingles, self-join on the shingle (the
+    only shuffle is BY SHINGLE), count intersections per pair, then join
+    set sizes.  Never materializes the O(n²) cross product — candidate
+    pairs are exactly those sharing >= 1 shingle.  ``max_df`` drops
+    shingles present in more than that many docs (stop-shingle skew guard
+    for web-scale corpora; keep None for oracle-exact semantics).
+    Returns (doc_a, doc_b, jacc) with doc_a < doc_b.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .where(F.col("df_") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    jacc = F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jacc"))
+        .where(F.col("jacc") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding (C4 scale path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 16
+) -> DataFrame:
+    """k-permutation MinHash signature per doc, one aggregation pass.
+
+    minhash_i = min over shingles of h60('i:' || shingle): k min-aggregates
+    over the exploded shingle table — a single shuffle keyed by doc id.
+    Returns (doc_id, mh0..mh{k-1}).
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    aggs = [
+        F.min(_h60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows: int = 2
+) -> DataFrame:
+    """Distinct candidate pairs whose signatures collide in >= 1 band.
+
+    Band digest = md5('band|mh_a,mh_b,...'); the self-join shuffles on the
+    digest, so each bucket's pairs are produced where the bucket lives.
+    Returns (doc_a, doc_b), doc_a < doc_b.
+    """
+    band_cols = []
+    for j in range(bands):
+        parts: list[Column] = [F.lit(f"{j}|")]
+        for r in range(rows):
+            if r:
+                parts.append(F.lit(","))
+            parts.append(F.col(f"mh{j * rows + r}").cast("string"))
+        band_cols.append(F.md5(F.concat(*parts)))
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """LSH candidates verified with exact Jaccard — computed ONLY on the
+    candidate pairs (the 100 TB-scale property: verification cost is
+    O(candidates), not O(n²)).  Returns (doc_a, doc_b, jacc)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    cands = lsh_candidate_pairs(sigs, bands, rows)
+    sets = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_ngrams(F.col(text_col), n).alias("sh"),
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jacc"),
+        )
+        .where(F.col("jacc") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (C4, token-level near-dup fingerprint)
+# ---------------------------------------------------------------------------
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per doc as two 32-bit halves (lo, hi).
+
+    Token hash = md5 of each distinct word; 32 bits from hex digits 1-8
+    (lo) and 9-16 (hi).  Bit b of the signature is set iff the majority of
+    tokens have bit b set (strict majority; ties -> 0).  One explode + one
+    aggregation with 64 conditional sums — all codegen, no Python.
+    Returns (doc_id, simhash_lo, simhash_hi).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    )
+    h_lo = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("bigint")
+    h_hi = F.conv(F.substring(F.md5("w"), 9, 8), 16, 10).cast("bigint")
+    aggs = [F.count("*").alias("n_tok")]
+    for b in range(32):
+        aggs.append(
+            F.sum(F.shiftright(h_lo, b).bitwiseAND(F.lit(1))).alias(f"lo{b}")
+        )
+        aggs.append(
+            F.sum(F.shiftright(h_hi, b).bitwiseAND(F.lit(1))).alias(f"hi{b}")
+        )
+    agg = tokens.groupBy("doc_id").agg(*aggs)
+
+    def assemble(prefix: str) -> Column:
+        out = F.lit(0).cast("bigint")
+        for b in range(32):
+            bit = (
+                F.when(F.lit(2) * F.col(f"{prefix}{b}") > F.col("n_tok"), 1)
+                .otherwise(0)
+                .cast("bigint")
+            )
+            out = out + F.shiftleft(bit, b)
+        return out
+
+    return agg.select(
+        "doc_id",
+        assemble("lo").alias("simhash_lo"),
+        assemble("hi").alias("simhash_hi"),
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    band_bits: int = 0,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming.
+
+    With ``band_bits`` > 0, candidates are restricted to docs sharing the
+    low ``band_bits`` bits of the signature (the standard prefix-banding
+    trick; at 100 TB run several rotations).  band_bits=0 compares all
+    pairs — exact, and what the oracle replicates.
+    Returns (doc_a, doc_b, hamming).
+    """
+    sig = simhash64(df, id_col, text_col)
+    a = sig.select(*[F.col(c).alias(c + "_a") for c in sig.columns])
+    b = sig.select(*[F.col(c).alias(c + "_b") for c in sig.columns])
+    cond = F.col("doc_id_a") < F.col("doc_id_b")
+    if band_bits:
+        mask = (1 << band_bits) - 1
+        cond = cond & (
+            F.col("simhash_lo_a").bitwiseAND(F.lit(mask))
+            == F.col("simhash_lo_b").bitwiseAND(F.lit(mask))
+        )
+    hamming = F.bit_count(
+        F.col("simhash_lo_a").bitwiseXOR(F.col("simhash_lo_b"))
+    ) + F.bit_count(F.col("simhash_hi_a").bitwiseXOR(F.col("simhash_hi_b")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

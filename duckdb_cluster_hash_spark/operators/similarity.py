@@ -1,0 +1,190 @@
+"""Embedding similarity search (SURVEY.md §2 Tier C5).
+
+Three tiers, trading exactness for scale:
+
+- ``cosine_topk``       — brute force, native fold expressions.  The dot
+  product and norms are sequential left-folds so the DuckDB oracle
+  reproduces them bit-for-bit; used by the correctness catalog.
+- ``cosine_topk_fast``  — brute force, Arrow-batched numpy matmul.  The
+  throughput path: one BLAS GEMV per batch instead of per-element
+  expression evaluation.  Same ranking, float64; values may differ from
+  the fold in the last bits (numpy sums pairwise), so it is verified by
+  rank-overlap tests rather than value hashes.
+- ``ann_lsh_topk``      — random-hyperplane LSH with multi-table probing,
+  then exact re-rank of candidates only.  At 100 TB the bucket join
+  replaces the full scan; recall is tunable via (planes, tables).
+
+All take the query vector as a plain Python list (broadcast as a literal
+— no join, no shuffle for the query side).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+__all__ = [
+    "dot_fold",
+    "cosine_topk",
+    "cosine_topk_fast",
+    "ann_lsh_topk",
+    "embedding_neardup_pairs",
+]
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product over two array<float/double> cols.
+
+    aggregate(zip_with(a,b,*), 0.0, +) — element order is the array order,
+    so DuckDB's list_reduce(list_prepend(0.0, ...)) matches bitwise.
+    """
+    prods = F.zip_with(
+        a, b, lambda x, y: x.cast("double") * y.cast("double")
+    )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm_sq_py(vec: list[float]) -> float:
+    acc = 0.0
+    for x in vec:  # same sequential fold the SQL engines run
+        acc = acc + float(x) * float(x)
+    return acc
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Exact cosine top-k to ``query_vec`` (oracle-exact fold arithmetic).
+
+    ORDER BY + LIMIT -> TakeOrderedAndProject: each partition emits only
+    its local top-k; no global sort at any scale.
+    """
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    q_norm_sq = _norm_sq_py(query_vec)
+    dot = dot_fold(F.col(vec_col), qlit)
+    norm_sq = dot_fold(F.col(vec_col), F.col(vec_col))
+    cos = dot / F.sqrt(norm_sq * F.lit(q_norm_sq))
+    return (
+        emb.select(id_col, *extra_cols, F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def cosine_topk_fast(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k via vectorized numpy (the 100 TB scan path)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf(DoubleType())
+    def _cos(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        dots = m @ q
+        norms = np.linalg.norm(m, axis=1) * qn
+        return pd.Series(np.where(norms > 0, dots / norms, 0.0))
+
+    return (
+        emb.select(id_col, _cos(F.col(vec_col)).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, planes: int, table: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed + 1000 * table)
+    return rng.standard_normal((planes, dim))
+
+
+def _bucket_of(vec: np.ndarray, planes_mat: np.ndarray) -> int:
+    bits = (planes_mat @ vec) > 0
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket probe + exact re-rank.
+
+    Each table hashes a vector to a ``planes``-bit bucket (sign pattern
+    against seeded Gaussian hyperplanes).  Only rows landing in the
+    query's bucket in >= 1 table are re-ranked with exact cosine — at
+    scale, a partition-pruned fraction ~tables/2^planes of the corpus.
+    """
+    dim = len(query_vec)
+    q = np.asarray(query_vec, dtype=np.float64)
+    mats = [_hyperplanes(dim, planes, t) for t in range(tables)]
+    q_buckets = [_bucket_of(q, m) for m in mats]
+    flat = np.stack(mats)  # (tables, planes, dim)
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        # (tables, planes, n) sign bits -> per-table bucket ints
+        proj = np.einsum("tpd,nd->tpn", flat, m) > 0
+        weights = (1 << np.arange(planes)).astype(np.int64)
+        buckets = np.tensordot(weights, proj, axes=([0], [1]))  # (tables, n)
+        return pd.Series(buckets.T.astype(np.int32).tolist())
+
+    probe = F.array(*[F.lit(b) for b in q_buckets])
+    cand = emb.withColumn("_b", _buckets(F.col(vec_col))).where(
+        F.exists(
+            F.zip_with(F.col("_b"), probe, lambda x, y: x == y),
+            lambda matched: matched,
+        )
+    )
+    return cosine_topk_fast(cand.drop("_b"), query_vec, k, vec_col, id_col)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact near-duplicate vector pairs (cosine >= threshold).
+
+    All-pairs with fold-exact arithmetic; the oracle-checkable baseline.
+    At 100 TB swap the self-join's ``True`` condition for an LSH-bucket
+    equality (see ann_lsh_topk) so only same-bucket pairs materialize.
+    """
+    with_norm = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        dot_fold(F.col(vec_col), F.col(vec_col)).alias("nsq"),
+    )
+    a = with_norm.select(
+        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nsq").alias("na")
+    )
+    b = with_norm.select(
+        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nsq").alias("nb")
+    )
+    cos = dot_fold(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -567,3 +567,71 @@ def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1)), F.lit(0)
         ).alias("dup_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier C — dedup / near-dup / similarity (operators/dedup.py, similarity.py)
+# ---------------------------------------------------------------------------
+
+from duckdb_cluster_hash_spark import oracle_text as _ot
+from duckdb_cluster_hash_spark.operators import dedup as _dd
+from duckdb_cluster_hash_spark.operators import similarity as _sim
+
+
+@query("docs_dedup_representatives", oracle=_ot.dedup_representatives_sql())
+def docs_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (C3): one keeper id per distinct text, digest-keyed."""
+    return _dd.dedup_representatives(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query("docs_ngram_jaccard_pairs", oracle=_ot.ngram_jaccard_pairs_sql(3, 0.2))
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup (C4 baseline): word-3-gram Jaccard >= 0.2 via the
+    inverted-index self-join (the oracle cross-joins; we never do)."""
+    return _dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    )
+
+
+@query(
+    "docs_minhash_neardup_pairs",
+    oracle=_ot.minhash_neardup_pairs_sql(3, 16, 8, 2, 0.2),
+)
+def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (C4 scale path): 16 hashes, 8 bands x 2 rows,
+    candidates verified with exact Jaccard on candidates only."""
+    return _dd.minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        k=16,
+        bands=8,
+        rows=2,
+        threshold=0.2,
+    )
+
+
+@query("docs_simhash_signatures", oracle=_ot.simhash_signatures_sql())
+def docs_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (C4): 64-bit majority-vote fingerprint per document."""
+    return _dd.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("docs_simhash_neardup_pairs", oracle=_ot.simhash_neardup_pairs_sql(2))
+def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 2."""
+    return _dd.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2
+    )
+
+
+@query("emb_cosine_topk", oracle=_ot.cosine_topk_sql(0, 10, 64))
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search (C5): brute-force cosine top-10 to vec_id 0,
+    fold-exact arithmetic shared with the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return _sim.cosine_topk(emb, [float(x) for x in qvec], k=10)

@@ -1,0 +1,92 @@
+"""Dedup operator semantics: recall of the LSH path against the exact
+inverted-index path, exact-dedup invariants, shingling edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_cluster_hash_spark.operators import dedup as dd
+from duckdb_cluster_hash_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_medium):
+    return load_table(spark, sf_medium, "documents").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    reps = dd.dedup_representatives(docs, "text", "doc_id")
+    assert reps.count() == docs.select("text").distinct().count()
+    assert reps.agg(F.sum("n_copies")).head()[0] == docs.count()
+
+
+def test_word_ngrams_short_text(spark):
+    df = spark.createDataFrame(
+        [("a b",), ("a b c",), ("a b c d",), ("solo",)], "text string"
+    )
+    rows = df.select(dd.word_ngrams(F.col("text"), 3).alias("g")).collect()
+    assert rows[0]["g"] == ["a b"]          # shorter than n -> whole text
+    assert rows[1]["g"] == ["a b c"]
+    assert rows[2]["g"] == ["a b c", "b c d"]
+    assert rows[3]["g"] == ["solo"]
+
+
+def test_ngram_jaccard_finds_planted_pairs(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    assert len(pairs) == 25  # generator plants 25 near-dup pairs at sf0.01
+    assert all(r["jacc"] >= 0.5 for r in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.minhash_neardup_pairs(
+            docs, "doc_id", "text", n=3, k=16, bands=8, rows=2, threshold=0.2
+        ).collect()
+    }
+    # verified candidates can only be true pairs at >= the verify threshold
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9
+    # and LSH output is itself exact-verified: every pair really is a near-dup
+    exact_02 = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.2).collect()
+    }
+    assert lsh <= exact_02
+
+
+def test_max_df_prunes_stop_shingles(docs):
+    unpruned = dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5)
+    pruned = dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5, max_df=3)
+    # pruning can only remove candidate mass, never add pairs
+    assert pruned.count() <= unpruned.count()
+
+
+def test_simhash_identical_text_same_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: (r["simhash_lo"], r["simhash_hi"])
+           for r in dd.simhash64(df, "doc_id", "text").collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[3]
+    pairs = dd.simhash_neardup_pairs(df, "doc_id", "text", max_hamming=0).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_banding_subset(docs):
+    full = dd.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=2)
+    banded = dd.simhash_neardup_pairs(
+        docs, "doc_id", "text", max_hamming=2, band_bits=4
+    )
+    fullset = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
+    bandset = {(r["doc_a"], r["doc_b"]) for r in banded.collect()}
+    assert bandset <= fullset
+    # hamming<=2 pairs differ in <=2 bits; a 4-bit band keeps most of them
+    assert len(bandset) >= len(fullset) * 0.5

@@ -1,0 +1,59 @@
+"""Similarity-search semantics: fast path agrees with the exact fold path,
+ANN recall against brute force, near-dup pair symmetry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_cluster_hash_spark.operators import similarity as sim
+from duckdb_cluster_hash_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_medium):
+    return load_table(spark, sf_medium, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [float(x) for x in emb.where(F.col("vec_id") == 7).head()["embedding"]]
+
+
+def test_topk_exact_vs_fast_same_ranking(emb, qvec):
+    exact = [r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()]
+    fast = [r["vec_id"] for r in sim.cosine_topk_fast(emb, qvec, k=10).collect()]
+    assert exact == fast
+    assert exact[0] == 7  # the query vector itself is its own best match
+
+
+def test_topk_values_in_range(emb, qvec):
+    rows = sim.cosine_topk(emb, qvec, k=20).collect()
+    assert all(-1.0 - 1e-9 <= r["cos_sim"] <= 1.0 + 1e-9 for r in rows)
+    sims = [r["cos_sim"] for r in rows]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_lsh_recall(emb, qvec):
+    exact = {r["vec_id"] for r in sim.cosine_topk_fast(emb, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in sim.ann_lsh_topk(emb, qvec, k=10, planes=4, tables=16).collect()
+    }
+    # this corpus has weak similarity structure (best cos ~0.5 => per-bit
+    # collision ~0.67), so use wide buckets + many tables for recall
+    assert len(exact & approx) >= 6
+    assert 7 in approx
+
+
+def test_ann_prunes_candidates(emb, qvec):
+    # with narrow buckets the candidate set must be a strict subset
+    approx = sim.ann_lsh_topk(emb, qvec, k=500, planes=12, tables=1)
+    assert approx.count() < emb.count()
+
+
+def test_neardup_pairs_threshold(emb):
+    pairs = sim.embedding_neardup_pairs(emb, threshold=0.45)
+    rows = pairs.collect()
+    assert all(r["cos_sim"] >= 0.45 for r in rows)
+    assert all(r["vec_a"] < r["vec_b"] for r in rows)
