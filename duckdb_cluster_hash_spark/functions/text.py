@@ -1,0 +1,185 @@
+"""Text-analysis functions for training-data pipelines (SURVEY.md §2 C6).
+
+Everything here is native Column expressions — no Python in the hot path,
+so a 100 TB corpus pass stays inside whole-stage codegen.  Semantics are
+deliberately expressible in portable SQL (same regexes, same CASE chains)
+so every operator has a bit-exact DuckDB oracle.
+
+Operators:
+- token counting: whitespace tokens and a BPE-ish regex segmentation
+  (letter runs / digit runs / single punctuation marks — the shape GPT-2's
+  pre-tokenizer produces, minus lookahead, which RE2 lacks);
+- language ID: script detection by codepoint range (CJK, kana, hangul,
+  cyrillic, arabic, greek) with stopword voting among latin languages;
+- quality scoring: length/punctuation/stopword/repetition features
+  combined into a [0,1] score (the C4-style heuristic filter stack);
+- fingerprinting: polynomial rolling hash over UTF-8 bytes (mod 2^61-1
+  free since values stay < 2^63 via mod 2^31-1 each step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ws_token_count",
+    "bpe_ish_token_count",
+    "language_id_col",
+    "quality_features",
+    "quality_score_col",
+    "rolling_hash_col",
+    "STOPWORDS",
+]
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single non-alnum marks.
+BPE_ISH_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Small, deterministic stopword lists for latin-script voting.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "las", "un", "una"),
+    "fr": ("le", "la", "les", "des", "et", "un", "une", "du", "est", "dans"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"),
+}
+
+# Codepoint ranges by script (literal ranges work identically in Java
+# regex and RE2 — no \p{script=...} syntax divergence).
+_SCRIPT_RANGES = {
+    "zh": "一-鿿",
+    "ja": "぀-ヿ",
+    "ko": "가-힯",
+    "ru": "Ѐ-ӿ",
+    "ar": "؀-ۿ",
+    "el": "Ͱ-Ͽ",
+}
+
+
+def ws_token_count(text: Column) -> Column:
+    """Number of whitespace-separated tokens (runs of non-space)."""
+    return F.size(F.regexp_extract_all(text, F.lit("[^ ]+"), 0))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Number of BPE-ish pre-tokens (letter/digit runs + punct marks)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_REGEX), 0))
+
+
+def _script_count(text: Column, ranges: str) -> Column:
+    """How many characters of ``text`` fall in the codepoint ranges."""
+    return F.length(text) - F.length(
+        F.regexp_replace(text, f"[{ranges}]", "")
+    )
+
+
+def _stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Occurrences (with multiplicity) of the stopwords among lowercase
+    whitespace tokens."""
+    toks = F.split(F.lower(text), " ")
+    return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+
+def language_id_col(text: Column) -> Column:
+    """Heuristic language ID: script ranges first, stopword vote within
+    latin scripts, 'und' (undetermined) when nothing fires.
+
+    The CASE chain is strictly ordered so the same expression in DuckDB
+    SQL (oracle_text.language_id_sql) decides identically.
+    """
+    n = F.greatest(F.length(text), F.lit(1))
+    script_ratio = {
+        lang: _script_count(text, r) / n for lang, r in _SCRIPT_RANGES.items()
+    }
+    votes = {lang: _stopword_hits(text, ws) for lang, ws in STOPWORDS.items()}
+    best_latin = (
+        F.when(
+            (votes["es"] > votes["en"])
+            & (votes["es"] >= votes["fr"])
+            & (votes["es"] >= votes["de"]),
+            "es",
+        )
+        .when(
+            (votes["fr"] > votes["en"]) & (votes["fr"] >= votes["de"]),
+            "fr",
+        )
+        .when(votes["de"] > votes["en"], "de")
+        .when(votes["en"] > 0, "en")
+        .otherwise("und")
+    )
+    expr = F.when(script_ratio["zh"] > 0.3, "zh")
+    for lang in ("ja", "ko", "ru", "ar", "el"):
+        expr = expr.when(script_ratio[lang] > 0.3, lang)
+    return expr.otherwise(best_latin)
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-row quality feature columns (all exact-integer-derived ratios).
+
+    Adds: n_chars_q, n_tokens, mean_token_len, punct_ratio, digit_ratio,
+    upper_ratio, stop_ratio, repetition_ratio.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = F.split(text, " ")
+    n_tokens = F.size(F.regexp_extract_all(text, F.lit("[^ ]+"), 0))
+    n_punct = F.length(text) - F.length(
+        F.regexp_replace(text, r"[^\p{L}\p{N} ]", "")
+    )
+    n_digit = F.length(text) - F.length(F.regexp_replace(text, "[0-9]", ""))
+    n_upper = F.length(text) - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    n_stop = _stopword_hits(text, STOPWORDS["en"])
+    n_distinct = F.size(F.array_distinct(F.regexp_extract_all(text, F.lit("[^ ]+"), 0)))
+    # round via integer scaling: cross-engine safe (see plans/catalog.py)
+    safe = lambda num, den: F.round((num / F.greatest(den, F.lit(1))) * 10000) / 10000
+    return df.withColumns(
+        {
+            "n_chars_q": n_chars,
+            "n_tokens": n_tokens,
+            "mean_token_len": safe(n_chars - (n_tokens - 1), n_tokens),
+            "punct_ratio": safe(n_punct, n_chars),
+            "digit_ratio": safe(n_digit, n_chars),
+            "upper_ratio": safe(n_upper, n_chars),
+            "stop_ratio": safe(n_stop, n_tokens),
+            "repetition_ratio": safe(n_tokens - n_distinct, n_tokens),
+        }
+    )
+
+
+def quality_score_col() -> Column:
+    """Combine quality_features columns into a [0,1] score.
+
+    score = 0.25*len_ok + 0.25*(1-repetition) + 0.25*stop_presence
+          + 0.25*(1-punct_excess); each term already in [0,1] from exact
+    ratios, so the weighted sum is reproducible in SQL verbatim.
+    """
+    len_ok = F.when(
+        (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 100000), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    rep_ok = F.lit(1.0) - F.col("repetition_ratio")
+    stop_presence = F.least(F.col("stop_ratio") * 5, F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0))
+    score = 0.25 * len_ok + 0.25 * rep_ok + 0.25 * stop_presence + 0.25 * punct_ok
+    return F.round(score * 10000) / 10000
+
+
+def rolling_hash_col(text: Column, base: int = 31, mod: int = 2147483647) -> Column:
+    """Polynomial rolling hash over the UTF-8 bytes of ``text``.
+
+    h_{i+1} = (h_i * base + byte_i) mod ``mod`` — a classic Rabin-Karp
+    document fingerprint; the fold stays < 2^63 because mod < 2^31.
+    Implemented as a higher-order aggregate (fine for per-doc
+    fingerprints; for trillion-token corpora use the xxhash64 builtin
+    instead — this fingerprint exists for cross-engine reproducibility).
+    """
+    raw = F.encode(text, "UTF-8")
+    hexed = F.hex(raw)
+    nbytes = F.octet_length(raw)
+    byte_at = lambda i: F.conv(F.substring(hexed, (i * 2) - 1, 2), 16, 10).cast(
+        "bigint"
+    )
+    fold = F.aggregate(
+        F.sequence(F.lit(1), nbytes),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: (acc * base + byte_at(i)) % mod,
+    )
+    return F.when(nbytes == 0, F.lit(0).cast("bigint")).otherwise(fold)

@@ -159,7 +159,7 @@ def ngram_jaccard_pairs(
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jacc"))
+        .select("doc_a", "doc_b", (F.round(jacc * 10000) / 10000).alias("jacc"))
         .where(F.col("jacc") >= threshold)
     )
 
@@ -245,7 +245,7 @@ def minhash_neardup_pairs(
         .select(
             "doc_a",
             "doc_b",
-            F.round(inter / union, 4).alias("jacc"),
+            (F.round((inter / union) * 10000) / 10000).alias("jacc"),
         )
         .where(F.col("jacc") >= threshold)
     )

@@ -1,0 +1,181 @@
+"""Multimodal column plumbing (SURVEY.md §2 Tier C: image/audio/video).
+
+Media travel as opaque ``binary`` columns with typed metadata — the only
+sane representation at 100 TB (parquet binary + column pruning means a
+metadata-only query never reads the payload bytes).  Decode / resize /
+feature-extraction run as Arrow-batched ``mapInPandas`` stages so payload
+bytes cross into Python once per batch, not once per row.
+
+The actual codecs (PIL / libsndfile / ffmpeg) are NOT in this container,
+so the decode step is STUBBED: ``decode_image`` raises
+``NotImplementedError`` unless a codec is importable, and the test/demo
+path uses :func:`attach_fake_media`, which synthesizes a deterministic
+16-byte header + payload whose "decoded" metadata is pure arithmetic —
+making the whole pipeline (schema, batching, partitioning, UDF
+signatures) real and oracle-checkable while the codec is fake.
+
+Fake media format (deterministic from doc_id):
+  bytes 0-3   magic ``FIMG``
+  bytes 4-7   width  = 16 + doc_id % 64          (big-endian uint32)
+  bytes 8-11  height = 16 + (doc_id * 7) % 48    (big-endian uint32)
+  bytes 12-15 n_frames = 1 + doc_id % 8          (big-endian uint32)
+  bytes 16-   payload = UTF-8 bytes of the doc text
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "attach_fake_media",
+    "media_metadata",
+    "decode_image",
+    "sample_frames",
+    "MEDIA_META_SCHEMA",
+]
+
+_MAGIC = b"FIMG"
+
+
+def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Synthesize a deterministic binary media column (see module doc).
+
+    Pure Column expressions: header ints are big-endian via substring
+    arithmetic on hex, payload is the UTF-8 text — no Python involved in
+    *creating* 100 TB of test media.
+    """
+    def be32(col):
+        # 4-byte big-endian binary of a non-negative int < 2^32
+        hexed = F.lpad(F.conv(col.cast("string"), 10, 16), 8, "0")
+        return F.unhex(hexed)
+
+    ident = F.col(id_col).cast("bigint")
+    width = (F.lit(16) + ident % 64).cast("int")
+    height = (F.lit(16) + (ident * 7) % 48).cast("int")
+    frames = (F.lit(1) + ident % 8).cast("int")
+    media = F.concat(
+        F.lit(_MAGIC),
+        be32(width),
+        be32(height),
+        be32(frames),
+        F.encode(F.col(text_col), "UTF-8"),
+    )
+    return df.withColumn("media", media).withColumn(
+        "media_type", F.lit("image/fake")
+    )
+
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("aspect_milli", LongType()),
+    ]
+)
+
+
+def media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode media headers to typed metadata via Arrow-batched Python.
+
+    ``mapInPandas`` keeps the payload in Arrow buffers end-to-end; each
+    batch is a zero-copy pandas view.  Output schema is fixed and narrow
+    so downstream pruning works.  aspect_milli = width*1000//height
+    (integer, cross-engine exact).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf["media"]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "byte_len": media.map(len).astype("int64"),
+                    "width": media.map(
+                        lambda b: int.from_bytes(b[4:8], "big")
+                    ).astype("int32"),
+                    "height": media.map(
+                        lambda b: int.from_bytes(b[8:12], "big")
+                    ).astype("int32"),
+                    "n_frames": media.map(
+                        lambda b: int.from_bytes(b[12:16], "big")
+                    ).astype("int32"),
+                }
+            )
+            out["aspect_milli"] = (
+                out["width"].astype("int64") * 1000 // out["height"]
+            )
+            yield out
+
+    return df.select(id_col, "media", "media_type").mapInPandas(
+        decode_batches, MEDIA_META_SCHEMA
+    )
+
+
+def decode_image(data: bytes):
+    """Decode real image bytes -> (width, height, mode).
+
+    STUB: the container has no imaging library.  Gated behind import so
+    the pipeline works the moment PIL is installed.
+    """
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+        import io
+    except ImportError as exc:  # pragma: no cover - codec not in container
+        raise NotImplementedError(
+            "real image decode requires PIL, which is not available in "
+            "this environment; use attach_fake_media for pipeline tests"
+        ) from exc
+    img = Image.open(io.BytesIO(data))  # pragma: no cover
+    return img.width, img.height, img.mode  # pragma: no cover
+
+
+def sample_frames(
+    df: DataFrame, every_k: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame sampling for (fake) video: one row per sampled frame index.
+
+    Frame extraction itself is deterministic arithmetic over the header
+    (a real implementation would slice the container's frame table); the
+    *shape* — explode to (doc_id, frame_idx, frame_bytes) — is the real
+    contract a video pipeline needs.
+    """
+    frames_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_bytes", BinaryType()),
+        ]
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                n = int.from_bytes(r["media"][12:16], "big")
+                payload = r["media"][16:]
+                for idx in range(0, n, every_k):
+                    # fake "frame": a rotating slice of the payload
+                    sl = payload[idx::n] if n else b""
+                    rows.append((int(r[id_col]), idx, sl))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes"]
+            )
+
+    return df.select(id_col, "media").mapInPandas(sample, frames_schema)

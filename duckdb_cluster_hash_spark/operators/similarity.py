@@ -75,7 +75,7 @@ def cosine_topk(
     norm_sq = dot_fold(F.col(vec_col), F.col(vec_col))
     cos = dot / F.sqrt(norm_sq * F.lit(q_norm_sq))
     return (
-        emb.select(id_col, *extra_cols, F.round(cos, 6).alias("cos_sim"))
+        emb.select(id_col, *extra_cols, (F.round(cos * 1000000) / 1000000).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
@@ -185,6 +185,6 @@ def embedding_neardup_pairs(
     cos = dot_fold(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .select("vec_a", "vec_b", (F.round(cos * 1000000) / 1000000).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

@@ -25,7 +25,7 @@ def shingles_cte(n: int = 3, table: str = "documents") -> str:
     )
 
 
-_JACC = "round(CAST(inter AS DOUBLE) / (size_a + size_b - inter), 4)"
+_JACC = "(round((CAST(inter AS DOUBLE) / (size_a + size_b - inter)) * 10000) / 10000)"
 
 
 def ngram_jaccard_pairs_sql(n: int = 3, threshold: float = 0.2) -> str:
@@ -138,8 +138,137 @@ def cosine_topk_sql(query_vec_id: int = 0, k: int = 10, dim: int = 64) -> str:
     return (
         f"WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}) "
         "SELECT vec_id, label, "
-        f"round({dot('embedding', 'qv')} / "
-        f"sqrt({dot('embedding', 'embedding')} * {dot('qv', 'qv')}), 6) AS cos_sim "
+        f"(round(({dot('embedding', 'qv')} / "
+        f"sqrt({dot('embedding', 'embedding')} * {dot('qv', 'qv')})) * 1000000) / 1000000) AS cos_sim "
         "FROM embeddings, q "
         f"ORDER BY cos_sim DESC, vec_id LIMIT {k}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis oracles (functions/text.py mirrors)
+# ---------------------------------------------------------------------------
+
+# Keep in sync with functions.text.STOPWORDS / _SCRIPT_RANGES / BPE_ISH_REGEX.
+from duckdb_cluster_hash_spark.functions.text import (  # noqa: E402
+    BPE_ISH_REGEX,
+    STOPWORDS,
+)
+
+_SCRIPT_RANGES_SQL = {
+    "zh": "一-鿿",
+    "ja": "぀-ヿ",
+    "ko": "가-힯",
+    "ru": "Ѐ-ӿ",
+    "ar": "؀-ۿ",
+    "el": "Ͱ-Ͽ",
+}
+
+
+def _stop_hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_filter(string_split(lower(text), ' '), "
+        f"w -> w IN ({inlist})))"
+    )
+
+
+def _script_ratio_sql(ranges: str) -> str:
+    return (
+        f"(length(text) - length(regexp_replace(text, '[{ranges}]', '', 'g')))"
+        " * 1.0 / greatest(length(text), 1)"
+    )
+
+
+def language_id_case_sql() -> str:
+    """The exact CASE chain of functions.text.language_id_col."""
+    script_cases = " ".join(
+        f"WHEN {_script_ratio_sql(r)} > 0.3 THEN '{lang}'"
+        for lang, r in _SCRIPT_RANGES_SQL.items()
+    )
+    v = {lang: _stop_hits_sql(ws) for lang, ws in STOPWORDS.items()}
+    latin = (
+        f"CASE WHEN {v['es']} > {v['en']} AND {v['es']} >= {v['fr']} "
+        f"AND {v['es']} >= {v['de']} THEN 'es' "
+        f"WHEN {v['fr']} > {v['en']} AND {v['fr']} >= {v['de']} THEN 'fr' "
+        f"WHEN {v['de']} > {v['en']} THEN 'de' "
+        f"WHEN {v['en']} > 0 THEN 'en' ELSE 'und' END"
+    )
+    return f"CASE {script_cases} ELSE {latin} END"
+
+
+def lang_id_counts_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT {language_id_case_sql()} AS predicted_lang, count(*) AS n_docs "
+        f"FROM {table} GROUP BY predicted_lang ORDER BY predicted_lang"
+    )
+
+
+_QUALITY_FEATURES_SQL = {
+    "n_chars_q": "length(text)",
+    "n_tokens": "len(regexp_extract_all(text, '[^ ]+'))",
+    "mean_token_len": (
+        "round((length(text) - (len(regexp_extract_all(text, '[^ ]+')) - 1)) * 1.0"
+        " / greatest(len(regexp_extract_all(text, '[^ ]+')), 1), 4)"
+    ),
+    "punct_ratio": (
+        r"(round(((length(text) - length(regexp_replace(text, '[^\p{L}\p{N} ]', '', 'g')))"
+        " * 1.0 / greatest(length(text), 1)) * 10000) / 10000)"
+    ),
+    "digit_ratio": (
+        "(round(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))"
+        " * 1.0 / greatest(length(text), 1)) * 10000) / 10000)"
+    ),
+    "upper_ratio": (
+        "(round(((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+        " * 1.0 / greatest(length(text), 1)) * 10000) / 10000)"
+    ),
+    "stop_ratio": None,  # filled below (needs STOPWORDS)
+    "repetition_ratio": (
+        "(round(((len(regexp_extract_all(text, '[^ ]+')) - "
+        "len(list_distinct(regexp_extract_all(text, '[^ ]+')))) * 1.0"
+        " / greatest(len(regexp_extract_all(text, '[^ ]+')), 1)) * 10000) / 10000)"
+    ),
+}
+_QUALITY_FEATURES_SQL["stop_ratio"] = (
+    f"(round(({_stop_hits_sql(STOPWORDS['en'])} * 1.0"
+    " / greatest(len(regexp_extract_all(text, '[^ ]+')), 1)) * 10000) / 10000)"
+)
+
+
+def quality_scores_sql(table: str = "documents") -> str:
+    feats = ", ".join(f"{sql} AS {name}" for name, sql in _QUALITY_FEATURES_SQL.items())
+    score = (
+        "(round((0.25 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 "
+        "THEN 1.0 ELSE 0.0 END) + 0.25 * (1.0 - repetition_ratio) "
+        "+ 0.25 * least(stop_ratio * 5, 1.0) "
+        "+ 0.25 * (1.0 - least(punct_ratio * 4, 1.0))) * 10000) / 10000)"
+    )
+    return (
+        f"WITH feats AS (SELECT doc_id, {feats} FROM {table}) "
+        f"SELECT doc_id, n_chars_q, n_tokens, mean_token_len, punct_ratio, "
+        f"digit_ratio, upper_ratio, stop_ratio, repetition_ratio, "
+        f"{score} AS quality FROM feats"
+    )
+
+
+def token_stats_by_source_sql(table: str = "documents") -> str:
+    return (
+        f"SELECT source, count(*) AS n_docs, "
+        "CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS ws_tokens, "
+        f"CAST(sum(len(regexp_extract_all(text, '{BPE_ISH_REGEX}'))) AS BIGINT) AS bpe_tokens "
+        f"FROM {table} GROUP BY source ORDER BY source"
+    )
+
+
+def rolling_hash_sql(table: str = "documents", base: int = 31, mod: int = 2147483647) -> str:
+    byte_expr = (
+        "(strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i-1, 1)) * 16 "
+        "+ strpos('0123456789ABCDEF', substr(hex(encode(text)), 2*i, 1)) - 17)::BIGINT"
+    )
+    return (
+        f"SELECT doc_id, list_reduce(list_prepend(0::BIGINT, "
+        f"[{byte_expr} FOR i IN range(1, octet_length(encode(text)) + 1)]), "
+        f"(acc, b) -> (acc * {base} + b) % {mod}) AS fingerprint "
+        f"FROM {table}"
     )

@@ -59,11 +59,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # A DECIMAL-exact money sum that is bit-stable regardless of partial-agg
 # order, surfaced as a rounded double.
 def _money_sum(col: str):
-    return F.round(F.sum(F.col(col).cast("decimal(18,4)")).cast("double"), 2)
+    return F.round(F.sum(F.col(col).cast("decimal(18,4)")), 2).cast("double")
 
 
-def _money_sum_expr(expr_col) -> F.Column:
-    return F.round(F.sum(expr_col.cast("decimal(18,4)")).cast("double"), 2)
+def _round_ratio(x, scale: int):
+    """Cross-engine-safe rounding of a double: scale to integer first.
+
+    Spark's round(x, k) rounds the double's SHORTEST DECIMAL REPR
+    (BigDecimal HALF_UP), DuckDB rounds the raw binary value - they
+    disagree whenever the true value sits at a 10^-k midpoint (e.g.
+    0.70915).  round(x*10^k) at scale 0 is safe: integer midpoints are
+    exactly representable, so both engines see the same side.  Oracles
+    use round(x * 10^k) / 10^k verbatim.
+    """
+    m = 10 ** scale
+    return F.round(x * m) / m
 
 
 # ---------------------------------------------------------------------------
@@ -244,10 +254,13 @@ def cluster_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = keyed.groupBy("node_id").agg(F.count("*").alias("cnt"))
     total = F.sum("cnt").over(Window.partitionBy())
+    # exact integer floor-division (double / would misround quotients that
+    # sit a hair under an integer; the oracle uses DuckDB's integer //)
+    num = (10000 * F.col("cnt")).cast("long")
     return agg.select(
         "node_id",
         "cnt",
-        F.floor((10000 * F.col("cnt")) / total).alias("share_bp"),
+        ((num - F.pmod(num, total)) / total).cast("long").alias("share_bp"),
     ).orderBy("node_id")
 
 
@@ -259,10 +272,10 @@ def cluster_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
-        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty, "
-        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_base_price, "
-        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price, "
-        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_charge, "
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) * CAST(1 + l_tax AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_charge, "
         "count(*) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
@@ -278,19 +291,16 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
-            F.round(F.sum(dec("l_extendedprice")).cast("double"), 2).alias(
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias(
                 "sum_base_price"
             ),
             F.round(
-                F.sum(dec("l_extendedprice") * one_minus_disc).cast("double"), 2
-            ).alias("sum_disc_price"),
+                F.sum(dec("l_extendedprice") * one_minus_disc), 2
+            ).cast("double").alias("sum_disc_price"),
             F.round(
-                F.sum(dec("l_extendedprice") * one_minus_disc * one_plus_tax).cast(
-                    "double"
-                ),
-                2,
-            ).alias("sum_charge"),
+                F.sum(dec("l_extendedprice") * one_minus_disc * one_plus_tax), 2
+            ).cast("double").alias("sum_charge"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -301,7 +311,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_shipping_priority",
     oracle=(
         "SELECT l_orderkey, "
-        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue, "
         "CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
@@ -331,7 +341,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select(
             "l_orderkey",
-            F.round(F.col("_rev_exact").cast("double"), 2).alias("revenue"),
+            F.round(F.col("_rev_exact"), 2).cast("double").alias("revenue"),
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_orderpriority",
         )
@@ -342,7 +352,7 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_local_supplier_volume",
     oracle=(
         "SELECT n_name, "
-        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
@@ -380,7 +390,7 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(rev).alias("_rev_exact"))
         .select(
             "n_name",
-            F.round(F.col("_rev_exact").cast("double"), 2).alias("revenue"),
+            F.round(F.col("_rev_exact"), 2).cast("double").alias("revenue"),
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
@@ -424,7 +434,7 @@ def nation_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             "c_name",
-            F.round(F.col("spend_exact").cast("double"), 2).alias("spend"),
+            F.round(F.col("spend_exact"), 2).cast("double").alias("spend"),
             "rnk",
         )
         .orderBy("n_name", "rnk")
@@ -436,7 +446,7 @@ def nation_top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month, "
         "o_orderpriority, count(*) AS n_orders, "
-        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_price "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price "
         "FROM orders GROUP BY order_month, o_orderpriority "
         "ORDER BY order_month, o_orderpriority"
     ),
@@ -466,7 +476,7 @@ def orders_monthly_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_bucket, "
         "event_type, count(*) AS n_events, "
-        "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
         "FROM events GROUP BY hour_bucket, event_type "
         "ORDER BY hour_bucket, event_type"
     ),
@@ -635,3 +645,86 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     return _sim.cosine_topk(emb, [float(x) for x in qvec], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Tier C — text analysis (functions/text.py) and multimodal plumbing
+# ---------------------------------------------------------------------------
+
+from duckdb_cluster_hash_spark.functions import text as _tx
+from duckdb_cluster_hash_spark.operators import multimodal as _mm
+
+
+@query("docs_lang_id_counts", oracle=_ot.lang_id_counts_sql())
+def docs_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (C6): script ranges + stopword voting;
+    distribution of predicted languages."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(_tx.language_id_col(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("predicted_lang")
+    )
+
+
+@query("docs_quality_scores", oracle=_ot.quality_scores_sql())
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + combined [0,1] score (C6)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = _tx.quality_features(docs, "text")
+    return feats.select(
+        "doc_id",
+        "n_chars_q",
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "stop_ratio",
+        "repetition_ratio",
+        _tx.quality_score_col().alias("quality"),
+    )
+
+
+@query("docs_token_stats_by_source", oracle=_ot.token_stats_by_source_sql())
+def docs_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts rolled up by source (C6)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_tx.ws_token_count(F.col("text"))).alias("ws_tokens"),
+            F.sum(_tx.bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("docs_fingerprints", oracle=_ot.rolling_hash_sql())
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document (C6)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _tx.rolling_hash_col(F.col("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "docs_media_metadata",
+    oracle=(
+        "SELECT doc_id, 'image/fake' AS media_type, "
+        "(16 + octet_length(encode(text)))::BIGINT AS byte_len, "
+        "(16 + doc_id % 64)::INTEGER AS width, "
+        "(16 + (doc_id * 7) % 48)::INTEGER AS height, "
+        "(1 + doc_id % 8)::INTEGER AS n_frames, "
+        "((16 + doc_id % 64) * 1000) // (16 + (doc_id * 7) % 48) AS aspect_milli "
+        "FROM documents"
+    ),
+)
+def docs_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary media, decode headers via
+    Arrow-batched mapInPandas; the oracle recomputes the header math."""
+    docs = _t(spark, sf_dir, "documents")
+    return _mm.media_metadata(_mm.attach_fake_media(docs))
