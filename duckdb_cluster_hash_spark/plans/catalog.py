@@ -728,3 +728,89 @@ def docs_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas; the oracle recomputes the header math."""
     docs = _t(spark, sf_dir, "documents")
     return _mm.media_metadata(_mm.attach_fake_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Tier C — streaming semantics (streaming/events.py, batch-equivalent mode)
+# ---------------------------------------------------------------------------
+
+from duckdb_cluster_hash_spark.streaming import events as _ev
+from duckdb_cluster_hash_spark.oracle import node_sql as _node_sql
+
+
+@query(
+    "events_sessionization",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, value, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, value, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch, "
+        "count(*) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
+        "FROM s GROUP BY user_id, sid"
+    ),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (C7) in batch mode — gaps-and-islands equivalent.
+
+    Boundary note: an inter-event gap of EXACTLY 30:00.000000 splits in
+    Spark (half-open session end) but merges in the lag-based oracle;
+    with nanosecond-random timestamps the case is measure-zero.
+    """
+    return _ev.sessionize(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query(
+    "events_sliding_windows",
+    oracle=(
+        "WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events), "
+        "w AS (SELECT unnest([ (es // 900) * 900 - 900 * i FOR i IN range(0, 4) ]) "
+        "AS window_start_epoch FROM e) "
+        "SELECT window_start_epoch, count(*) AS n_events FROM w "
+        "GROUP BY window_start_epoch ORDER BY window_start_epoch"
+    ),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min windows (C7) in batch mode; each event lands in 4
+    aligned windows — the oracle materializes exactly those."""
+    return (
+        _ev.sliding_window_rates(_t(spark, sf_dir, "events"))
+        .orderBy("window_start_epoch")
+    )
+
+
+_USER_TAG_KEY_SQL = "'{user:' || user_id::VARCHAR || '}'"
+
+
+@query(
+    "events_node_routing_counts",
+    oracle=(
+        f"WITH keyed AS (SELECT {_node_sql(_USER_TAG_KEY_SQL)} AS node_id, value FROM events) "
+        "SELECT node_id, count(*) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
+        "FROM keyed GROUP BY node_id ORDER BY node_id"
+    ),
+)
+def events_node_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard routing for the event stream (C7): hash-tagged user keys ->
+    per-node event counts (the batch equivalent of route_events_to_nodes)."""
+    ev = _t(spark, sf_dir, "events")
+    keyed = ev.select(
+        cluster_node_col(
+            F.concat(F.lit("{user:"), F.col("user_id").cast("string"), F.lit("}"))
+        ).alias("node_id"),
+        "value",
+    )
+    return (
+        keyed.groupBy("node_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("node_id")
+    )

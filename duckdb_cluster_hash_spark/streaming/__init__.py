@@ -1,0 +1,9 @@
+from duckdb_cluster_hash_spark.streaming.events import (  # noqa: F401
+    EVENTS_SCHEMA,
+    stage_events_as_stream,
+    read_events_stream,
+    hourly_event_counts,
+    sliding_window_rates,
+    sessionize,
+    route_events_to_nodes,
+)

@@ -1,0 +1,180 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §2 Tier C7).
+
+The reference computes placement for streams of keys; the Spark-native
+completion is an actual streaming pipeline: file-source ingest ->
+watermarked event-time windows -> per-shard routed sinks.
+
+Every aggregation here works identically on a batch DataFrame (pass the
+batch table to the same function) — that is how the DuckDB oracle checks
+streaming semantics, and how the tests assert stream == batch.
+
+Scale notes: watermarks bound state (late data beyond the delay is
+dropped); ``foreachBatch`` + ``partitionBy(node_id)`` gives exactly-once
+per-shard output directories with state-store-free routing;
+``cluster_node`` uses the *native* Column implementation so the streaming
+plan needs no Python workers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_cluster_hash_spark.core import DEFAULT_NODES
+from duckdb_cluster_hash_spark.functions.clusterhash import cluster_node_col
+from duckdb_cluster_hash_spark.sources.tables import load_table
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "stage_events_as_stream",
+    "read_events_stream",
+    "hourly_event_counts",
+    "sliding_window_rates",
+    "sessionize",
+    "route_events_to_nodes",
+]
+
+
+def stage_events_as_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> None:
+    """Replay-stage the batch events table as ``n_chunks`` parquet files.
+
+    Chunks are contiguous ``event_id`` ranges, so event time is roughly
+    monotone across files (with natural intra-chunk disorder) — a
+    realistic replay source for watermark tests (FIXTURES.md §6).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("event_id"), F.max("event_id")).head()
+    lo, hi = bounds[0], bounds[1]
+    step = (hi - lo + n_chunks) // n_chunks
+    for i in range(n_chunks):
+        chunk = ev.where(
+            (F.col("event_id") >= lo + i * step)
+            & (F.col("event_id") < lo + (i + 1) * step)
+        )
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"chunk={i}")
+        )
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over staged event chunks (one file per trigger,
+    so multi-batch behavior is exercised even with availableNow)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(source_dir)
+    )
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type.
+
+    Works on both streaming and batch inputs; on a stream the watermark
+    bounds state and drops late data beyond the delay.
+    """
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            (F.unix_timestamp(F.col("w.start"))).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_rates(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Sliding 1-hour windows every 15 minutes: event rate per window."""
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "n_events",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge.
+
+    Batch mode gives the exact gaps-and-islands semantics the DuckDB
+    oracle replicates; streaming mode is the same call with state bounded
+    by the watermark.
+    """
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        ev.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def route_events_to_nodes(
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_nodes: int = DEFAULT_NODES,
+    trigger_available_now: bool = True,
+):
+    """Stream sink: route each event to its owning shard directory.
+
+    Key = ``{user:<id>}`` (hash-tagged, so a user's events co-locate);
+    node via the native cluster_node expression (no Python worker in the
+    stream).  foreachBatch writes partitionBy(node_id) parquet — each
+    micro-batch appends per-shard files a downstream loader can ship.
+    """
+    keyed = events.withColumn(
+        "node_id",
+        cluster_node_col(
+            F.concat(F.lit("{user:"), F.col("user_id").cast("string"), F.lit("}")),
+            n_nodes,
+        ),
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").partitionBy("node_id").parquet(out_dir)
+
+    writer = (
+        keyed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

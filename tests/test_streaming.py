@@ -1,0 +1,131 @@
+"""Structured Streaming behavior: staged-file replay, watermark-closed
+windows equal the batch computation, per-shard routed sink layout."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_cluster_hash_spark.sources import load_table
+from duckdb_cluster_hash_spark.streaming import (
+    hourly_event_counts,
+    read_events_stream,
+    route_events_to_nodes,
+    sessionize,
+    stage_events_as_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def staged(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    stage_events_as_stream(spark, SF, out, n_chunks=4)
+    return out
+
+
+def test_staging_preserves_events(spark, staged):
+    batch = load_table(spark, SF, "events")
+    restaged = spark.read.option("recursiveFileLookup", "true").parquet(staged)
+    assert restaged.count() == batch.count()
+    assert restaged.select(F.sum("event_id")).head()[0] == \
+        batch.select(F.sum("event_id")).head()[0]
+
+
+def _run_to_memory(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_hourly_stream_matches_batch_for_closed_windows(spark, staged):
+    stream = read_events_stream(spark, staged)
+    got = _run_to_memory(
+        spark, hourly_event_counts(stream, watermark="10 minutes"), "hourly_sink"
+    ).collect()
+    batch = {
+        (r["window_start_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hourly_event_counts(load_table(spark, SF, "events")).collect()
+    }
+    assert len(got) > 0
+    # append mode emits only watermark-finalized windows; each must equal batch
+    for r in got:
+        key = (r["window_start_epoch"], r["event_type"])
+        assert batch[key] == (r["n_events"], r["total_value"]), key
+    # windows closed well before the final watermark must all have been emitted
+    ev = load_table(spark, SF, "events")
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    import datetime
+    wm_epoch = (max_ts - datetime.timedelta(minutes=10)).timestamp()
+    emitted = {(r["window_start_epoch"], r["event_type"]) for r in got}
+    closed = {
+        k for k in batch
+        # one micro-batch of watermark lag: require end <= wm of the
+        # second-to-last batch, approximated by an extra hour of slack
+        if k[0] + 3600 <= wm_epoch - 3600
+    }
+    assert closed <= emitted
+
+
+def test_sessionize_stream_subset_of_batch(spark, staged):
+    stream = read_events_stream(spark, staged)
+    got = _run_to_memory(
+        spark, sessionize(stream, gap="30 minutes"), "session_sink"
+    ).collect()
+    batch = {
+        (r["user_id"], r["session_start_epoch"]): (r["n_events"], r["total_value"])
+        for r in sessionize(load_table(spark, SF, "events")).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        key = (r["user_id"], r["session_start_epoch"])
+        assert batch[key] == (r["n_events"], r["total_value"]), key
+
+
+def test_route_events_to_nodes_layout(spark, staged, tmp_path):
+    out = str(tmp_path / "routed")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, staged)
+    q = route_events_to_nodes(stream, out, ckpt, n_nodes=6)
+    q.awaitTermination(120)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("node_id="))
+    assert dirs, "no per-node directories written"
+    routed = spark.read.parquet(out)
+    batch = load_table(spark, SF, "events")
+    assert routed.count() == batch.count()
+    # per-node counts must match the batch-mode routing query
+    from duckdb_cluster_hash_spark.functions.clusterhash import cluster_node_col
+
+    expected = {
+        r["node_id"]: r["cnt"]
+        for r in batch.select(
+            cluster_node_col(
+                F.concat(F.lit("{user:"), F.col("user_id").cast("string"), F.lit("}"))
+            ).alias("node_id")
+        )
+        .groupBy("node_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    got = {
+        r["node_id"]: r["cnt"]
+        for r in routed.groupBy("node_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == expected
+    # hash-tag co-location: every user's events land on exactly one node
+    multi = (
+        routed.groupBy("user_id")
+        .agg(F.countDistinct("node_id").alias("n"))
+        .where("n > 1")
+        .count()
+    )
+    assert multi == 0
