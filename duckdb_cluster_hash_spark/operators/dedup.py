@@ -83,14 +83,22 @@ def dedup_representatives(
 def word_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-grams of a space-separated text column.
 
-    Built from ``split`` + ``transform`` over index sequences — stays in
-    whole-stage codegen, no Python.
+    Zip-of-shifted-slices construction: ``split`` is evaluated O(n) times
+    per ROW (the naive ``transform(sequence, i -> element_at(split(..)))``
+    re-splits the text per ELEMENT because HOF lambdas re-evaluate
+    captured expressions — O(words²) per doc, pathological for real
+    documents).  Pure Column expressions, no Python.
     """
     ws = F.split(text, " ")
-    gram = lambda i: F.concat_ws(
-        " ", *[F.element_at(ws, i + F.lit(j)) for j in range(n)]
+    parts = [
+        F.slice(F.split(text, " "), j + 1, F.size(F.split(text, " "))).alias(f"w{j}")
+        for j in range(n)
+    ]
+    grams_all = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
     )
-    grams = F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), gram)
+    grams = F.slice(grams_all, 1, F.greatest(F.size(ws) - (n - 1), F.lit(1)))
     # guard: shorter than n words -> single gram of the whole text
     return F.array_distinct(
         F.when(F.size(ws) >= n, grams).otherwise(F.array(text))
@@ -98,9 +106,17 @@ def word_ngrams(text: Column, n: int) -> Column:
 
 
 def shingle_table(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, spread: bool = True
 ) -> DataFrame:
-    """Exploded (id, shingle) pairs — the inverted-index input."""
+    """Exploded (id, shingle) pairs — the inverted-index input.
+
+    ``spread`` repartitions the input by id first: a corpus that arrives
+    in few files (or few kafka partitions) would otherwise explode and
+    hash on a handful of tasks; the tiny pre-shuffle of (id, text) buys
+    full-cluster parallelism for the expensive downstream stages.
+    """
+    if spread:
+        df = df.repartition(F.col(id_col))
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(word_ngrams(F.col(text_col), n)).alias("shingle"),
@@ -173,16 +189,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per doc, one aggregation pass.
 
-    minhash_i = min over shingles of h60('i:' || shingle): k min-aggregates
-    over the exploded shingle table — a single shuffle keyed by doc id.
+    Kirsch-Mitzenmacher double hashing: ONE md5 per shingle yields
+    h1 (60 bits) and h2 (58 bits), and permutation i uses
+    g_i = h1 + i*h2 (exact int64: max < 2^60 + k*2^58).  k min-aggregates
+    over the exploded shingle table — a single shuffle keyed by doc id,
+    and 1/k-th the hashing cost of independent per-permutation digests.
     Returns (doc_id, mh0..mh{k-1}).
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n).select(
+        "doc_id", F.md5("shingle").alias("m")
+    )
+    h1 = F.conv(F.substring("m", 1, 15), 16, 10).cast("bigint")
+    # 58 bits so h1 + (k-1)*h2 stays far below 2^63 for k <= 16
+    h2 = F.conv(F.substring("m", 17, 15), 16, 10).cast("bigint") % F.lit(1 << 58)
+    hashed = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(_h60(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(F.col("h1") + F.lit(i) * F.col("h2")).alias(f"mh{i}")
         for i in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -48,10 +48,12 @@ def _h60_sql(expr: str) -> str:
 def minhash_neardup_pairs_sql(
     n: int = 3, k: int = 16, bands: int = 8, rows: int = 2, threshold: float = 0.2
 ) -> str:
-    """MinHash signatures -> LSH band collisions -> exact-Jaccard verify."""
-    mh_aggs = ", ".join(
-        "min(" + _h60_sql(f"'{i}:' || shingle") + f") AS mh{i}" for i in range(k)
-    )
+    """MinHash signatures -> LSH band collisions -> exact-Jaccard verify.
+
+    Mirrors the Spark operator's Kirsch-Mitzenmacher double hashing:
+    one md5 per shingle, g_i = h1 + i*h2 with h2 truncated to 58 bits.
+    """
+    mh_aggs = ", ".join(f"min(h1 + {i} * h2) AS mh{i}" for i in range(k))
     band_list = ", ".join(
         f"md5('{j}|' || "
         + " || ',' || ".join(f"mh{j * rows + r}::VARCHAR" for r in range(rows))
@@ -61,7 +63,11 @@ def minhash_neardup_pairs_sql(
     return (
         f"WITH {shingles_cte(n)}, "
         "sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled), "
-        f"mh AS (SELECT doc_id, {mh_aggs} FROM sh GROUP BY doc_id), "
+        "hashed AS (SELECT doc_id, "
+        "('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1, "
+        f"('0x' || substr(md5(shingle), 17, 15))::BIGINT % {1 << 58} AS h2 "
+        "FROM sh), "
+        f"mh AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id), "
         f"bands AS (SELECT doc_id, unnest([{band_list}]) AS band_hash FROM mh), "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from duckdb_cluster_hash_spark.functions.clusterhash import (
     cluster_node_col,
     cluster_slot_col,
+    node_of_slot_col,
     node_udf_col,
     slot_udf_col,
 )
@@ -104,11 +105,12 @@ def _values_clause(keys: list[str]) -> str:
 def cluster_scalar_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden key corpus through the native Column implementation (Tier A)."""
     df = spark.createDataFrame([(k,) for k in _GOLDEN_KEYS], "key string")
-    return df.select(
+    slotted = df.select("key", cluster_slot_col("key").alias("slot"))
+    return slotted.select(
         "key",
-        cluster_slot_col("key").alias("slot"),
-        cluster_node_col("key").alias("node6"),
-        cluster_node_col("key", 3).alias("node3"),
+        "slot",
+        node_of_slot_col(F.col("slot"), 6).alias("node6"),
+        node_of_slot_col(F.col("slot"), 3).alias("node3"),
     )
 
 
@@ -140,7 +142,7 @@ def cluster_node_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cluster_user_keys_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generated corpus (README.md:108-120): generate_series -> || -> agg."""
-    keys = spark.range(1, 1001).select(
+    keys = spark.range(1, 1001, 1, numPartitions=4).select(
         F.concat(F.lit("user:"), F.col("id").cast("string")).alias("key")
     )
     return (
@@ -707,7 +709,7 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprint per document (C6)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", _tx.rolling_hash_col(F.col("text")).alias("fingerprint")
+        "doc_id", _tx.rolling_hash_pudf()(F.col("text")).alias("fingerprint")
     )
 
 
