@@ -816,3 +816,153 @@ def events_node_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier B breadth — pattern predicates, set ops, subqueries, sketches (B13, C8)
+# ---------------------------------------------------------------------------
+
+@query(
+    "docs_ilike_filter",
+    oracle=(
+        "SELECT source, count(*) AS n_docs FROM documents "
+        "WHERE source ILIKE 'SRC1%' AND text ILIKE '%the%' "
+        "GROUP BY source ORDER BY source"
+    ),
+)
+def docs_ilike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILIKE pattern predicate (B13, quack.test:21-23 shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("source").ilike("SRC1%") & F.col("text").ilike("%the%"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "orders_without_lineitems",
+    oracle=(
+        "SELECT o_orderstatus, count(*) AS n_orders FROM orders "
+        "WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem) "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+)
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT IN subquery shape) - orders with no line items."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "active_multiline_customers",
+    oracle=(
+        "SELECT count(*) AS n_customers FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_totalprice > 100000)"
+    ),
+)
+def active_multiline_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (correlated EXISTS shape)."""
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 100000)
+        .select("o_custkey")
+    )
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "brand_type_setops",
+    oracle=(
+        "SELECT p_brand, count(*) AS n_parts FROM part "
+        "WHERE p_partkey IN ("
+        "  SELECT p_partkey FROM part WHERE p_size > 20 "
+        "  INTERSECT SELECT p_partkey FROM part WHERE p_retailprice > 1200 "
+        "  UNION SELECT p_partkey FROM part WHERE p_size < 3) "
+        "GROUP BY p_brand ORDER BY p_brand"
+    ),
+)
+def brand_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: INTERSECT + UNION over key sets."""
+    part = _t(spark, sf_dir, "part")
+    big = part.where(F.col("p_size") > 20).select("p_partkey")
+    pricey = part.where(F.col("p_retailprice") > 1200).select("p_partkey")
+    tiny = part.where(F.col("p_size") < 3).select("p_partkey")
+    keys = big.intersect(pricey).union(tiny).distinct()
+    return (
+        part.join(keys, "p_partkey")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "events_user_profile",
+    oracle=(
+        "SELECT event_type, count(*) AS n_events, "
+        "count(DISTINCT user_id) AS exact_users, "
+        "CAST(min(user_id) AS BIGINT) AS min_user, "
+        "CAST(max(user_id) AS BIGINT) AS max_user "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-space profile (C8): exact distinct for the oracle check; the
+    approx sketch path (approx_count_distinct) is asserted within
+    relative error in tests/test_plans.py (sketches are engine-specific,
+    so they cannot hash-match a DuckDB oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "lineitem_quantity_quartiles",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(quantile_disc(l_quantity, 0.25) AS DOUBLE) AS q1, "
+        "CAST(quantile_disc(l_quantity, 0.50) AS DOUBLE) AS q2, "
+        "CAST(quantile_disc(l_quantity, 0.75) AS DOUBLE) AS q3 "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+)
+def lineitem_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete quantiles (C8): percentile with discrete interpolation
+    matches DuckDB's quantile_disc on exact values."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_approx(l_quantity, 0.25, 2147483647)")
+            .cast("double")
+            .alias("q1"),
+            F.expr("percentile_approx(l_quantity, 0.50, 2147483647)")
+            .cast("double")
+            .alias("q2"),
+            F.expr("percentile_approx(l_quantity, 0.75, 2147483647)")
+            .cast("double")
+            .alias("q3"),
+        )
+        .orderBy("l_returnflag")
+    )
