@@ -9,6 +9,21 @@ from duckdb_cluster_hash_spark.operators.dedup import (  # noqa: F401
     minhash_neardup_pairs,
     simhash64,
     simhash_neardup_pairs,
+    word_ngrams_seq,
+    winnow_fingerprints,
+)
+from duckdb_cluster_hash_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_fast,
+    ann_lsh_topk,
+    ivf_topk,
+    embedding_neardup_pairs,
+)
+from duckdb_cluster_hash_spark.operators.skew import (  # noqa: F401
+    with_salt,
+    salted_count,
+    salted_agg,
+    replicate_for_salted_join,
 )
 from duckdb_cluster_hash_spark.operators.distribution import (  # noqa: F401
     analyze_distribution,

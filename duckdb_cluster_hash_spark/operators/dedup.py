@@ -360,3 +360,63 @@ def simhash_neardup_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (C6/C4: local document fingerprinting)
+# ---------------------------------------------------------------------------
+
+def word_ngrams_seq(text: Column, n: int) -> Column:
+    """SEQUENTIAL word n-grams (order-preserving, duplicates kept) — the
+    winnowing input; :func:`word_ngrams` dedups and so cannot be used."""
+    ws = F.split(text, " ")
+    parts = [
+        F.slice(F.split(text, " "), j + 1, F.size(F.split(text, " "))).alias(f"w{j}")
+        for j in range(n)
+    ]
+    grams_all = F.transform(
+        F.arrays_zip(*parts),
+        lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
+    )
+    grams = F.slice(grams_all, 1, F.greatest(F.size(ws) - (n - 1), F.lit(1)))
+    return F.when(F.size(ws) >= n, grams).otherwise(F.array(text))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken shape): the distinct minima of
+    each ``window`` consecutive n-gram hashes.
+
+    Guarantees every match of length >= window+n-1 grams shares a
+    fingerprint, with a fingerprint density of ~2/(window+1) — the local
+    fingerprinting scheme plagiarism/near-dup detectors build on.  Plan:
+    posexplode ordered grams -> h60 -> sliding min via a row-frame window
+    partitioned by doc (one shuffle), drop tail frames, distinct.
+    Returns (doc_id, fp).
+    """
+    from pyspark.sql.window import Window as W
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams_seq(F.col(text_col), n)).alias("pos", "gram"),
+    )
+    hashed = grams.select("doc_id", "pos", _h60(F.col("gram")).alias("h"))
+    frame = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    )
+    total = W.partitionBy("doc_id")
+    with_min = hashed.select(
+        "doc_id",
+        "pos",
+        F.min("h").over(frame).alias("wmin"),
+        F.count("*").over(total).alias("n_grams"),
+    )
+    kept = with_min.where(
+        F.col("pos") <= F.greatest(F.col("n_grams") - window, F.lit(0))
+    )
+    return kept.select("doc_id", F.col("wmin").alias("fp")).distinct()

@@ -188,3 +188,38 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b", (F.round(cos * 1000000) / 1000000).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer + nprobe cell search.
+
+    Index phase (once per corpus): MLlib KMeans partitions vectors into
+    ``n_clusters`` cells; each row is tagged with its cell id.  Query
+    phase: rank centroids by distance to the query, scan only the
+    ``nprobe`` nearest cells, exact-re-rank with cosine.  At 100 TB the
+    cell tag becomes a parquet partition column and the probe is pure
+    partition pruning — the scan reads nprobe/n_clusters of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_v", predictionCol="_cell").fit(
+        vecs
+    )
+    tagged = model.transform(vecs)
+    centers = [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = [float(np.linalg.norm(c - q)) for c in centers]
+    probe_cells = sorted(range(len(dists)), key=lambda i: dists[i])[:nprobe]
+    cand = tagged.where(F.col("_cell").isin(probe_cells)).drop("_v", "_cell")
+    return cosine_topk_fast(cand, query_vec, k, vec_col, id_col)

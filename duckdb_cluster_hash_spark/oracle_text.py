@@ -278,3 +278,22 @@ def rolling_hash_sql(table: str = "documents", base: int = 31, mod: int = 214748
         f"(acc, b) -> (acc * {base} + b) % {mod}) AS fingerprint "
         f"FROM {table}"
     )
+
+
+def winnow_fingerprints_sql(
+    n: int = 3, window: int = 4, table: str = "documents"
+) -> str:
+    """Oracle for operators.dedup.winnow_fingerprints (same grams, same
+    h60 hashes, same w-window minima with tail frames dropped)."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(n))
+    return (
+        f"WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM {table}), "
+        f"grams AS (SELECT doc_id, CASE WHEN len(ws) >= {n} THEN "
+        f"[{gram} FOR i IN range(1, len(ws) - {n - 2})] ELSE [text] END AS gs FROM words), "
+        "hs AS (SELECT doc_id, "
+        "[('0x' || substr(md5(g), 1, 15))::BIGINT FOR g IN gs] AS h FROM grams), "
+        "mins AS (SELECT doc_id, "
+        f"[list_aggregate(h[j : j + {window - 1}], 'min') "
+        f"FOR j IN range(1, greatest(len(h) - {window - 1}, 1) + 1)] AS m FROM hs) "
+        "SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins"
+    )

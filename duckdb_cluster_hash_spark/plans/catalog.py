@@ -966,3 +966,12 @@ def lineitem_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query("docs_winnow_fingerprints", oracle=_ot.winnow_fingerprints_sql(3, 4))
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (C6): distinct sliding-window minima of
+    3-gram hashes, window 4 — the local fingerprinting scheme."""
+    return _dd.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, window=4
+    )

@@ -90,3 +90,31 @@ def test_simhash_banding_subset(docs):
     assert bandset <= fullset
     # hamming<=2 pairs differ in <=2 bits; a 4-bit band keeps most of them
     assert len(bandset) >= len(fullset) * 0.5
+
+
+def test_winnow_shared_fingerprints_for_near_dups(docs):
+    """Near-duplicate docs (the 25 planted pairs) share winnow fingerprints."""
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.5).collect()
+    fp = dd.winnow_fingerprints(docs, "doc_id", "text", 3, 4)
+    by_doc = {
+        r["doc_id"]: set(r["fps"])
+        for r in fp.groupBy("doc_id").agg(F.collect_set("fp").alias("fps")).collect()
+    }
+    for p in pairs:
+        a, b = by_doc[p["doc_a"]], by_doc[p["doc_b"]]
+        overlap = len(a & b) / min(len(a), len(b))
+        assert overlap > 0.5, (p["doc_a"], p["doc_b"], overlap)
+
+
+def test_winnow_density(docs):
+    """Winnowing emits ~2/(w+1) of positions; sanity-check the ballpark."""
+    fp = dd.winnow_fingerprints(docs, "doc_id", "text", 3, 4)
+    n_fp = fp.count()
+    n_grams = dd.shingle_table(docs, "doc_id", "text", 3).count()
+    assert 0.1 < n_fp / n_grams < 0.6
+
+
+def test_winnow_short_doc(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    rows = dd.winnow_fingerprints(df, "doc_id", "text", 3, 4).collect()
+    assert len(rows) == 1  # single partial window over the whole-text gram

@@ -57,3 +57,19 @@ def test_neardup_pairs_threshold(emb):
     rows = pairs.collect()
     assert all(r["cos_sim"] >= 0.45 for r in rows)
     assert all(r["vec_a"] < r["vec_b"] for r in rows)
+
+
+def test_ivf_topk_recall(emb, qvec):
+    exact = {r["vec_id"] for r in sim.cosine_topk_fast(emb, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in sim.ivf_topk(emb, qvec, k=10, n_clusters=8, nprobe=4).collect()
+    }
+    # probing half the cells of a weakly-clustered corpus: most of top-10
+    assert len(exact & approx) >= 5
+    assert 7 in approx  # the query vector's own cell is always probed
+
+
+def test_ivf_prunes_scan(emb, qvec):
+    all_probed = sim.ivf_topk(emb, qvec, k=1000, n_clusters=8, nprobe=2)
+    assert all_probed.count() < emb.count()
