@@ -239,6 +239,7 @@ def register_all(spark: SparkSession, n_nodes: int = DEFAULT_NODES) -> None:
     """
     spark.udf.register("cluster_slot", cluster_slot_pudf())
     spark.udf.register("cluster_node", cluster_node_pudf(n_nodes))
+    spark.udtf.register("shard_ranges", shard_ranges_udtf())
 
     @F.pandas_udf(IntegerType())
     def _node_n(keys: pd.Series, n: pd.Series) -> pd.Series:
@@ -256,3 +257,34 @@ def register_all(spark: SparkSession, n_nodes: int = DEFAULT_NODES) -> None:
         return out
 
     spark.udf.register("cluster_node_n", _node_n)
+
+
+# ---------------------------------------------------------------------------
+# Table function: shard -> slot-range map (SQL UDTF surface)
+# ---------------------------------------------------------------------------
+
+def shard_ranges_udtf():
+    """Python UDTF emitting each shard's inclusive slot range for n nodes.
+
+    ``SELECT * FROM shard_ranges(6)`` reproduces the reference's hardcoded
+    range table (cpp:71-84) and generalizes to any n via node_of_slot —
+    derived by scanning the slot space, so it is correct by construction
+    against the closed form.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="node_id int, slot_lo int, slot_hi int")
+    class ShardRanges:
+        def eval(self, n_nodes: int):
+            from duckdb_cluster_hash_spark.core import TOTAL_SLOTS, node_of_slot
+
+            lo = 0
+            current = node_of_slot(0, n_nodes)
+            for slot in range(1, TOTAL_SLOTS):
+                node = node_of_slot(slot, n_nodes)
+                if node != current:
+                    yield (current, lo, slot - 1)
+                    lo, current = slot, node
+            yield (current, lo, TOTAL_SLOTS - 1)
+
+    return ShardRanges

@@ -975,3 +975,181 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.winnow_fingerprints(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, window=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Tier B breadth 2 — running windows, rollup, pivot, vector aggregation
+# ---------------------------------------------------------------------------
+
+@query(
+    "customer_running_spend",
+    oracle=(
+        "WITH o AS (SELECT o_custkey, o_orderkey, "
+        "CAST(o_orderdate AS DATE) AS od, "
+        "CAST(o_totalprice AS DECIMAL(18,4)) AS p FROM orders) "
+        "SELECT o_custkey, o_orderkey, od AS order_date, "
+        "CAST(round(sum(p) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey "
+        "ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_spend, "
+        "row_number() OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS order_seq "
+        "FROM o"
+    ),
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-total window frame (ROWS UNBOUNDED PRECEDING) + row_number."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("p"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("order_date", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "order_date",
+        F.round(F.sum("p").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "events_lag_deltas",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_id, ts, "
+        "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+        "FROM events) "
+        "SELECT user_id, event_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev)) AS BIGINT) "
+        "AS secs_since_prev FROM o WHERE prev IS NOT NULL"
+    ),
+)
+def events_lag_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() window: inter-event arrival gaps per user."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("secs_since_prev"),
+    )
+    return out.where(F.col("secs_since_prev").isNotNull())
+
+
+@query(
+    "orders_rollup_year_priority",
+    oracle=(
+        "SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority, "
+        "count(*) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price "
+        "FROM orders GROUP BY ROLLUP (order_year, o_orderpriority) "
+        "ORDER BY order_year NULLS FIRST, o_orderpriority NULLS FIRST"
+    ),
+)
+def orders_rollup_year_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (subtotals + grand total), NULL-keyed."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "events_daily_pivot",
+    oracle=(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, "
+        + ", ".join(
+            f"count(*) FILTER (event_type = '{t}') AS {t}" for t in _EVENT_TYPES
+        )
+        + " FROM events GROUP BY day ORDER BY day"
+    ),
+)
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: day x event-type count matrix (explicit value list so the
+    plan is a single pass, no distinct-values pre-query)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("day")
+    )
+
+
+@query(
+    "emb_label_centroids",
+    oracle=(
+        "WITH e AS (SELECT label, unnest(embedding) AS v, "
+        "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+        "SELECT label, pos, "
+        "CAST(sum(CAST(round(v::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS dim_sum_micro, "
+        "count(*) AS n_vecs "
+        "FROM e GROUP BY label, pos ORDER BY label, pos"
+    ),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector aggregation: per-label per-dimension sums via posexplode.
+
+    Values quantize to integer micros BEFORE summing: float->decimal
+    casts diverge across engines (Spark goes through the float's
+    shortest decimal repr, DuckDB through its full binary expansion),
+    but float->double->round-to-int is bit-identical, and integer sums
+    are order-independent.  centroid = dim_sum_micro / (1e6 * n_vecs).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    micro = F.round(F.col("v").cast("double") * 1000000).cast("bigint")
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.sum(micro).alias("dim_sum_micro"),
+            F.count("*").alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+@query(
+    "cluster_shard_ranges",
+    oracle=(
+        "WITH slots AS (SELECT i AS slot FROM generate_series(0, 16383) t(i)), "
+        "mapped AS (SELECT slot, "
+        "((6 * (2 * slot + 1) + 32767) // 32768)::INTEGER AS node_id FROM slots) "
+        "SELECT node_id, min(slot)::INTEGER AS slot_lo, max(slot)::INTEGER AS slot_hi "
+        "FROM mapped GROUP BY node_id ORDER BY node_id"
+    ),
+)
+def cluster_shard_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function surface: shard -> slot range map via Python UDTF,
+    equal to the reference's hardcoded table (cpp:71-84) at n=6."""
+    from duckdb_cluster_hash_spark.functions.clusterhash import shard_ranges_udtf
+
+    spark.udtf.register("shard_ranges", shard_ranges_udtf())
+    return spark.sql(
+        "SELECT node_id, slot_lo, slot_hi FROM shard_ranges(6) ORDER BY node_id"
+    )

@@ -107,3 +107,46 @@ def test_udf_slot_is_arrow_vectorized(spark, sf_small):
     plan = plan_of(df)
     assert "ArrowEvalPython" in plan  # vectorized, not row-at-a-time
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_small, tmp_path):
+    """Pre-bucketed tables join with NO Exchange — the co-located join
+    layout a 100 TB fact-fact join depends on."""
+    from duckdb_cluster_hash_spark.sources import load_table
+
+    orders = load_table(spark, sf_small, "orders")
+    cust = load_table(spark, sf_small, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    cust.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_cust")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_cust"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # bucketing removed both shuffles
+        assert j.count() == 1500
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_shard_ranges_udtf_matches_reference_table(spark):
+    from duckdb_cluster_hash_spark import register_all
+    from duckdb_cluster_hash_spark.core import REFERENCE_NODE_RANGES_6
+
+    register_all(spark)
+    rows = spark.sql(
+        "SELECT * FROM shard_ranges(6) ORDER BY node_id"
+    ).collect()
+    got = [(r["node_id"], r["slot_lo"], r["slot_hi"]) for r in rows]
+    assert got == list(REFERENCE_NODE_RANGES_6)
+    # canonical Redis 3-master ranges
+    rows3 = spark.sql("SELECT * FROM shard_ranges(3) ORDER BY node_id").collect()
+    assert [(r["slot_lo"], r["slot_hi"]) for r in rows3] == [
+        (0, 5460), (5461, 10922), (10923, 16383)
+    ]
