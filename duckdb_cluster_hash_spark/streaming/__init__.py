@@ -6,4 +6,5 @@ from duckdb_cluster_hash_spark.streaming.events import (  # noqa: F401
     sliding_window_rates,
     sessionize,
     route_events_to_nodes,
+    running_user_totals,
 )

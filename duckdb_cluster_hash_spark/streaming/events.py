@@ -39,6 +39,7 @@ __all__ = [
     "sliding_window_rates",
     "sessionize",
     "route_events_to_nodes",
+    "running_user_totals",
 ]
 
 
@@ -178,3 +179,62 @@ def route_events_to_nodes(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def running_user_totals(events: DataFrame, timeout_minutes: int = 60):
+    """Custom stateful operator: per-user running totals with idle timeout.
+
+    ``applyInPandasWithState``: state = (n_events, total_value_micro,
+    last_ts_epoch) per user_id, updated per micro-batch from Arrow
+    batches; a user idle past the timeout emits a final summary row and
+    drops its state (bounding state size — the 100 TB requirement for
+    any unbounded stream).  Emits one row per user per batch:
+    (user_id, n_events, total_value, last_seen_epoch, closed).
+
+    Batch-mode equivalent (for oracles/tests): groupBy(user_id).agg(...)
+    — the streaming operator's final state must converge to it.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_value_micro bigint, "
+        "last_seen_epoch bigint, closed boolean"
+    )
+    state_schema = "n bigint, total_micro bigint, last_epoch bigint"
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [[user_id, n, total, last, True]],
+                columns=["user_id", "n_events", "total_value_micro",
+                         "last_seen_epoch", "closed"],
+            )
+            return
+        n, total, last = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # exact integer micros (cross-engine-safe quantization)
+            total += int(round(float(pdf["value"].sum()) * 1e6))
+            last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
+        state.update((n, total, last))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [[user_id, n, total, last, False]],
+            columns=["user_id", "n_events", "total_value_micro",
+                     "last_seen_epoch", "closed"],
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

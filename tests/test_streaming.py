@@ -129,3 +129,36 @@ def test_route_events_to_nodes_layout(spark, staged, tmp_path):
         .count()
     )
     assert multi == 0
+
+
+def test_running_user_totals_stateful(spark, staged):
+    """applyInPandasWithState converges to the batch aggregate."""
+    from duckdb_cluster_hash_spark.streaming.events import running_user_totals
+
+    stream = read_events_stream(spark, staged)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("state_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("state_sink")
+    # last emission per user (updates accumulate in the memory sink)
+    latest = {
+        r["user_id"]: (r["n_events"], r["total_value_micro"])
+        for r in got.orderBy("user_id", "n_events").collect()
+    }
+    batch = load_table(spark, SF, "events")
+    expected = {}
+    for r in (
+        batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.collect_list("value").alias("vals"))
+        .collect()
+    ):
+        expected[r["user_id"]] = r["n"]
+    assert len(latest) == len(expected)
+    for uid, (n, _total) in latest.items():
+        assert n == expected[uid], uid
