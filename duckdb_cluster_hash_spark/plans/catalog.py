@@ -1153,3 +1153,77 @@ def cluster_shard_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT node_id, slot_lo, slot_hi FROM shard_ranges(6) ORDER BY node_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom joins — as-of and range (operators/joins.py)
+# ---------------------------------------------------------------------------
+
+from duckdb_cluster_hash_spark.operators import joins as _joins
+
+
+@query(
+    "events_asof_purchase_view",
+    oracle=(
+        "WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events "
+        "WHERE event_type = 'purchase'), "
+        "v AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events "
+        "WHERE event_type = 'view') "
+        "SELECT p.event_id, p.user_id, "
+        "v.event_id AS asof_event_id, v.us AS asof_ts_us, "
+        "p.us - v.us AS us_since_view "
+        "FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.us >= v.us"
+    ),
+)
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest prior 'view' event of the
+    same user (DuckDB ASOF JOIN semantics; union + running-last window
+    plan, no pair materialization)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = _joins.asof_join(
+        purchases, views, by="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        F.col("asof_ts_us"),
+        (F.unix_micros("ts") - F.col("asof_ts_us")).alias("us_since_view"),
+    )
+
+
+@query(
+    "events_range_join_error_followers",
+    oracle=(
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events) "
+        "SELECT a.user_id, a.event_id AS l_event_id, b.event_id AS r_event_id, "
+        "b.event_type AS r_event_type, b.us - a.us AS delta_us "
+        "FROM e a JOIN e b ON a.user_id = b.user_id "
+        "AND b.us - a.us >= 1 AND b.us - a.us <= 600000000 "
+        "WHERE a.event_type = 'error'"
+    ),
+)
+def events_range_join_error_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events of the same user in the 10 minutes after each
+    error (equality key + interval residual - sort-merge, no cross join)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error")
+    joined = _joins.range_join(
+        errors, ev, by="user_id", left_ts="ts", right_ts="ts",
+        lower_us=1, upper_us=600_000_000,
+        left_cols=["event_id"], right_cols=["event_id", "event_type"],
+    )
+    return joined.select(
+        "user_id",
+        "l_event_id",
+        "r_event_id",
+        "r_event_type",
+        "delta_us",
+    )
