@@ -94,6 +94,8 @@ def node_of_slot(slot: int, n_nodes: int = DEFAULT_NODES) -> int:
     [round((i-1)*16384/n), round(i*16384/n) - 1], i.e.
     node = ceil(n*(2*slot+1)/32768), integer-only.
     """
+    if n_nodes < 1:
+        raise ValueError(f"n_nodes must be >= 1, got {n_nodes}")
     return (n_nodes * (2 * slot + 1) + 2 * TOTAL_SLOTS - 1) // (2 * TOTAL_SLOTS)
 
 

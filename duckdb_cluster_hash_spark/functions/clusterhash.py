@@ -213,6 +213,8 @@ def cluster_slot_col(key) -> Column:
 
 def node_of_slot_col(slot, n_nodes=DEFAULT_NODES) -> Column:
     """slot -> shard, closed form of the reference ranges (cpp:71-84)."""
+    if isinstance(n_nodes, int) and n_nodes < 1:
+        raise ValueError(f"n_nodes must be >= 1, got {n_nodes}")
     slot = _as_col(slot) if not isinstance(slot, Column) else slot
     n = n_nodes if isinstance(n_nodes, Column) else F.lit(int(n_nodes))
     numer = n * (F.lit(2) * slot + F.lit(1)) + F.lit(2 * TOTAL_SLOTS - 1)
@@ -244,7 +246,8 @@ def register_all(spark: SparkSession, n_nodes: int = DEFAULT_NODES) -> None:
     @F.pandas_udf(IntegerType())
     def _node_n(keys: pd.Series, n: pd.Series) -> pd.Series:
         slots = slot_batch(keys)
-        valid = slots.notna() & n.notna()
+        # invalid shard counts (n < 1) yield NULL, not a bogus shard 0
+        valid = slots.notna() & n.notna() & (n >= 1)
         out = pd.Series(
             np.zeros(len(slots), dtype=np.int32), index=slots.index, dtype="Int32"
         )

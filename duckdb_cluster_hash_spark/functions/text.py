@@ -123,7 +123,6 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """
     text = F.col(text_col)
     n_chars = F.length(text)
-    toks = F.split(text, " ")
     n_tokens = F.size(F.regexp_extract_all(text, F.lit("[^ ]+"), 0))
     n_punct = F.length(text) - F.length(
         F.regexp_replace(text, r"[^\p{L}\p{N} ]", "")

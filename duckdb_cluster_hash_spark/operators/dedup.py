@@ -89,20 +89,7 @@ def word_ngrams(text: Column, n: int) -> Column:
     captured expressions — O(words²) per doc, pathological for real
     documents).  Pure Column expressions, no Python.
     """
-    ws = F.split(text, " ")
-    parts = [
-        F.slice(F.split(text, " "), j + 1, F.size(F.split(text, " "))).alias(f"w{j}")
-        for j in range(n)
-    ]
-    grams_all = F.transform(
-        F.arrays_zip(*parts),
-        lambda s: F.concat_ws(" ", *[s[f"w{j}"] for j in range(n)]),
-    )
-    grams = F.slice(grams_all, 1, F.greatest(F.size(ws) - (n - 1), F.lit(1)))
-    # guard: shorter than n words -> single gram of the whole text
-    return F.array_distinct(
-        F.when(F.size(ws) >= n, grams).otherwise(F.array(text))
-    )
+    return F.array_distinct(word_ngrams_seq(text, n))
 
 
 def shingle_table(
@@ -143,8 +130,12 @@ def ngram_jaccard_pairs(
     pairs are exactly those sharing >= 1 shingle.  ``max_df`` drops
     shingles present in more than that many docs (stop-shingle skew guard
     for web-scale corpora; keep None for oracle-exact semantics).
-    Returns (doc_a, doc_b, jacc) with doc_a < doc_b.
+    Returns (doc_a, doc_b, jacc) with doc_a < doc_b.  ``threshold``
+    must be > 0: the inverted index only surfaces pairs sharing >= 1
+    shingle, so jacc = 0 pairs are structurally unreachable.
     """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (disjoint pairs never materialize)")
     sh = shingle_table(df, id_col, text_col, n)
     if max_df is not None:
         hot = (
@@ -196,6 +187,11 @@ def minhash_signatures(
     and 1/k-th the hashing cost of independent per-permutation digests.
     Returns (doc_id, mh0..mh{k-1}).
     """
+    if not 1 <= k <= 16:
+        raise ValueError(
+            f"k must be in [1, 16]: g_i = h1 + i*h2 with 60-bit h1 and "
+            f"58-bit h2 overflows int64 beyond i=16 (got k={k})"
+        )
     sh = shingle_table(df, id_col, text_col, n).select(
         "doc_id", F.md5("shingle").alias("m")
     )

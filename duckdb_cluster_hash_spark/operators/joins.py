@@ -44,7 +44,12 @@ def asof_join(
     column and ``prefix + 'ts_us'``.
     """
     lt = left.withColumn("_us", F.unix_micros(F.col(left_ts)))
-    rt = right.withColumn("_us", F.unix_micros(F.col(right_ts)))
+    # ASOF semantics: a right row with NULL time can never be "the latest
+    # prior row" — drop it, or last(ignorenulls) would leak its value
+    # columns as a phantom earliest match (NULLs sort first).
+    rt = right.withColumn("_us", F.unix_micros(F.col(right_ts))).where(
+        F.col("_us").isNotNull()
+    )
 
     left_cols = [c for c in left.columns]
     tagged_left = lt.select(

@@ -20,8 +20,6 @@ All take the query vector as a plain Python list (broadcast as a literal
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame

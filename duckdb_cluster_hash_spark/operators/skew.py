@@ -26,11 +26,18 @@ __all__ = ["with_salt", "salted_count", "salted_agg", "replicate_for_salted_join
 def with_salt(df: DataFrame, buckets: int, salt_col: str = "_salt") -> DataFrame:
     """Add a deterministic pseudo-random salt in [0, buckets).
 
-    Derived from a hash of the whole row (monotonically_increasing_id
-    would break determinism across retries); cheap, JVM-side.
+    Row-content hash PLUS monotonically_increasing_id: the content hash
+    alone would send fully-identical duplicate rows (the classic hot-key
+    case salting exists for) to one bucket; the id term spreads them and
+    stays deterministic on task retry (it is a function of partition id
+    and position, both stable for a fixed input layout).
     """
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(buckets)).cast("int")
+        salt_col,
+        F.pmod(
+            F.xxhash64(*df.columns) + F.monotonically_increasing_id(),
+            F.lit(buckets),
+        ).cast("int"),
     )
 
 

@@ -21,7 +21,6 @@ plans ``TakeOrderedAndProject`` instead of a global sort.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,18 +62,12 @@ def _money_sum(col: str):
     return F.round(F.sum(F.col(col).cast("decimal(18,4)")), 2).cast("double")
 
 
-def _round_ratio(x, scale: int):
-    """Cross-engine-safe rounding of a double: scale to integer first.
-
-    Spark's round(x, k) rounds the double's SHORTEST DECIMAL REPR
-    (BigDecimal HALF_UP), DuckDB rounds the raw binary value - they
-    disagree whenever the true value sits at a 10^-k midpoint (e.g.
-    0.70915).  round(x*10^k) at scale 0 is safe: integer midpoints are
-    exactly representable, so both engines see the same side.  Oracles
-    use round(x * 10^k) / 10^k verbatim.
-    """
-    m = 10 ** scale
-    return F.round(x * m) / m
+# Cross-engine rounding rule used throughout (inline as round(x*10^k)/10^k):
+# Spark's round(x, k) rounds the double's SHORTEST DECIMAL REPR (BigDecimal
+# HALF_UP) while DuckDB rounds the raw binary value - they disagree whenever
+# the true value sits at a 10^-k midpoint (e.g. 0.70915).  Scaling to an
+# integer first is safe: integer midpoints are exactly representable, so
+# both engines see the same side.  Oracles use round(x * 10^k) / 10^k too.
 
 
 # ---------------------------------------------------------------------------

@@ -158,8 +158,11 @@ def route_events_to_nodes(
 
     Key = ``{user:<id>}`` (hash-tagged, so a user's events co-locate);
     node via the native cluster_node expression (no Python worker in the
-    stream).  foreachBatch writes partitionBy(node_id) parquet — each
-    micro-batch appends per-shard files a downstream loader can ship.
+    stream).  foreachBatch writes parquet partitioned by (batch_id,
+    node_id) with DYNAMIC partition overwrite: a replayed micro-batch
+    overwrites its own batch_id partitions instead of appending
+    duplicates, making the sink idempotent (exactly-once output on
+    at-least-once execution).
     """
     keyed = events.withColumn(
         "node_id",
@@ -170,7 +173,13 @@ def route_events_to_nodes(
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").partitionBy("node_id").parquet(out_dir)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id", "node_id")
+            .parquet(out_dir)
+        )
 
     writer = (
         keyed.writeStream.foreachBatch(write_batch)
@@ -217,8 +226,10 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60):
         n, total, last = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # exact integer micros (cross-engine-safe quantization)
-            total += int(round(float(pdf["value"].sum()) * 1e6))
+            # per-ROW integer quantization: the total is independent of
+            # how rows split across micro-batches (summing floats first
+            # would make state depend on chunking)
+            total += int(pdf["value"].mul(1e6).round().astype("int64").sum())
             last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
         state.update((n, total, last))
         state.setTimeoutDuration(timeout_minutes * 60 * 1000)

@@ -97,8 +97,16 @@ def test_route_events_to_nodes_layout(spark, staged, tmp_path):
     stream = read_events_stream(spark, staged)
     q = route_events_to_nodes(stream, out, ckpt, n_nodes=6)
     q.awaitTermination(120)
-    dirs = sorted(d for d in os.listdir(out) if d.startswith("node_id="))
-    assert dirs, "no per-node directories written"
+    # idempotent layout: batch_id=N/node_id=K
+    batch_dirs = sorted(d for d in os.listdir(out) if d.startswith("batch_id="))
+    assert batch_dirs, "no batch directories written"
+    node_dirs = {
+        d
+        for b in batch_dirs
+        for d in os.listdir(os.path.join(out, b))
+        if d.startswith("node_id=")
+    }
+    assert node_dirs, "no per-node directories written"
     routed = spark.read.parquet(out)
     batch = load_table(spark, SF, "events")
     assert routed.count() == batch.count()
