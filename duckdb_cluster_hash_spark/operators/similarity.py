@@ -165,22 +165,36 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Exact near-duplicate vector pairs (cosine >= threshold).
 
-    All-pairs with fold-exact arithmetic; the oracle-checkable baseline.
-    At 100 TB swap the self-join's ``True`` condition for an LSH-bucket
+    All-pairs, computed by an Arrow-batched kernel whose per-position
+    accumulation loop reproduces the sequential left-fold bit-for-bit
+    (acc = acc + a_i*b_i in array order — the same IEEE operation
+    sequence as the F.aggregate fold and the oracle's list_reduce), but
+    vectorized ACROSS pairs: ~64 numpy ops per batch instead of 64
+    interpreted lambda evaluations per pair (28s -> ~2s at sf0.1).
+    At 100 TB swap the self-join's ``<`` condition for an LSH-bucket
     equality (see ann_lsh_topk) so only same-bucket pairs materialize.
     """
-    with_norm = emb.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("v"),
-        dot_fold(F.col(vec_col), F.col(vec_col)).alias("nsq"),
+
+    @F.pandas_udf(DoubleType())
+    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.array(va.tolist(), dtype=np.float64)
+        b = np.array(vb.tolist(), dtype=np.float64)
+        acc = np.zeros(len(a))
+        na = np.zeros(len(a))
+        nb = np.zeros(len(a))
+        for i in range(a.shape[1] if a.ndim == 2 else 0):
+            acc = acc + a[:, i] * b[:, i]
+            na = na + a[:, i] * a[:, i]
+            nb = nb + b[:, i] * b[:, i]
+        return pd.Series(acc / np.sqrt(na * nb))
+
+    # spread the pair generation: the nested-loop join's parallelism is
+    # the left side's partition count (1 for a single-file table)
+    a = emb.repartition(32, F.col(id_col)).select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")
     )
-    a = with_norm.select(
-        F.col("vid").alias("vec_a"), F.col("v").alias("va"), F.col("nsq").alias("na")
-    )
-    b = with_norm.select(
-        F.col("vid").alias("vec_b"), F.col("v").alias("vb"), F.col("nsq").alias("nb")
-    )
-    cos = dot_fold(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
+    b = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    cos = _pair_cos(F.col("va"), F.col("vb"))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", (F.round(cos * 1000000) / 1000000).alias("cos_sim"))

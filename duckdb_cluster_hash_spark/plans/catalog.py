@@ -1220,3 +1220,33 @@ def events_range_join_error_followers(spark: SparkSession, sf_dir: str) -> DataF
         "r_event_type",
         "delta_us",
     )
+
+
+_EMB_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, "
+    "[a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE FOR i IN range(1, 65)]), "
+    "(acc, x) -> acc + x)"
+)
+_EMB_NORM = lambda t: (
+    f"list_reduce(list_prepend(0.0::DOUBLE, "
+    f"[{t}.embedding[i]::DOUBLE * {t}.embedding[i]::DOUBLE FOR i IN range(1, 65)]), "
+    "(acc, x) -> acc + x)"
+)
+
+
+@query(
+    "emb_neardup_pairs",
+    oracle=(
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"(round(({_EMB_DOT} / sqrt({_EMB_NORM('a')} * {_EMB_NORM('b')})) * 1000000) / 1000000) AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE (round(({_EMB_DOT} / sqrt({_EMB_NORM('a')} * {_EMB_NORM('b')})) * 1000000) / 1000000) >= 0.45"
+    ),
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (C4/C5): fold-exact all-pairs at
+    threshold 0.45 (this corpus has no planted vector dups; the threshold
+    surfaces its natural similarity tail)."""
+    return _sim.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
