@@ -11,6 +11,8 @@ from duckdb_cluster_hash_spark.operators.dedup import (  # noqa: F401
     simhash_neardup_pairs,
     word_ngrams_seq,
     winnow_fingerprints,
+    neardup_components,
+    dedup_decisions,
 )
 from duckdb_cluster_hash_spark.operators.similarity import (  # noqa: F401
     cosine_topk,

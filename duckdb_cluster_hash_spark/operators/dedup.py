@@ -416,3 +416,73 @@ def winnow_fingerprints(
         F.col("pos") <= F.greatest(F.col("n_grams") - window, F.lit(0))
     )
     return kept.select("doc_id", F.col("wmin").alias("fp")).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> representatives
+# ---------------------------------------------------------------------------
+
+def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs (doc_a, doc_b).
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    minimum component id among itself and its neighbors until fixpoint —
+    the distributed analogue of union-find used by production dedup
+    pipelines (pairs alone aren't actionable; whole clusters are).  Each
+    iteration is one shuffle; near-dup graphs are unions of near-cliques,
+    so convergence takes ~diameter iterations (2-3 in practice).
+    localCheckpoint truncates the lineage so the plan does not grow
+    exponentially with iterations.  Returns (doc_id, component) where
+    component = min doc_id of the cluster; only docs appearing in at
+    least one pair are returned (singletons need no dedup decision).
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("component").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), "component")
+
+
+def dedup_decisions(pairs: DataFrame) -> DataFrame:
+    """Per-document keep/drop decision from near-dup pairs.
+
+    keep = the component representative (minimum doc_id).
+    Returns (doc_id, component, keep) with keep true for one doc per
+    cluster — the actionable output of the dedup pipeline.
+    """
+    comps = neardup_components(pairs)
+    return comps.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.col("component")).alias("keep"),
+    )

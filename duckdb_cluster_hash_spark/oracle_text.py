@@ -297,3 +297,24 @@ def winnow_fingerprints_sql(
         f"FOR j IN range(1, greatest(len(h) - {window - 1}, 1) + 1)] AS m FROM hs) "
         "SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins"
     )
+
+
+def neardup_components_sql(
+    n: int = 3, k: int = 16, bands: int = 8, rows: int = 2, threshold: float = 0.2
+) -> str:
+    """Oracle for minhash pairs -> connected components: transitive
+    closure by recursive CTE, component = min reachable doc id."""
+    inner = minhash_neardup_pairs_sql(n, k, bands, rows, threshold)
+    ctes = inner[len("WITH "):inner.rindex("SELECT doc_a, doc_b,")]
+    final_pairs = inner[inner.rindex("SELECT doc_a, doc_b,"):]
+    return (
+        "WITH RECURSIVE " + ctes.rstrip() + ", "
+        + f"base AS ({final_pairs}), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM base "
+        "UNION SELECT doc_b, doc_a FROM base), "
+        "reach(src, dst) AS ("
+        "SELECT a, a FROM edges "
+        "UNION "
+        "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) "
+        "SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"
+    )

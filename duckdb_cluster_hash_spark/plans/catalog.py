@@ -1254,3 +1254,15 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=0.45
     )
+
+
+@query("docs_neardup_components", oracle=_ot.neardup_components_sql(3, 16, 8, 2, 0.2))
+def docs_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (C4 end-game): MinHash pairs -> connected
+    components via iterative min-label propagation; component id = min
+    doc id (the oracle computes the same closure with a recursive CTE)."""
+    pairs = _dd.minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=8, rows=2, threshold=0.2,
+    )
+    return _dd.neardup_components(pairs)

@@ -118,3 +118,39 @@ def test_winnow_short_doc(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     rows = dd.winnow_fingerprints(df, "doc_id", "text", 3, 4).collect()
     assert len(rows) == 1  # single partial window over the whole-text gram
+
+
+def test_neardup_components_structure(spark, docs):
+    pairs = dd.minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.2)
+    comps = dd.neardup_components(pairs).collect()
+    by_doc = {r["doc_id"]: r["component"] for r in comps}
+    # every pair's endpoints share a component
+    for p in pairs.collect():
+        assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]]
+    # component id is the min member
+    import collections
+    members = collections.defaultdict(list)
+    for d, c in by_doc.items():
+        members[c].append(d)
+    for c, ds in members.items():
+        assert c == min(ds)
+
+
+def test_neardup_components_transitivity(spark):
+    # chain a-b, b-c, plus isolated pair d-e: {a,b,c} one component
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.9)],
+        "doc_a long, doc_b long, jacc double",
+    )
+    comps = {r["doc_id"]: r["component"]
+             for r in dd.neardup_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_decisions_one_keeper_per_cluster(spark, docs):
+    pairs = dd.minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.2)
+    dec = dd.dedup_decisions(pairs)
+    per_comp = dec.groupBy("component").agg(
+        F.sum(F.col("keep").cast("int")).alias("keepers")
+    )
+    assert per_comp.where("keepers != 1").count() == 0
