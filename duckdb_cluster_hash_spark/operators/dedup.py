@@ -324,36 +324,68 @@ def simhash_neardup_pairs(
     id_col: str,
     text_col: str,
     max_hamming: int = 6,
-    band_bits: int = 0,
 ) -> DataFrame:
-    """Pairs with SimHash Hamming distance <= max_hamming.
+    """Pairs with SimHash Hamming distance <= max_hamming — EXACT, via
+    pigeonhole block banding (never an all-pairs signature self-join).
 
-    With ``band_bits`` > 0, candidates are restricted to docs sharing the
-    low ``band_bits`` bits of the signature (the standard prefix-banding
-    trick; at 100 TB run several rotations).  band_bits=0 compares all
-    pairs — exact, and what the oracle replicates.
+    Split the 64-bit signature into B > max_hamming equal-width blocks:
+    a pair within Hamming distance max_hamming differs in at most
+    max_hamming blocks, so it must agree EXACTLY on >= 1 block
+    (pigeonhole).  Candidates are therefore the block-equality self-join
+    — a pure shuffle-hash join on (block_idx, block_value) — verified
+    with the full Hamming distance.  100% recall: the banding is a plan
+    optimization, not an approximation, so the brute-force oracle's
+    result set is reproduced exactly.  B is the smallest even power-of-2
+    split (blocks must tile the two 32-bit halves).
     Returns (doc_a, doc_b, hamming).
     """
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    half_blocks = 1
+    while 2 * half_blocks < max_hamming + 1:
+        half_blocks *= 2
+    width = 32 // half_blocks
+    mask = (1 << width) - 1
+
     sig = simhash64(df, id_col, text_col)
-    a = sig.select(*[F.col(c).alias(c + "_a") for c in sig.columns])
-    b = sig.select(*[F.col(c).alias(c + "_b") for c in sig.columns])
-    cond = F.col("doc_id_a") < F.col("doc_id_b")
-    if band_bits:
-        mask = (1 << band_bits) - 1
-        cond = cond & (
-            F.col("simhash_lo_a").bitwiseAND(F.lit(mask))
-            == F.col("simhash_lo_b").bitwiseAND(F.lit(mask))
+    block_cols = [
+        F.shiftright(F.col(half), j * width).bitwiseAND(F.lit(mask))
+        for half in ("simhash_lo", "simhash_hi")
+        for j in range(half_blocks)
+    ]
+    banded = sig.select(
+        "doc_id", F.posexplode(F.array(*block_cols)).alias("blk", "val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-    hamming = F.bit_count(
-        F.col("simhash_lo_a").bitwiseXOR(F.col("simhash_lo_b"))
-    ) + F.bit_count(F.col("simhash_hi_a").bitwiseXOR(F.col("simhash_hi_b")))
-    return (
-        a.join(b, cond)
         .select(
-            F.col("doc_id_a").alias("doc_a"),
-            F.col("doc_id_b").alias("doc_b"),
-            hamming.alias("hamming"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        F.col("simhash_hi").alias("hi_a"),
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        F.col("simhash_hi").alias("hi_b"),
+    )
+    hamming = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
 

@@ -32,6 +32,8 @@ __all__ = [
     "cosine_topk_fast",
     "ann_lsh_topk",
     "embedding_neardup_pairs",
+    "embedding_neardup_pairs_lsh",
+    "lsh_weights",
 ]
 
 
@@ -157,36 +159,38 @@ def ann_lsh_topk(
     return cosine_topk_fast(cand.drop("_b"), query_vec, k, vec_col, id_col)
 
 
+@F.pandas_udf(DoubleType())
+def _pair_cos_kernel(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Exact pair cosine: per-position accumulation loop reproduces the
+    sequential left-fold bit-for-bit (acc = acc + a_i*b_i in array order —
+    the same IEEE operation sequence as the F.aggregate fold and the
+    oracle's list_reduce), vectorized ACROSS pairs: ~64 numpy ops per
+    batch instead of 64 interpreted lambda evaluations per pair."""
+    a = np.array(va.tolist(), dtype=np.float64)
+    b = np.array(vb.tolist(), dtype=np.float64)
+    acc = np.zeros(len(a))
+    na = np.zeros(len(a))
+    nb = np.zeros(len(a))
+    for i in range(a.shape[1] if a.ndim == 2 else 0):
+        acc = acc + a[:, i] * b[:, i]
+        na = na + a[:, i] * a[:, i]
+        nb = nb + b[:, i] * b[:, i]
+    return pd.Series(acc / np.sqrt(na * nb))
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact near-duplicate vector pairs (cosine >= threshold).
+    """Exact near-duplicate vector pairs (cosine >= threshold), all-pairs.
 
-    All-pairs, computed by an Arrow-batched kernel whose per-position
-    accumulation loop reproduces the sequential left-fold bit-for-bit
-    (acc = acc + a_i*b_i in array order — the same IEEE operation
-    sequence as the F.aggregate fold and the oracle's list_reduce), but
-    vectorized ACROSS pairs: ~64 numpy ops per batch instead of 64
-    interpreted lambda evaluations per pair (28s -> ~2s at sf0.1).
-    At 100 TB swap the self-join's ``<`` condition for an LSH-bucket
-    equality (see ann_lsh_topk) so only same-bucket pairs materialize.
+    Kept as the exact/audit path; :func:`embedding_neardup_pairs_lsh` is
+    the scale path (LSH-bucket equality join instead of the O(n²) ``<``
+    self-join) and is what the catalog invokes.
     """
-
-    @F.pandas_udf(DoubleType())
-    def _pair_cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        a = np.array(va.tolist(), dtype=np.float64)
-        b = np.array(vb.tolist(), dtype=np.float64)
-        acc = np.zeros(len(a))
-        na = np.zeros(len(a))
-        nb = np.zeros(len(a))
-        for i in range(a.shape[1] if a.ndim == 2 else 0):
-            acc = acc + a[:, i] * b[:, i]
-            na = na + a[:, i] * a[:, i]
-            nb = nb + b[:, i] * b[:, i]
-        return pd.Series(acc / np.sqrt(na * nb))
+    _pair_cos = _pair_cos_kernel
 
     # spread the pair generation: the nested-loop join's parallelism is
     # the left side's partition count (1 for a single-file table)
@@ -198,6 +202,99 @@ def embedding_neardup_pairs(
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", (F.round(cos * 1000000) / 1000000).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def lsh_weights(dim: int, planes: int, tables: int) -> np.ndarray:
+    """Deterministic hyperplane weights both engines can derive from md5.
+
+    w[t, p, i] = md5("t|p|i")[:15 hex] / 2^59 - 1.0  (uniform in [-1, 1)).
+    Using md5 instead of a PRNG keeps the DuckDB oracle able to recompute
+    the exact same float64 weights in SQL — no literal matrices.  int64 ->
+    double conversion then division by 2^59 (exponent shift, exact) then
+    subtraction of 1.0 (exact near 1) are all bit-identical across numpy,
+    Python and DuckDB.
+    """
+    import hashlib
+
+    w = np.empty((tables * planes, dim), dtype=np.float64)
+    for t in range(tables):
+        for p in range(planes):
+            for i in range(1, dim + 1):
+                h = int(
+                    hashlib.md5(f"{t}|{p}|{i}".encode()).hexdigest()[:15], 16
+                )
+                w[t * planes + p, i - 1] = float(h) / 2**59 - 1.0
+    return w
+
+
+def embedding_neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    planes: int = 5,
+    tables: int = 12,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-duplicate vector pairs via hyperplane-LSH banding (the 100 TB
+    path — replaces the all-pairs ``<`` self-join).
+
+    Candidates = pairs landing in the same ``planes``-bit sign bucket in
+    >= 1 of ``tables`` hash tables; only candidates get the exact cosine
+    verify.  The join is a pure (table, bucket) equality — shuffle hash
+    join, never a cross product; at n vectors the verified pair count is
+    ~n²·p_collide instead of n², and p_collide drops geometrically with
+    ``planes``.  Recall for pairs at cosine c is
+    1-(1-(1-acos(c)/pi)^planes)^tables — (5, 12) gives ~0.77 at c=0.45
+    (this corpus's natural tail; production near-dup thresholds >= 0.9
+    give >0.99 recall with far fewer candidates).
+
+    Bucket signs come from a *sequential* per-dimension accumulation (same
+    IEEE operation order as the DuckDB oracle's list_reduce fold), so the
+    candidate set — and therefore the result — is bit-deterministic across
+    engines.
+    """
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    w = lsh_weights(dim, planes, tables)  # (tables*planes, dim)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _tbl_buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        acc = np.zeros((m.shape[0], w.shape[0]))
+        for i in range(m.shape[1]):  # sequential over dims == fold order
+            acc = acc + np.outer(m[:, i], w[:, i])
+        bits = acc > 0
+        weights = (1 << np.arange(planes)).astype(np.int64)
+        buckets = bits.reshape(m.shape[0], tables, planes) @ weights
+        return pd.Series(buckets.astype(np.int32).tolist())
+
+    banded = emb.repartition(32, F.col(id_col)).select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(_tbl_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("vec_a"), F.col("b.vid").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    cos = _pair_cos_kernel(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a", "vec_b", (F.round(cos * 1000000) / 1000000).alias("cos_sim")
+        )
         .where(F.col("cos_sim") >= threshold)
     )
 

@@ -151,6 +151,56 @@ def cosine_topk_sql(query_vec_id: int = 0, k: int = 10, dim: int = 64) -> str:
     )
 
 
+def emb_lsh_neardup_sql(
+    threshold: float = 0.45,
+    planes: int = 5,
+    tables: int = 12,
+    dim: int = 64,
+) -> str:
+    """Oracle for operators.similarity.embedding_neardup_pairs_lsh.
+
+    Recomputes the md5-derived hyperplane weights (h60/2^59 - 1), the
+    sequential-fold projections, the (table, bucket) candidate join and
+    the exact-cosine verify — entirely in SQL, bit-identical to Spark.
+    """
+    w_expr = (
+        "('0x' || substr(md5(t::VARCHAR || '|' || p::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT"
+        f" / {2**59}.0 - 1.0"
+    )
+    proj = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[e.embedding[i]::DOUBLE * p.w[i] FOR i IN range(1, {dim + 1})]), "
+        "(acc, x) -> acc + x)"
+    )
+
+    def dot(u: str, v: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{u}.embedding[i]::DOUBLE * {v}.embedding[i]::DOUBLE "
+            f"FOR i IN range(1, {dim + 1})]), (acc, x) -> acc + x)"
+        )
+
+    cos = (
+        f"(round(({dot('va', 'vb')} / "
+        f"sqrt({dot('va', 'va')} * {dot('vb', 'vb')})) * 1000000) / 1000000)"
+    )
+    return (
+        "WITH planes AS (SELECT t, p, "
+        f"[{w_expr} FOR i IN range(1, {dim + 1})] AS w "
+        f"FROM range({tables}) tt(t), range({planes}) pp(p)), "
+        "b AS (SELECT e.vec_id, p.t, "
+        f"CAST(sum(CASE WHEN {proj} > 0 THEN (1::BIGINT << p.p) ELSE 0 END) AS INTEGER) AS bucket "
+        "FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.t), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b "
+        "FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket "
+        "AND a.vec_id < b2.vec_id) "
+        f"SELECT * FROM (SELECT cand.vec_a, cand.vec_b, {cos} AS cos_sim "
+        "FROM cand JOIN embeddings va ON cand.vec_a = va.vec_id "
+        "JOIN embeddings vb ON cand.vec_b = vb.vec_id) "
+        f"WHERE cos_sim >= {threshold}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis oracles (functions/text.py mirrors)
 # ---------------------------------------------------------------------------
@@ -211,8 +261,10 @@ def lang_id_counts_sql(table: str = "documents") -> str:
 
 
 _QUALITY_FEATURES_SQL = {
-    "n_chars_q": "length(text)",
-    "n_tokens": "len(regexp_extract_all(text, '[^ ]+'))",
+    # CASTs: DuckDB length/len return BIGINT, Spark length/size return INT —
+    # keep declared types identical (the driver's value hash is type-aware).
+    "n_chars_q": "CAST(length(text) AS INTEGER)",
+    "n_tokens": "CAST(len(regexp_extract_all(text, '[^ ]+')) AS INTEGER)",
     "mean_token_len": (
         "round((length(text) - (len(regexp_extract_all(text, '[^ ]+')) - 1)) * 1.0"
         " / greatest(len(regexp_extract_all(text, '[^ ]+')), 1), 4)"

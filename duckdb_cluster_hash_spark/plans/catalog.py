@@ -238,7 +238,9 @@ _ORDER_KEY_SQL = "'order:' || o_orderkey::VARCHAR"
         f"WITH keyed AS (SELECT {node_sql(_ORDER_KEY_SQL)} AS node_id FROM orders), "
         "agg AS (SELECT node_id, count(*) AS cnt FROM keyed GROUP BY node_id) "
         "SELECT node_id, cnt, "
-        "(10000 * cnt) // (SELECT sum(cnt) FROM agg) AS share_bp "
+        # DuckDB sum() widens to HUGEINT, so the quotient is HUGEINT/int128;
+        # Spark emits BIGINT — the driver's value hash is type-sensitive.
+        "CAST((10000 * cnt) // (SELECT sum(cnt) FROM agg) AS BIGINT) AS share_bp "
         "FROM agg ORDER BY node_id"
     ),
 )
@@ -407,7 +409,8 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
         "  SELECT n_name, c_name, spend_exact, "
         "         rank() OVER (PARTITION BY n_name ORDER BY spend_exact DESC, c_custkey) AS rnk "
         "  FROM spend JOIN nation ON c_nationkey = n_nationkey) "
-        "SELECT n_name, c_name, round(CAST(spend_exact AS DOUBLE), 2) AS spend, rnk "
+        "SELECT n_name, c_name, round(CAST(spend_exact AS DOUBLE), 2) AS spend, "
+        "CAST(rnk AS INTEGER) AS rnk "
         "FROM ranked WHERE rnk <= 3 ORDER BY n_name, rnk"
     ),
 )
@@ -631,7 +634,10 @@ def docs_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("docs_simhash_neardup_pairs", oracle=_ot.simhash_neardup_pairs_sql(2))
 def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at Hamming distance <= 2."""
+    """SimHash near-dup pairs at Hamming distance <= 2, via pigeonhole
+    block banding (block-equality join, 100% recall).  The oracle stays
+    brute-force all-pairs — a genuine cross-check that the banded plan
+    reproduces the exact result set."""
     return _dd.simhash_neardup_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2
     )
@@ -987,7 +993,8 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_custkey, o_orderkey, od AS order_date, "
         "CAST(round(sum(p) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey "
         "ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_spend, "
-        "row_number() OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS order_seq "
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) "
+        "AS INTEGER) AS order_seq "
         "FROM o"
     ),
 )
@@ -1100,7 +1107,7 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_label_centroids",
     oracle=(
         "WITH e AS (SELECT label, unnest(embedding) AS v, "
-        "generate_subscripts(embedding, 1) AS pos FROM embeddings) "
+        "CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos FROM embeddings) "
         "SELECT label, pos, "
         "CAST(sum(CAST(round(v::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS dim_sum_micro, "
         "count(*) AS n_vecs "
@@ -1240,19 +1247,17 @@ _EMB_NORM = lambda t: (
 
 @query(
     "emb_neardup_pairs",
-    oracle=(
-        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-        f"(round(({_EMB_DOT} / sqrt({_EMB_NORM('a')} * {_EMB_NORM('b')})) * 1000000) / 1000000) AS cos_sim "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        f"WHERE (round(({_EMB_DOT} / sqrt({_EMB_NORM('a')} * {_EMB_NORM('b')})) * 1000000) / 1000000) >= 0.45"
-    ),
+    oracle=_ot.emb_lsh_neardup_sql(0.45, 5, 12, 64),
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (C4/C5): fold-exact all-pairs at
-    threshold 0.45 (this corpus has no planted vector dups; the threshold
-    surfaces its natural similarity tail)."""
-    return _sim.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    """Embedding-cosine near-dup pairs (C4/C5) via hyperplane-LSH banding:
+    (table, bucket) equality join generates candidates, exact fold-cosine
+    verifies — never an all-pairs product.  Threshold 0.45 surfaces this
+    corpus's natural similarity tail (no planted vector dups); at
+    production thresholds the same banding prunes geometrically harder.
+    The oracle recomputes the identical md5-derived buckets in SQL."""
+    return _sim.embedding_neardup_pairs_lsh(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, planes=5, tables=12
     )
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import sys
 import time
 
@@ -54,6 +55,51 @@ def normalize(rows, colnames):
     return sorted(out, key=repr)
 
 
+_CANON = {
+    "varchar": "string",
+    "text": "string",
+    "integer": "int32",
+    "int": "int32",
+    "smallint": "int16",
+    "tinyint": "int8",
+    "bigint": "int64",
+    "hugeint": "int128",
+    "ubigint": "uint64",
+    "double": "float64",
+    "float": "float32",
+    "real": "float32",
+    "list": "array",
+    "blob": "binary",
+}
+
+
+def canon_type(type_str):
+    """Map a Spark simpleString or DuckDB type string to a canonical label.
+
+    Both BIGINT and HUGEINT reach Python as ``int``, so value comparison
+    alone cannot see the difference — but the driver's value hash can
+    (round-1 ``cluster_skew_report``).  Compare declared types instead.
+    Single-pass token substitution (no cascading replacements).
+    """
+    s = str(type_str).strip().lower()
+    s = re.sub(r"[a-z]+", lambda m: _CANON.get(m.group(0), m.group(0)), s)
+    s = s.replace(" ", "")
+    while s.endswith("[]"):  # DuckDB list syntax -> Spark array syntax
+        s = f"array<{s[:-2]}>"
+    return s
+
+
+def type_problems(scols, stypes, ocols, otypes):
+    smap = {c: canon_type(t) for c, t in zip(scols, stypes)}
+    omap = {c: canon_type(t) for c, t in zip(ocols, otypes)}
+    diffs = [
+        f"{c}: spark={smap[c]} oracle={omap[c]}"
+        for c in sorted(set(smap) & set(omap))
+        if smap[c] != omap[c]
+    ]
+    return diffs
+
+
 def main(names):
     spark = (
         SparkSession.builder.master(
@@ -82,6 +128,7 @@ def main(names):
         try:
             sdf = qs[name](spark, SF_DIR)
             scols = sdf.columns
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             srows = sdf.collect()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(exc).__name__}: {exc}")
@@ -93,6 +140,7 @@ def main(names):
         try:
             rel = con.sql(oracles[name])
             ocols = [d[0] for d in rel.description]
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: oracle raised {type(exc).__name__}: {exc}")
@@ -101,6 +149,10 @@ def main(names):
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
+        else:
+            tdiffs = type_problems(scols, stypes, ocols, otypes)
+            if tdiffs:
+                problems.append("types differ: " + "; ".join(tdiffs))
         if len(srows) != len(orows):
             problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
         if not problems:

@@ -80,16 +80,28 @@ def test_simhash_identical_text_same_signature(spark):
     assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
 
 
-def test_simhash_banding_subset(docs):
-    full = dd.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=2)
-    banded = dd.simhash_neardup_pairs(
-        docs, "doc_id", "text", max_hamming=2, band_bits=4
+def test_simhash_banding_exactness(docs):
+    """Pigeonhole block banding must reproduce the brute-force all-pairs
+    result EXACTLY (it is a plan optimization, not an approximation)."""
+    sig = dd.simhash64(docs, "doc_id", "text")
+    a = sig.select(*[F.col(c).alias(c + "_a") for c in sig.columns])
+    b = sig.select(*[F.col(c).alias(c + "_b") for c in sig.columns])
+    hamming = F.bit_count(
+        F.col("simhash_lo_a").bitwiseXOR(F.col("simhash_lo_b"))
+    ) + F.bit_count(F.col("simhash_hi_a").bitwiseXOR(F.col("simhash_hi_b")))
+    brute = (
+        a.join(b, F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 2)
     )
-    fullset = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
-    bandset = {(r["doc_a"], r["doc_b"]) for r in banded.collect()}
-    assert bandset <= fullset
-    # hamming<=2 pairs differ in <=2 bits; a 4-bit band keeps most of them
-    assert len(bandset) >= len(fullset) * 0.5
+    banded = dd.simhash_neardup_pairs(docs, "doc_id", "text", max_hamming=2)
+    bruteset = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+    bandset = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in banded.collect()}
+    assert bandset == bruteset
 
 
 def test_winnow_shared_fingerprints_for_near_dups(docs):

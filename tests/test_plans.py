@@ -135,6 +135,26 @@ def test_bucketed_join_avoids_shuffle(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_emb_neardup_pairs_is_bucketed_not_all_pairs(spark, sf_small):
+    """The LSH rewrite must join candidates on (table, bucket) EQUALITY —
+    never a cartesian/nested-loop pair product (the 100 TB property)."""
+    df = QUERIES["emb_neardup_pairs"](spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    opt = optimized_of(df)
+    assert "tbl" in opt and "bucket" in opt  # equality keys present
+
+
+def test_simhash_neardup_pairs_is_banded(spark, sf_small):
+    """SimHash pairs must restrict candidates by band equality, not an
+    all-pairs signature self-join."""
+    df = QUERIES["docs_simhash_neardup_pairs"](spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_shard_ranges_udtf_matches_reference_table(spark):
     from duckdb_cluster_hash_spark import register_all
     from duckdb_cluster_hash_spark.core import REFERENCE_NODE_RANGES_6
