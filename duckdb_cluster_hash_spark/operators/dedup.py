@@ -454,22 +454,29 @@ def winnow_fingerprints(
 # Near-dup clustering: pairs -> connected components -> representatives
 # ---------------------------------------------------------------------------
 
-def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def neardup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over near-dup pairs (doc_a, doc_b).
 
     Iterative min-label propagation: every node repeatedly adopts the
     minimum component id among itself and its neighbors until fixpoint —
     the distributed analogue of union-find used by production dedup
     pipelines (pairs alone aren't actionable; whole clusters are).  Each
-    iteration is one shuffle; near-dup graphs are unions of near-cliques,
-    so convergence takes ~diameter iterations (2-3 in practice).
-    localCheckpoint truncates the lineage so the plan does not grow
-    exponentially with iterations.  Returns (doc_id, component) where
-    component = min doc_id of the cluster; only docs appearing in at
-    least one pair are returned (singletons need no dedup decision).
+    iteration is ONE Spark job: the convergence check is a ``changed``
+    flag computed inside the label-update pass, and counting it doubles
+    as the action that materializes the (lazy) localCheckpoint — no
+    separate compare-join job, no double materialization.  The pairs
+    input is checkpointed up front so its (potentially expensive —
+    MinHash/LSH) lineage runs once, not once per direction per iteration.
+    Near-dup graphs are unions of near-cliques, so fixpoint takes
+    ~diameter iterations (2-3 in practice); exceeding ``max_iter`` raises
+    instead of silently returning unconverged (wrong) components.
+    Returns (doc_id, component) where component = min doc_id of the
+    cluster; only docs appearing in >= 1 pair are returned (singletons
+    need no dedup decision).
     """
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    pairs_cp = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    fwd = pairs_cp.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs_cp.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -490,19 +497,22 @@ def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 F.least(
                     F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("ncomp"), F.col("component"))
+                    < F.col("component")
+                ).alias("changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        # the count materializes the checkpoint AND reads the flag: 1 job
+        changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), "component")
+            return labels.select(F.col("node").alias("doc_id"), "component")
+    raise RuntimeError(
+        f"neardup_components did not reach fixpoint in {max_iter} iterations; "
+        "components would be wrong — raise max_iter (graph diameter exceeds it)"
+    )
 
 
 def dedup_decisions(pairs: DataFrame) -> DataFrame:
