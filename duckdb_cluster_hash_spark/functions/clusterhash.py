@@ -233,14 +233,13 @@ def cluster_node_col(key, n_nodes=DEFAULT_NODES) -> Column:
 def register_all(spark: SparkSession, n_nodes: int = DEFAULT_NODES) -> None:
     """Register ``cluster_slot`` / ``cluster_node`` for SQL + DataFrame use.
 
-    Idempotent.  ``cluster_node`` is registered with the reference's
-    hardcoded default of 6 shards; the README's two-argument form is
-    available as ``cluster_node_n(key, n)`` in SQL (Spark cannot overload a
-    single UDF name by arity) and as ``cluster_node_col(key, n)`` in the
-    DataFrame API.
+    Idempotent.  ``cluster_node`` supports BOTH arities of the reference
+    README verbatim — ``cluster_node(key)`` and ``cluster_node(key, 3)``
+    (README.md:84,115-117) — via a Spark SQL UDF with a ``DEFAULT``
+    parameter that inlines into the Arrow-vectorized two-argument kernel
+    ``cluster_node_n`` (a Python UDF alone cannot be arity-overloaded).
     """
     spark.udf.register("cluster_slot", cluster_slot_pudf())
-    spark.udf.register("cluster_node", cluster_node_pudf(n_nodes))
     spark.udtf.register("shard_ranges", shard_ranges_udtf())
 
     @F.pandas_udf(IntegerType())
@@ -260,6 +259,14 @@ def register_all(spark: SparkSession, n_nodes: int = DEFAULT_NODES) -> None:
         return out
 
     spark.udf.register("cluster_node_n", _node_n)
+    # SQL surface: one name, both arities, default shard count baked in.
+    # Catalyst inlines the SQL-UDF body, so cluster_node(key) is exactly
+    # cluster_node_n(key, 6) — same Arrow batch path, no extra dispatch.
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cluster_node("
+        f"key STRING, n INT DEFAULT {int(n_nodes)}) "
+        "RETURNS INT RETURN cluster_node_n(key, n)"
+    )
 
 
 # ---------------------------------------------------------------------------

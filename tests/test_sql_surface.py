@@ -51,11 +51,29 @@ def test_readme_flow_ctas_distribution(spark):
     hist = {
         r["node_id"]: r["key_count"]
         for r in spark.sql(
-            """SELECT cluster_node_n(key, 3) AS node_id, COUNT(*) AS key_count
+            """SELECT cluster_node(key, 3) AS node_id, COUNT(*) AS key_count
                FROM many_keys GROUP BY node_id ORDER BY node_id"""
         ).collect()
     }
     assert hist == {1: 332, 2: 337, 3: 331}  # FIXTURES.md golden
+
+
+def test_readme_two_arg_cluster_node_verbatim(spark):
+    """README.md:84: cluster_node(key, 3) must work under that exact name —
+    the SQL-UDF DEFAULT parameter gives both arities on one function."""
+    rows = spark.sql(
+        """SELECT key, cluster_slot(key) AS slot, cluster_node(key, 3) AS node_id
+           FROM VALUES ('user:1000'), ('product:5432'), ('{user:1000}:profile')
+                AS t(key)"""
+    ).collect()
+    got = {r["key"]: (r["slot"], r["node_id"]) for r in rows}
+    assert got["user:1000"] == (1649, 1)
+    assert got["{user:1000}:profile"] == (1649, 1)
+    # both arities agree with the DataFrame-side closed form
+    r = spark.sql(
+        "SELECT cluster_node('user:1000') AS d6, cluster_node('user:1000', 6) AS e6"
+    ).head()
+    assert r["d6"] == r["e6"] == 1
 
 
 def test_literal_select(spark):
