@@ -30,7 +30,7 @@ from duckdb_cluster_hash_spark.functions.clusterhash import (
     register_all,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "TOTAL_SLOTS",
