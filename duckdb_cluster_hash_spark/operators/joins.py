@@ -69,10 +69,13 @@ def asof_join(
         F.col("_us").alias("_r_us"),
     )
     unioned = tagged_left.unionByName(tagged_right)
-    # right rows sort before left rows at equal time -> inclusive match
+    # right rows sort before left rows at equal time -> inclusive match;
+    # value columns are tertiary sort keys so ties among right rows with
+    # identical (key, microsecond) resolve deterministically (last() then
+    # always picks the greatest value tuple) instead of per-run arbitrarily
     w = (
         Window.partitionBy("_by")
-        .orderBy("_us", "_side")
+        .orderBy("_us", "_side", *[f"_r_{c}" for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(

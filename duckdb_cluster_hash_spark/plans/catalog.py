@@ -53,10 +53,8 @@ def query(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # calendar functions (date_trunc/year/cast-to-date) interpret epochs in
-    # the session timezone; the DuckDB oracle is timezone-naive, so every
-    # catalog query pins UTC rather than trusting the caller's session
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # session invariants (UTC timezone, nanosAsLong) live in session.py;
+    # load_table applies them idempotently
     return load_table(spark, sf_dir, name)
 
 

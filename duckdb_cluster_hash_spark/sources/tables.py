@@ -14,6 +14,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_cluster_hash_spark.session import configure_session
+
 TABLES = (
     "region",
     "nation",
@@ -35,17 +37,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table.
 
     ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright; read it as a long (legacy nanosAsLong conf)
-    and convert to a microsecond TimestampType via exact integer division
-    so truncation matches DuckDB's nanosecond value to the microsecond.
+    reader rejects outright; read it as a long (session invariant
+    ``nanosAsLong``, see session.py) and floor-divide to microseconds —
+    floor, not truncate-toward-zero, so pre-1970 nanosecond values would
+    land on the same microsecond as DuckDB's conversion.
     """
+    configure_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
     )
 
 
