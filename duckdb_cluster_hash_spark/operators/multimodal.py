@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -166,16 +167,38 @@ def sample_frames(
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                n = int.from_bytes(r["media"][12:16], "big")
-                payload = r["media"][16:]
-                for idx in range(0, n, every_k):
-                    # fake "frame": a rotating slice of the payload
-                    sl = payload[idx::n] if n else b""
-                    rows.append((int(r[id_col]), idx, sl))
+            media = pdf["media"].to_numpy()
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            n_arr = np.fromiter(
+                (int.from_bytes(m[12:16], "big") for m in media),
+                dtype=np.int64,
+                count=len(media),
+            )
+            # explode structure computed columnar: each row contributes
+            # ceil(n/k) frames; np.repeat fans out ids/payloads, a single
+            # concat builds the per-frame index column
+            reps = -(-n_arr // every_k)
+            doc_ids = np.repeat(ids, reps)
+            frame_idx = (
+                np.concatenate([np.arange(0, n, every_k) for n in n_arr])
+                if len(n_arr)
+                else np.empty(0, dtype=np.int64)
+            )
+            payload_rep = np.repeat(media, reps)
+            n_rep = np.repeat(n_arr, reps)
+            # per-output-frame byte slice: irreducibly one bytes object per
+            # frame, but built in one comprehension over the exploded
+            # arrays (no per-row DataFrame iteration)
+            frame_bytes = [
+                p[16:][i::n] if n else b""
+                for p, i, n in zip(payload_rep, frame_idx, n_rep)
+            ]
             yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_bytes"]
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_bytes": frame_bytes,
+                }
             )
 
     return df.select(id_col, "media").mapInPandas(sample, frames_schema)

@@ -170,3 +170,20 @@ def test_shard_ranges_udtf_matches_reference_table(spark):
     assert [(r["slot_lo"], r["slot_hi"]) for r in rows3] == [
         (0, 5460), (5461, 10922), (10923, 16383)
     ]
+
+
+def test_no_row_at_a_time_iteration_in_package():
+    """No mapInPandas/pandas-UDF body may fall back to per-row DataFrame
+    iteration (iterrows/itertuples) — Arrow batches must be processed
+    columnar or the Python stage silently becomes the 100 TB bottleneck."""
+    import pathlib
+
+    import duckdb_cluster_hash_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders = [
+        str(p)
+        for p in root.rglob("*.py")
+        if ".iterrows()" in p.read_text() or ".itertuples()" in p.read_text()
+    ]
+    assert offenders == []
