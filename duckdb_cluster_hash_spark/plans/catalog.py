@@ -31,6 +31,7 @@ from duckdb_cluster_hash_spark.functions.clusterhash import (
     cluster_slot_col,
     node_of_slot_col,
     node_udf_col,
+    register_all,
     slot_udf_col,
 )
 from duckdb_cluster_hash_spark.oracle import node_sql, slot_sql
@@ -145,6 +146,57 @@ def cluster_user_keys_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_id")
         .agg(F.count("*").alias("key_count"))
         .orderBy("node_id")
+    )
+
+
+@query(
+    "ddl_readme_flow",
+    oracle=(
+        "WITH test_keys(key) AS (VALUES ('user:1000'), ('product:5432'), "
+        "('{user:1000}:profile')) "
+        f"SELECT key, {slot_sql('key')} AS slot, {node_sql('key', 3)} AS node_id "
+        "FROM test_keys ORDER BY key"
+    ),
+)
+def ddl_readme_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:71-85 verbatim through the DDL surface (B3/B4): CREATE
+    TABLE + INSERT VALUES, then the two-argument cluster_node projection.
+    The oracle validates the values; the Spark side is the capability
+    under test — a real warehouse round-trip, not a temp view."""
+    register_all(spark)
+    spark.sql("DROP TABLE IF EXISTS ddl_test_keys")
+    spark.sql("CREATE TABLE ddl_test_keys (key STRING) USING parquet")
+    spark.sql(
+        "INSERT INTO ddl_test_keys VALUES ('user:1000'), ('product:5432'), "
+        "('{user:1000}:profile')"
+    )
+    return spark.sql(
+        "SELECT key, cluster_slot(key) AS slot, cluster_node(key, 3) AS node_id "
+        "FROM ddl_test_keys ORDER BY key"
+    )
+
+
+@query(
+    "ddl_ctas_distribution",
+    oracle=(
+        "WITH many_keys AS (SELECT 'user:' || i::VARCHAR AS key "
+        "FROM generate_series(1, 1000) t(i)) "
+        f"SELECT {node_sql('key', 3)} AS node_id, count(*) AS key_count "
+        "FROM many_keys GROUP BY node_id ORDER BY node_id"
+    ),
+)
+def ddl_ctas_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README.md:108-120 verbatim via CTAS (B5): materialize generated
+    keys as a parquet table, then the shard histogram over the table."""
+    register_all(spark)
+    spark.sql("DROP TABLE IF EXISTS ddl_many_keys")
+    spark.sql(
+        "CREATE TABLE ddl_many_keys USING parquet AS "
+        "SELECT concat('user:', id) AS key FROM range(1, 1001)"
+    )
+    return spark.sql(
+        "SELECT cluster_node(key, 3) AS node_id, COUNT(*) AS key_count "
+        "FROM ddl_many_keys GROUP BY node_id ORDER BY node_id"
     )
 
 
