@@ -34,6 +34,12 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_neardup_pairs_lsh",
     "lsh_weights",
+    "ivf_centroid_weights",
+    "ivf_assign_cells",
+    "ivf_probe_cells",
+    "ivf_write_index",
+    "ivf_probe_topk",
+    "ivf_topk",
 ]
 
 
@@ -296,6 +302,110 @@ def embedding_neardup_pairs_lsh(
             "vec_a", "vec_b", (F.round(cos * 1000000) / 1000000).alias("cos_sim")
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def ivf_centroid_weights(dim: int, n_cells: int) -> np.ndarray:
+    """Deterministic IVF coarse-quantizer centroids from md5 (see
+    :func:`lsh_weights` for why md5 instead of a PRNG: the DuckDB oracle
+    recomputes the identical float64 values in SQL).
+
+    c[cell, i] = md5("ivf|cell|i")[:15 hex] / 2^59 - 1.0.
+    """
+    import hashlib
+
+    c = np.empty((n_cells, dim), dtype=np.float64)
+    for cell in range(n_cells):
+        for i in range(1, dim + 1):
+            h = int(hashlib.md5(f"ivf|{cell}|{i}".encode()).hexdigest()[:15], 16)
+            c[cell, i - 1] = float(h) / 2**59 - 1.0
+    return c
+
+
+def ivf_assign_cells(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tag each vector with its IVF cell: argmax dot(v, centroid), ties to
+    the lowest cell id.
+
+    The dot products accumulate sequentially over dimensions (one numpy op
+    per dim across the whole batch) — the exact IEEE operation order of the
+    oracle's list_reduce fold, so cell assignment is bit-deterministic
+    across engines.  np.argmax takes the first maximum, matching the
+    oracle's ORDER BY dot DESC, cell ASC tie-break.
+    """
+    from pyspark.sql.types import IntegerType
+
+    cents = ivf_centroid_weights(dim, n_cells)  # (cells, dim)
+
+    @F.pandas_udf(IntegerType())
+    def _cell(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        acc = np.zeros((m.shape[0], n_cells))
+        for i in range(m.shape[1]):  # sequential over dims == fold order
+            acc = acc + np.outer(m[:, i], cents[:, i])
+        return pd.Series(np.argmax(acc, axis=1).astype(np.int32))
+
+    return emb.withColumn("cell", _cell(F.col(vec_col)))
+
+
+def ivf_probe_cells(
+    query_vec: list[float], nprobe: int = 4, n_cells: int = 16
+) -> list[int]:
+    """Cells to scan for a query: top-``nprobe`` centroids by dot product
+    (pure-Python sequential fold — deterministic, embeddable as literals
+    in both the Spark filter and the oracle SQL)."""
+    cents = ivf_centroid_weights(len(query_vec), n_cells)
+    dots = []
+    for cell in range(n_cells):
+        acc = 0.0
+        for i, x in enumerate(query_vec):
+            acc = acc + float(x) * float(cents[cell, i])
+        dots.append(acc)
+    return sorted(range(n_cells), key=lambda c: (-dots[c], c))[:nprobe]
+
+
+def ivf_write_index(
+    emb: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the corpus re-written as parquet
+    partitioned by cell id.  At 100 TB this is the one-off index build;
+    every subsequent probe is pure partition pruning (reads
+    nprobe/n_cells of the data, no shuffle, no full scan)."""
+    tagged = ivf_assign_cells(emb, dim=dim, n_cells=n_cells, vec_col=vec_col)
+    tagged.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    extra_cols: tuple[str, ...] = ("label",),
+) -> DataFrame:
+    """Probe an IVF index: scan only the ``nprobe`` nearest cells
+    (partition-pruned parquet read — check PartitionFilters in the plan),
+    then exact fold-cosine re-rank so the result is oracle-checkable."""
+    cells = ivf_probe_cells(query_vec, nprobe=nprobe, n_cells=n_cells)
+    pruned = spark.read.parquet(index_path).where(F.col("cell").isin(cells))
+    return cosine_topk(
+        pruned,
+        query_vec,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        extra_cols=tuple(extra_cols) + ("cell",),
     )
 
 

@@ -201,6 +201,66 @@ def emb_lsh_neardup_sql(
     )
 
 
+def ivf_topk_sql(
+    query_vec_id: int = 0,
+    k: int = 10,
+    dim: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Oracle for operators.similarity.ivf_probe_topk.
+
+    Recomputes the md5-derived centroids, the sequential-fold cell
+    assignment (argmax dot, ties to lowest cell), the nprobe probe-cell
+    ranking, and the exact cosine top-k over the probed cells — entirely
+    in SQL, bit-identical to the Spark index + partition-pruned scan.
+    """
+    w_expr = (
+        "('0x' || substr(md5('ivf|' || c::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT"
+        f" / {2**59}.0 - 1.0"
+    )
+    cell_dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[e.embedding[i]::DOUBLE * c.w[i] FOR i IN range(1, {dim + 1})]), "
+        "(acc, x) -> acc + x)"
+    )
+    probe_dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[q.qv[i]::DOUBLE * c.w[i] FOR i IN range(1, {dim + 1})]), "
+        "(acc, x) -> acc + x)"
+    )
+
+    def dot(u: str, v: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{u}[i]::DOUBLE * {v}[i]::DOUBLE FOR i IN range(1, {dim + 1})]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    cos = (
+        f"(round(({dot('cand.embedding', 'q.qv')} / "
+        f"sqrt({dot('cand.embedding', 'cand.embedding')} * {dot('q.qv', 'q.qv')})) "
+        "* 1000000) / 1000000)"
+    )
+    return (
+        f"WITH cents AS (SELECT c, [{w_expr} FOR i IN range(1, {dim + 1})] AS w "
+        f"FROM range({n_cells}) t(c)), "
+        f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
+        "assign AS (SELECT vec_id, cell FROM ("
+        f"SELECT e.vec_id, c.c::INTEGER AS cell, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {cell_dot} DESC, c.c) AS rn "
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), "
+        f"probe AS (SELECT c.c::INTEGER AS cell FROM cents c, q "
+        f"ORDER BY {probe_dot} DESC, c.c LIMIT {nprobe}), "
+        "cand AS (SELECT e.vec_id, e.label, e.embedding, a.cell "
+        "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id "
+        "WHERE a.cell IN (SELECT cell FROM probe)) "
+        f"SELECT cand.vec_id, cand.label, cand.cell, {cos} AS cos_sim "
+        "FROM cand, q "
+        f"ORDER BY cos_sim DESC, cand.vec_id LIMIT {k}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text-analysis oracles (functions/text.py mirrors)
 # ---------------------------------------------------------------------------

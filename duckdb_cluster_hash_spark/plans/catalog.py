@@ -1311,6 +1311,34 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_ann_topk", oracle=_ot.ivf_topk_sql(0, 10, 64, 16, 4))
+def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search (C5, the 100 TB similarity story): IVF index build +
+    partition-pruned probe.  The corpus is re-written as parquet
+    partitioned by a deterministic md5-centroid cell id; the probe reads
+    ONLY the nprobe=4 of n_cells=16 cell partitions nearest the query
+    (PartitionFilters in the scan — 1/4 of the data touched, no shuffle),
+    then exact fold-cosine re-ranks the survivors.  A kmeans-trained
+    quantizer (ivf_topk) plugs into the same index/probe machinery; the
+    md5 quantizer is used here so the DuckDB oracle can recompute cell
+    assignment bit-for-bit."""
+    import os as _os
+    import tempfile as _tf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    index_path = _os.path.join(
+        _tf.gettempdir(), f"dch_ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    _sim.ivf_write_index(emb, index_path, dim=64, n_cells=16)
+    return _sim.ivf_probe_topk(
+        spark, index_path, qvec, k=10, nprobe=4, n_cells=16
+    )
+
+
 @query("docs_neardup_components", oracle=_ot.neardup_components_sql(3, 16, 8, 2, 0.2))
 def docs_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering (C4 end-game): MinHash pairs -> connected

@@ -187,3 +187,16 @@ def test_no_row_at_a_time_iteration_in_package():
         if ".iterrows()" in p.read_text() or ".itertuples()" in p.read_text()
     ]
     assert offenders == []
+
+
+def test_emb_ann_topk_scan_is_partition_pruned(spark, sf_small):
+    """The IVF probe must read only the nprobe cell partitions: the parquet
+    scan carries a PartitionFilters entry on `cell` and the partition count
+    read is < the total cell count (the 100 TB story: probing is pruning)."""
+    df = QUERIES["emb_ann_topk"](spark, sf_small)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "cell" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"empty partition filters in:\n{plan}"
