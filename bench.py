@@ -61,6 +61,35 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
     }
+
+    # round-over-round visibility: compare against the latest driver-recorded
+    # bench artifact; deltas ride along in the JSON, details go to stderr
+    import glob
+
+    prevs = sorted(glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+    if prevs:
+        try:
+            with open(prevs[-1]) as fh:
+                prev = json.load(fh)
+            # driver artifacts wrap the bench line under "parsed"
+            if "parsed" in prev and isinstance(prev["parsed"], dict):
+                prev = prev["parsed"]
+            result["prev_round"] = os.path.basename(prevs[-1])
+            result["prev_total"] = prev.get("value")
+            result["delta_total"] = round(result["value"] - float(prev["value"]), 3)
+            moved = {
+                q: round(t - prev["queries"][q], 3)
+                for q, t in timings.items()
+                if q in prev.get("queries", {}) and abs(t - prev["queries"][q]) >= 0.5
+            }
+            if moved:
+                print(
+                    "bench delta vs %s: %s"
+                    % (result["prev_round"], json.dumps(moved, sort_keys=True)),
+                    file=sys.stderr,
+                )
+        except (ValueError, KeyError, TypeError, OSError):
+            pass
     print(json.dumps(result))
     return 0
 

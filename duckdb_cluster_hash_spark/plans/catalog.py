@@ -149,6 +149,26 @@ def cluster_user_keys_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drop_table_and_location(spark: SparkSession, name: str) -> None:
+    """DROP TABLE IF EXISTS plus stale-location cleanup.
+
+    With the default in-memory catalog a new session forgets managed
+    tables but their warehouse directories persist, so a bare CREATE
+    fails with LOCATION_ALREADY_EXISTS.  A persistent metastore (the
+    cluster deployment) wouldn't hit this — DROP removes the location —
+    so the rmtree is local-session hygiene, not part of the semantics.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(warehouse, name.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc)
+
+
 @query(
     "ddl_readme_flow",
     oracle=(
@@ -164,7 +184,7 @@ def ddl_readme_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle validates the values; the Spark side is the capability
     under test — a real warehouse round-trip, not a temp view."""
     register_all(spark)
-    spark.sql("DROP TABLE IF EXISTS ddl_test_keys")
+    _drop_table_and_location(spark, "ddl_test_keys")
     spark.sql("CREATE TABLE ddl_test_keys (key STRING) USING parquet")
     spark.sql(
         "INSERT INTO ddl_test_keys VALUES ('user:1000'), ('product:5432'), "
@@ -189,7 +209,7 @@ def ddl_ctas_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """README.md:108-120 verbatim via CTAS (B5): materialize generated
     keys as a parquet table, then the shard histogram over the table."""
     register_all(spark)
-    spark.sql("DROP TABLE IF EXISTS ddl_many_keys")
+    _drop_table_and_location(spark, "ddl_many_keys")
     spark.sql(
         "CREATE TABLE ddl_many_keys USING parquet AS "
         "SELECT concat('user:', id) AS key FROM range(1, 1001)"
