@@ -379,6 +379,250 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "tpch_q6_forecast_revenue",
+    oracle=(
+        "SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+        "CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue, "
+        "CAST(count(*) AS BIGINT) AS n_items "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.05::DOUBLE AND 0.07::DOUBLE AND l_quantity < 24"
+    ),
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan filter + global agg.  All three
+    predicates push into the parquet scan (PushedFilters); the aggregate
+    is a partial->final pair with no groupBy shuffle width."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * F.col(
+        "l_discount"
+    ).cast("decimal(18,4)")
+    return li.agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@query(
+    "lineitem_priority_channels",
+    oracle=(
+        "SELECT l_linestatus, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY l_linestatus ORDER BY l_linestatus"
+    ),
+)
+def lineitem_priority_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join + two conditional-count channels
+    (one pass, no per-channel re-scan)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle=(
+        "WITH agg AS (SELECT "
+        "CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) "
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo, "
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS DOUBLE) AS total "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01') "
+        "SELECT round(100.0 * promo / total * 10000) / 10000 AS promo_pct, "
+        "CAST(round(promo, 2) AS DOUBLE) AS promo_revenue, "
+        "CAST(round(total, 2) AS DOUBLE) AS total_revenue FROM agg"
+    ),
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: broadcast dim join + conditional-aggregate ratio.
+    Sums are DECIMAL-exact (order-independent); the ratio divides the two
+    decimal-exact sums as doubles, so both engines see identical bits."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,4)")
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+            .cast("double")
+            .alias("promo"),
+            F.sum(rev).cast("double").alias("total"),
+        )
+    )
+    return agg.select(
+        (
+            F.round(F.lit(100.0) * F.col("promo") / F.col("total") * 10000)
+            / 10000
+        ).alias("promo_pct"),
+        (F.round(F.col("promo") * 100) / 100).cast("double").alias("promo_revenue"),
+        (F.round(F.col("total") * 100) / 100).cast("double").alias("total_revenue"),
+    )
+
+
+@query(
+    "orders_grouping_sets",
+    oracle=(
+        "WITH o AS (SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+        "o_totalprice FROM orders) "
+        "SELECT o_orderpriority, order_year, "
+        "CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri, "
+        "CAST(GROUPING(order_year) AS INTEGER) AS g_year, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price "
+        "FROM o GROUP BY GROUPING SETS ((o_orderpriority, order_year), "
+        "(o_orderpriority), (order_year), ()) "
+        "ORDER BY g_pri, g_year, o_orderpriority, order_year"
+    ),
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregate via GROUPING SETS (beyond ROLLUP/CUBE:
+    an explicit lattice) with GROUPING() null-vs-subtotal markers.  One
+    shuffle; Spark expands the sets map-side."""
+    _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_totalprice",
+    ).createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        "SELECT o_orderpriority, order_year, "
+        "CAST(grouping(o_orderpriority) AS INT) AS g_pri, "
+        "CAST(grouping(order_year) AS INT) AS g_year, "
+        "count(*) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price "
+        "FROM _gs_orders GROUP BY GROUPING SETS ((o_orderpriority, order_year), "
+        "(o_orderpriority), (order_year), ()) "
+        "ORDER BY g_pri, g_year, o_orderpriority, order_year"
+    )
+
+
+@query(
+    "customer_spend_deciles",
+    oracle=(
+        "WITH spend AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,4))) AS s "
+        "FROM orders GROUP BY o_custkey), "
+        "d AS (SELECT o_custkey, s, CAST(ntile(10) OVER (ORDER BY s DESC, o_custkey) AS INTEGER) AS decile FROM spend) "
+        "SELECT decile, CAST(count(*) AS BIGINT) AS n_customers, "
+        "CAST(round(sum(s), 2) AS DOUBLE) AS decile_spend "
+        "FROM d GROUP BY decile ORDER BY decile"
+    ),
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile segmentation over exact-decimal customer spend.
+    The sort key is DECIMAL (exact) with custkey tie-break, so the decile
+    boundaries are deterministic across engines."""
+    from pyspark.sql.window import Window
+
+    spend = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"))
+    )
+    d = spend.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("s"), F.asc("o_custkey"))),
+    )
+    return (
+        d.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("s"), 2).cast("double").alias("decile_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+@query(
+    "part_price_histogram",
+    oracle=(
+        "WITH b AS (SELECT CAST(LEAST(CAST(floor((p_retailprice - 900.0) / 10.0) AS INTEGER), 9) AS INTEGER) AS bucket, "
+        "p_retailprice FROM part) "
+        "SELECT bucket, CAST(count(*) AS BIGINT) AS n_parts, "
+        "CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS bucket_value "
+        "FROM b GROUP BY bucket ORDER BY bucket"
+    ),
+)
+def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram via arithmetic bucketing (floor of an
+    exact double division — bit-identical across engines)."""
+    part = _t(spark, sf_dir, "part")
+    bucket = F.least(
+        F.floor((F.col("p_retailprice") - 900.0) / 10.0).cast("int"), F.lit(9)
+    )
+    return (
+        part.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum(F.col("p_retailprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("bucket_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "events_user_first_last",
+    oracle=(
+        "WITH w AS (SELECT user_id, "
+        "first_value(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS first_type, "
+        "first_value(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS last_type, "
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM events) "
+        "SELECT DISTINCT user_id, first_type, last_type, "
+        "CAST(n_events AS BIGINT) AS n_events FROM w ORDER BY user_id"
+    ),
+)
+def events_user_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value windows: each user's first and last event
+    type.  Ordering key is integer microseconds + event_id on both sides,
+    so sub-microsecond timestamp precision cannot flip the frame order."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    fwd = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    bwd = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            F.first("event_type").over(fwd).alias("first_type"),
+            F.first("event_type").over(bwd).alias("last_type"),
+            F.count("*").over(Window.partitionBy("user_id")).alias("n_events"),
+        )
+        .distinct()
+        .orderBy("user_id")
+    )
+
+
+@query(
     "tpch_q3_shipping_priority",
     oracle=(
         "SELECT l_orderkey, "
