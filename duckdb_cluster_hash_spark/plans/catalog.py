@@ -1623,3 +1623,130 @@ def docs_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, k=16, bands=8, rows=2, threshold=0.2,
     )
     return _dd.neardup_components(pairs)
+
+
+@query(
+    "events_dedup_ingest",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def events_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion from at-least-once delivery (C3 x C7):
+    every 10th event is redelivered (simulated retry), the id-dedup stage
+    drops the replays, and the per-type totals equal the clean table —
+    which is exactly what the oracle computes directly.  The streaming
+    variant (dropDuplicatesWithinWatermark, bounded state) is the same
+    function; stream == batch is asserted in tests/test_streaming.py."""
+    ev = _t(spark, sf_dir, "events")
+    redelivered = ev.where(F.pmod(F.col("event_id"), 10) == 0)
+    deduped = _ev.dedup_events_stream(ev.unionByName(redelivered))
+    return (
+        deduped.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "formats_csv_roundtrip",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+)
+def formats_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink (B11 beyond parquet), graded by the oracle: write
+    orders out as headered CSV, read it back with an explicit schema, and
+    aggregate — doubles survive because Spark writes the shortest decimal
+    repr and parses it back to the identical bits."""
+    import os as _os
+    import tempfile as _tf
+
+    path = _os.path.join(
+        _tf.gettempdir(), f"dch_csv_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    orders.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema("o_orderpriority string, o_totalprice double")
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "formats_json_roundtrip",
+    oracle=(
+        "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+        "CAST(min(p_size) AS INTEGER) AS min_size, "
+        "CAST(max(p_size) AS INTEGER) AS max_size "
+        "FROM part GROUP BY p_brand ORDER BY p_brand"
+    ),
+)
+def formats_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink (B11), graded by the oracle: part rows out
+    as JSONL, read back with an explicit schema, aggregated."""
+    import os as _os
+    import tempfile as _tf
+
+    path = _os.path.join(
+        _tf.gettempdir(), f"dch_json_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    part = _t(spark, sf_dir, "part").select("p_brand", "p_size")
+    part.write.mode("overwrite").json(path)
+    back = spark.read.schema("p_brand string, p_size int").json(path)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "docs_token_top20",
+    oracle=(
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
+        "FROM documents) "
+        "SELECT w, CAST(count(*) AS BIGINT) AS n FROM w "
+        "GROUP BY w ORDER BY n DESC, w LIMIT 20"
+    ),
+)
+def docs_token_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-k (C6): the Zipf head every
+    training-data report starts with.  ORDER BY + LIMIT plans as
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(20)
+    )

@@ -40,7 +40,26 @@ __all__ = [
     "sessionize",
     "route_events_to_nodes",
     "running_user_totals",
+    "dedup_events_stream",
 ]
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once ingestion from at-least-once delivery (C3 x C7).
+
+    Kafka-style sources redeliver on retry; dropping redelivered
+    ``event_id``s is the first stage of every production ingest.  In
+    streaming mode ``dropDuplicatesWithinWatermark`` keeps one state
+    entry per id only until the watermark passes it — bounded state, so
+    it runs forever; the batch equivalent is a plain
+    ``dropDuplicates(["event_id"])``, which is how the oracle and the
+    stream==batch test check it.
+    """
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
 
 
 def stage_events_as_stream(

@@ -170,3 +170,26 @@ def test_running_user_totals_stateful(spark, staged):
     assert len(latest) == len(expected)
     for uid, (n, _total) in latest.items():
         assert n == expected[uid], uid
+
+
+def test_stream_dedup_drops_redelivered_ids(spark, staged, tmp_path):
+    """dropDuplicatesWithinWatermark: a doubled delivery (every chunk
+    staged twice) dedups back to the batch-distinct event set."""
+    import shutil
+
+    from duckdb_cluster_hash_spark.streaming.events import dedup_events_stream
+
+    doubled = str(tmp_path / "doubled")
+    os.makedirs(doubled)
+    for d in os.listdir(staged):
+        shutil.copytree(os.path.join(staged, d), os.path.join(doubled, d))
+        shutil.copytree(os.path.join(staged, d), os.path.join(doubled, d + "_redelivered"))
+    stream = read_events_stream(spark, doubled)
+    got = _run_to_memory(spark, dedup_events_stream(stream), "dedup_sink")
+    batch = load_table(spark, SF, "events")
+    assert got.count() == batch.count()
+    assert got.select(F.sum("event_id")).head()[0] == \
+        batch.select(F.sum("event_id")).head()[0]
+    # batch mode goes through the same entry point
+    doubled_batch = batch.unionByName(batch)
+    assert dedup_events_stream(doubled_batch).count() == batch.count()
