@@ -1750,3 +1750,236 @@ def docs_token_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("w"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H subquery / decorrelation shapes (Tier B breadth)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle=(
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+        "FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a LEFT SEMI join.
+
+    Scale: the semi join hashes on the equi key ``l_orderkey`` and applies
+    the non-equi shipdate predicate as a residual filter inside the same
+    hash join — one shuffle per side, no subquery re-execution per row
+    (correlated EXISTS would be O(n) scans on a naive engine).  AQE can
+    further convert to broadcast when the filtered orders side is small.
+    Reference surface parity: host-engine SQL tier (SURVEY.md S2 Tier B).
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q13_customer_order_counts",
+    oracle=(
+        "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+        "  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+        "  FROM customer LEFT OUTER JOIN orders "
+        "  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' "
+        "  GROUP BY c_custkey) "
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+    ),
+)
+def tpch_q13_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with an ON-clause filter + two-level
+    aggregation (count per customer, then distribution of counts).
+
+    Scale: the ON-clause predicate must NOT be pushed as a WHERE (that
+    would turn the outer join inner and drop zero-order customers) —
+    expressing it in the join condition keeps semantics and still prunes
+    the orders scan.  Second aggregation runs on the already-shrunk
+    per-customer relation.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle=(
+        "WITH pq AS (SELECT l_partkey AS pk, "
+        "sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty, "
+        "CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY l_partkey) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS small_qty_revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "JOIN pq ON pk = l_partkey "
+        "WHERE p_brand = 'Brand#4' "
+        "AND 5 * CAST(l_quantity AS DECIMAL(18,4)) * cnt < sum_qty"
+    ),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar AVG subquery, decorrelated into
+    a per-part aggregate joined back to the fact.
+
+    Numeric discipline: the correlated predicate ``l_quantity <
+    0.2 * avg(l_quantity)`` is rewritten multiplication-only as
+    ``5 * qty * cnt < sum_qty`` over DECIMAL — exact in both engines,
+    immune to decimal-division scale differences (see module docstring).
+    Scale: per-part partial aggregation shrinks before the join; the
+    brand filter is pushed to the part scan and the part side is
+    broadcast.  No per-row subquery execution.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4").select("p_partkey")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pq, li.l_partkey == pq.pk)
+        .where(
+            F.lit(5) * F.col("l_quantity").cast("decimal(18,4)") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q18_large_volume_customers",
+    oracle=(
+        "SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, "
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 300) "
+        "GROUP BY c_name, o_orderkey, o_orderdate "
+        "ORDER BY total_qty DESC, o_orderkey LIMIT 20"
+    ),
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-IN subquery as a semi join on an aggregate.
+
+    Scale: the big-order keys are found with one partial-agg pass over
+    lineitem (map-side combine shrinks before the shuffle), then used as
+    a LEFT SEMI probe — at real SF the qualifying key set is tiny, so AQE
+    flips the semi join to broadcast.  Top-k is ORDER BY + LIMIT →
+    TakeOrderedAndProject, never a global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sq"))
+        .where(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    orders_raw = _t(spark, sf_dir, "orders")
+    orders = orders_raw.join(
+        big, orders_raw.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_sq"))
+        .orderBy(F.desc("_sq"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("_sq").cast("double").alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "tpch_q22_dormant_rich_customers",
+    oracle=(
+        "WITH avgbal AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,4))) AS s, "
+        "CAST(count(*) AS BIGINT) AS n FROM customer WHERE c_acctbal > 0) "
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust, "
+        "CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal "
+        "FROM customer, avgbal "
+        "WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > s "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+)
+def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar aggregate subquery + NOT EXISTS
+    anti join ("rich customers with no recent orders").
+
+    Numeric discipline: ``acctbal > avg(positive acctbal)`` is rewritten
+    multiplication-only as ``acctbal * n > sum`` over DECIMAL (exact both
+    engines).  Scale: the 1-row aggregate is a broadcast nested-loop of a
+    single row (free); the anti join hashes on ``o_custkey`` with the
+    date filter pushed to the orders scan — a correlated NOT EXISTS
+    would rescan orders per customer.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    avgbal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("s"),
+        F.count("*").alias("n"),
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avgbal))
+        .where(F.col("c_acctbal").cast("decimal(18,4)") * F.col("n") > F.col("s"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -200,3 +200,38 @@ def test_emb_ann_topk_scan_is_partition_pruned(spark, sf_small):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and m.group(1).strip(), f"empty partition filters in:\n{plan}"
+
+
+def test_q4_exists_plans_as_semi_join(spark, sf_small):
+    """EXISTS must decorrelate to one hash semi join, not a per-row subquery."""
+    plan = plan_of(QUERIES["tpch_q4_order_priority"](spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q13_outer_join_keeps_on_clause_filter(spark, sf_small):
+    """The priority filter lives in the join, not a WHERE: the optimized plan
+    must still be a LEFT OUTER join (a pushed filter would make it inner and
+    silently drop zero-order customers)."""
+    df = QUERIES["tpch_q13_customer_order_counts"](spark, sf_small)
+    assert "LeftOuter" in optimized_of(df)
+
+
+def test_q17_decorrelates_without_cartesian(spark, sf_small):
+    plan = plan_of(QUERIES["tpch_q17_small_quantity_revenue"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # brand-filtered part side broadcast
+
+
+def test_q18_semi_join_and_topk(spark, sf_small):
+    plan = plan_of(QUERIES["tpch_q18_large_volume_customers"](spark, sf_small))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q22_anti_join_no_per_row_subquery(spark, sf_small):
+    plan = plan_of(QUERIES["tpch_q22_dormant_rich_customers"](spark, sf_small))
+    assert "LeftAnti" in plan
+    # the single-row aggregate broadcast is the only nested-loop allowed
+    assert "CartesianProduct" not in plan
