@@ -430,3 +430,34 @@ def neardup_components_sql(
         "SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a) "
         "SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src"
     )
+
+
+def corpus_curation_sql(table: str = "documents", min_quality: float = 0.5) -> str:
+    """Oracle for the end-to-end curation pipeline report.
+
+    Decision ladder per document (first match wins):
+    ``duplicate`` (not the min-doc_id holder of its md5(text) digest) →
+    ``low_quality`` (quality score < min_quality) → ``kept``.
+    """
+    feats = ", ".join(
+        f"{sql} AS {name}" for name, sql in _QUALITY_FEATURES_SQL.items()
+    )
+    score = (
+        "(round((0.25 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 "
+        "THEN 1.0 ELSE 0.0 END) + 0.25 * (1.0 - repetition_ratio) "
+        "+ 0.25 * least(stop_ratio * 5, 1.0) "
+        "+ 0.25 * (1.0 - least(punct_ratio * 4, 1.0))) * 10000) / 10000)"
+    )
+    return (
+        f"WITH feats AS (SELECT doc_id, text, {feats} FROM {table}), "
+        f"scored AS (SELECT doc_id, n_tokens, {score} AS quality, "
+        f"{language_id_case_sql()} AS lang_id, "
+        "min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM feats), "
+        "decided AS (SELECT lang_id, n_tokens, CASE "
+        "WHEN doc_id <> rep THEN 'duplicate' "
+        f"WHEN quality < {min_quality} THEN 'low_quality' "
+        "ELSE 'kept' END AS decision FROM scored) "
+        "SELECT lang_id, decision, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total "
+        "FROM decided GROUP BY lang_id, decision ORDER BY lang_id, decision"
+    )

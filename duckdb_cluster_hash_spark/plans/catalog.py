@@ -1983,3 +1983,54 @@ def tpch_q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query("docs_corpus_curation", oracle=_ot.corpus_curation_sql(min_quality=0.65))
+def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation report (C3+C6 composite):
+    exact-dup detection, quality scoring, and language ID fused into one
+    keep/drop decision per document, aggregated per (lang, decision).
+
+    Scale: ONE pass over the corpus — the md5-digest window is the only
+    shuffle (same key a digest groupBy would use, and only (doc_id,
+    digest, small ints) cross the wire conceptually; text-derived
+    features are computed scan-side before the exchange).  Quality and
+    lang-ID are pure codegen Column chains (no Python).  The decision
+    ladder mirrors a production pipeline: dedup wins over quality so
+    re-ingested copies never double-count against quality stats.
+    """
+    from pyspark.sql.window import Window
+
+    from duckdb_cluster_hash_spark.functions.text import (
+        language_id_col,
+        quality_features,
+        quality_score_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(docs, "text")
+    scored = feats.select(
+        "doc_id",
+        "n_tokens",
+        quality_score_col().alias("quality"),
+        language_id_col(F.col("text")).alias("lang_id"),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text"))))
+        .alias("rep"),
+    )
+    decided = scored.select(
+        "lang_id",
+        "n_tokens",
+        F.when(F.col("doc_id") != F.col("rep"), "duplicate")
+        .when(F.col("quality") < 0.65, "low_quality")
+        .otherwise("kept")
+        .alias("decision"),
+    )
+    return (
+        decided.groupBy("lang_id", "decision")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        )
+        .orderBy("lang_id", "decision")
+    )
