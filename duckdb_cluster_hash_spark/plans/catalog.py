@@ -2034,3 +2034,36 @@ def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_id", "decision")
     )
+
+
+@query(
+    "events_enriched_by_segment",
+    oracle=(
+        "SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
+        "FROM events LEFT JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type"
+    ),
+)
+def events_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, graded on its batch equivalent
+    (C7): events joined to the customer dim (broadcast) and rolled up per
+    (segment, event type).  The same ``enrich_events_with_dim`` runs
+    stateless inside a readStream — see streaming/events.py and
+    tests/test_streaming.py.
+    """
+    from duckdb_cluster_hash_spark.streaming import enrich_events_with_dim
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        enrich_events_with_dim(ev, cust)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )

@@ -7,4 +7,6 @@ from duckdb_cluster_hash_spark.streaming.events import (  # noqa: F401
     sessionize,
     route_events_to_nodes,
     running_user_totals,
+    dedup_events_stream,
+    enrich_events_with_dim,
 )

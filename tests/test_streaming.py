@@ -193,3 +193,35 @@ def test_stream_dedup_drops_redelivered_ids(spark, staged, tmp_path):
     # batch mode goes through the same entry point
     doubled_batch = batch.unionByName(batch)
     assert dedup_events_stream(doubled_batch).count() == batch.count()
+
+
+def test_enrich_stream_matches_batch(spark, staged):
+    from duckdb_cluster_hash_spark.streaming import enrich_events_with_dim
+
+    dim = load_table(spark, SF, "customer")
+    stream = read_events_stream(spark, staged)
+    got = _run_to_memory(
+        spark, enrich_events_with_dim(stream, dim), "enrich_sink"
+    )
+    batch = enrich_events_with_dim(load_table(spark, SF, "events"), dim)
+    # stream-static join is stateless: every input row must come out,
+    # enriched identically to the batch join
+    assert got.count() == batch.count()
+    g = got.groupBy("c_mktsegment").count().collect()
+    b = batch.groupBy("c_mktsegment").count().collect()
+    assert {(r["c_mktsegment"], r["count"]) for r in g} == \
+        {(r["c_mktsegment"], r["count"]) for r in b}
+
+
+def test_enrich_is_streaming_and_batch_plan_broadcasts(spark, staged):
+    from duckdb_cluster_hash_spark.streaming import enrich_events_with_dim
+
+    dim = load_table(spark, SF, "customer")
+    stream = read_events_stream(spark, staged)
+    # the stream side stays a stream (stateless stream-static join —
+    # no watermark required, no state store)
+    assert enrich_events_with_dim(stream, dim).isStreaming
+    # the dimension side is broadcast: the fact never shuffles for this join
+    batch = enrich_events_with_dim(load_table(spark, SF, "events"), dim)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
