@@ -2067,3 +2067,585 @@ def events_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "event_type")
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle=(
+        "SELECT supp_nation, cust_nation, l_year, "
+        "CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue "
+        "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INTEGER) AS l_year, l_extendedprice, l_discount "
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31') "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year"
+    ),
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: same dimension joined twice under different roles
+    (supplier nation vs customer nation) + a disjunctive cross-role filter.
+
+    Scale: both nation copies broadcast; the OR pair filter evaluates
+    post-join on broadcast columns (cheap), while the shipdate range is
+    pushed into the lineitem scan.  Facts shuffle once per equi key.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") *
+           (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair_ok)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=(
+        "WITH allrev AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+        "sum(CASE WHEN n2.n_name = 'NATION_3' "
+        "THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) "
+        "ELSE 0 END) AS nat, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS tot "
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "JOIN region ON n1.n_regionkey = r_regionkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+        "JOIN part ON p_partkey = l_partkey "
+        "WHERE r_name = 'ASIA' AND p_type = 'PROMO' GROUP BY o_year) "
+        "SELECT o_year, "
+        "(round(CAST(nat AS DOUBLE) * 10000 / CAST(tot AS DOUBLE))) / 10000 AS mkt_share "
+        "FROM allrev ORDER BY o_year"
+    ),
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: conditional-sum market share over a 8-way join.
+
+    Numeric discipline: numerator/denominator are DECIMAL-exact sums; the
+    share ratio is computed as one double division then integer-scaled
+    rounding — both engines see bit-identical operands, so the ratio is
+    reproducible (never round a raw double with round(x, k)).
+    Scale: all dimensions broadcast, single fact shuffle; the CASE
+    numerator avoids a second pass / self-join over the fact.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") *
+           (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_rkey") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(
+                F.lit(0).cast("decimal(18,4)"))).alias("nat"),
+            F.sum(rev).alias("tot"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        (F.round(F.col("nat").cast("double") * 10000 / F.col("tot").cast("double"))
+         / 10000).alias("mkt_share"),
+    ).orderBy("o_year")
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=(
+        "SELECT c_custkey, c_name, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-revenue top-k customers in a quarter.
+
+    Scale: both filters push to their scans (returnflag into lineitem,
+    the date range into orders); customer broadcast; top-20 is
+    TakeOrderedAndProject.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") *
+           (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("*").alias("n_lines"), F.sum(rev).alias("_rev"))
+        .orderBy(F.desc("_rev"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_lines",
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=(
+        "WITH rev AS (SELECT l_suppkey, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS r "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, "
+        "CAST(round(r, 2) AS DOUBLE) AS total_revenue "
+        "FROM supplier JOIN rev ON s_suppkey = l_suppkey "
+        "WHERE r = (SELECT max(r) FROM rev) ORDER BY s_suppkey"
+    ),
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate compared against the MAX of the same
+    aggregate (the view + scalar-subquery pattern).
+
+    Numeric discipline: the equality test runs on the DECIMAL-exact sums
+    (order-independent), so ties are bit-deterministic on both engines.
+    Scale: per-supplier partial agg shrinks lineitem before anything
+    else; the global max is a 1-row broadcast probed by every row — no
+    second scan of lineitem, no single-partition window.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        ).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("r") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("r"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35) "
+        "OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 20 AND 50)"
+    ),
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing join-side columns.
+
+    Scale: the disjunction references both part and lineitem columns, so
+    it cannot fully push below the join — but Catalyst derives the
+    common implied constraints and keeps the equi hash join; part side
+    broadcast.  No fact-side cartesian fallback.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#4")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 35)
+    ) | (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(20, 50)
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)") *
+           (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle=(
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+        "FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+        "JOIN orders ON o_orderkey = l1.l_orderkey "
+        "WHERE o_orderstatus = 'F' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+        "AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey "
+        "AND l3.l_suppkey <> l1.l_suppkey AND l3.l_shipdate > l1.l_shipdate) "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"
+    ),
+)
+def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-correlations on the fact
+    (suppliers holding up multi-supplier finished orders — adapted to
+    this corpus's columns: l_shipdate stands in for receipt/commit).
+
+    Scale: both correlations decorrelate to hash semi/anti joins on
+    ``l_orderkey`` with residual inequality predicates — the fact
+    shuffles on the same key for all three joins, so Spark reuses the
+    exchange; no per-row subquery, no cartesian.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    supp = _t(spark, sf_dir, "supplier")
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("l3_orderkey"),
+        F.col("l_suppkey").alias("l3_suppkey"),
+        F.col("l_shipdate").alias("l3_shipdate"),
+    )
+    waiting = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("l2_orderkey"))
+            & (F.col("l_suppkey") != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("l3_orderkey"))
+            & (F.col("l_suppkey") != F.col("l3_suppkey"))
+            & (F.col("l3_shipdate") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=(
+        "WITH offers AS (SELECT l_partkey, l_suppkey, "
+        "min(l_extendedprice) AS offer FROM lineitem GROUP BY l_partkey, l_suppkey), "
+        "best AS (SELECT l_partkey AS b_partkey, min(offer) AS best_offer "
+        "FROM offers GROUP BY l_partkey) "
+        "SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, offer "
+        "FROM offers JOIN best ON l_partkey = b_partkey AND offer = best_offer "
+        "JOIN part ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE p_size = 15 AND r_name = 'EUROPE' "
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 25"
+    ),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part via a correlated MIN
+    subquery, decorrelated to agg + join (no partsupp in this corpus, so
+    the per-(part, supplier) min lineitem price stands in for ps_supplycost).
+
+    Numeric discipline: the join equality runs on two MIN() results of the
+    same parquet doubles — MIN is order-independent and bit-exact on both
+    engines, so double equality is safe here (never true for SUM/AVG).
+    Scale: the offer table is a partial-aggregated rollup of the fact
+    (shuffles (partkey, suppkey), far smaller than lineitem); the per-part
+    best is a second small agg; dimensions broadcast; top-25 is
+    TakeOrderedAndProject, no global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("offer")
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("offer").alias("best_offer")
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.b_partkey)
+            & (F.col("offer") == F.col("best_offer")),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "offer")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(25)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=(
+        "SELECT nation, o_year, "
+        "CAST(round(sum(margin), 2) AS DOUBLE) AS sum_profit FROM ("
+        "SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, "
+        "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4)) "
+        "- CAST(p_retailprice * 0.5 AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS margin "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "WHERE p_name LIKE '%bolt%') "
+        "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+    ),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name substring (p_retailprice*0.5 stands in for
+    ps_supplycost — this corpus has no partsupp).
+
+    Numeric discipline: margin is DECIMAL-exact per row (the *0.5 halving
+    is exact in binary, so the double->DECIMAL cast sees the same value on
+    both engines); the sum commutes.  Scale: the LIKE filter prunes part
+    before the join, part/supplier/nation broadcast, single fact shuffle
+    on o_orderkey.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    margin = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+        - (F.col("p_retailprice") * F.lit(0.5)).cast("decimal(18,4)")
+        * F.col("l_quantity").cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(margin), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle=(
+        "WITH v AS (SELECT l_partkey AS partkey, "
+        "sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))) AS val "
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'EUROPE' GROUP BY l_partkey) "
+        "SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS part_value "
+        "FROM v WHERE CAST(val AS DECIMAL(20,8)) * (SELECT count(*) FROM v) > "
+        "2 * (SELECT CAST(sum(val) AS DECIMAL(28,8)) FROM v) "
+        "ORDER BY val DESC, partkey"
+    ),
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered against a scalar fraction
+    of the global total (HAVING sum > f * SUM-over-everything).
+
+    Numeric discipline: the threshold test is integer-scaled DECIMAL
+    (val * n_parts > 2 * total, i.e. share > 2x the average — scale
+    invariant, unlike TPC-H's SF-tuned constant) — no double division and
+    no precision-loss multiply ((20,8) x (10,0) stays under 38 digits), so
+    the boundary row set is bit-identical on both engines.  Scale: one
+    partial-agg shuffle on partkey; the global total+count is a 1-row
+    broadcast probed map-side; no second fact scan.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)")
+    )
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(rev).alias("val"))
+    )
+    total = v.agg(
+        F.sum("val").cast("decimal(28,8)").alias("total"),
+        F.count("*").cast("decimal(10,0)").alias("n_parts"),
+    )
+    return (
+        v.join(F.broadcast(total))
+        .where(
+            F.col("val").cast("decimal(20,8)") * F.col("n_parts")
+            > F.lit(2) * F.col("total")
+        )
+        .select("partkey", F.round(F.col("val"), 2).cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle=(
+        "SELECT p_brand, p_type, p_size, "
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+        "AND p_size IN (1, 4, 9, 16, 25, 36, 49) "
+        "AND l_suppkey NOT IN "
+        "(SELECT s_suppkey FROM supplier WHERE s_name LIKE '%00000007%') "
+        "GROUP BY p_brand, p_type, p_size "
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 30"
+    ),
+)
+def tpch_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT) per part attribute triple with a
+    NOT IN anti-subquery on the supplier side.
+
+    Scale: NOT IN decorrelates to a broadcast LEFT ANTI join (the excluded
+    supplier list is tiny); the distinct-count shuffles (brand, type,
+    size, suppkey) once, then a cheap regroup — Spark's two-phase
+    distinct-agg expansion, no row explosion.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%00000007%"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(30)
+    )
+
+
+@query(
+    "tpch_q20_promotable_suppliers",
+    oracle=(
+        "SELECT s_suppkey, s_name FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE n_name = 'NATION_2' AND s_suppkey IN ("
+        "SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_name LIKE '%gear%' "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY l_suppkey, l_partkey "
+        "HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 45) "
+        "ORDER BY s_suppkey"
+    ),
+)
+def tpch_q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery (suppliers that
+    shipped > 45 units of any matching part in 1996; availqty semantics
+    adapted — no partsupp in this corpus).
+
+    Scale: the inner agg prunes lineitem by date + part-name before
+    grouping; the qualifying supplier set is distinct-projected and the
+    outer IN becomes a LEFT SEMI join on s_suppkey; nation broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    qualifying = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+        .where(F.col("qty") > 45)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(qualifying, supp.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

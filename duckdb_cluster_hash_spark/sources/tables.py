@@ -32,6 +32,18 @@ TABLES = (
 # Small dimension tables that should always broadcast in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 
+# Memoized logical plans: spark.read.parquet does a driver-side file
+# listing + footer/schema read on every call, which at ~3 tables/query
+# across the whole catalog adds seconds of pure driver overhead.  The
+# returned DataFrame is an immutable logical plan, so reusing it is safe;
+# weakly keyed by the live session object so a restarted session never
+# sees plans bound to a dead JVM (and dead sessions don't pin plans).
+import weakref
+
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table.
@@ -42,14 +54,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     floor, not truncate-toward-zero, so pre-1970 nanosecond values would
     land on the same microsecond as DuckDB's conversion.
     """
+    per_session = _PLAN_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
     configure_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name != "events":
-        return spark.read.parquet(path)
     df = spark.read.parquet(path)
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-    )
+    if name == "events":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+        )
+    per_session[key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
