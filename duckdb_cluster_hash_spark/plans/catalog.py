@@ -2649,3 +2649,120 @@ def tpch_q20_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=(
+        "WITH b AS (SELECT lang, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS bucket, "
+        "CASE WHEN lang = 'en' THEN 250 ELSE 600 END AS rate_permille "
+        "FROM documents) "
+        "SELECT lang, rate_permille, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(*) FILTER (bucket < rate_permille) AS BIGINT) AS n_kept "
+        "FROM b GROUP BY lang, rate_permille ORDER BY lang"
+    ),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus rebalancing (downsample the
+    dominant language to 25%, keep 60% of the rest) via the md5-permille
+    rule — the reproducible sampler a training pipeline needs (same rows
+    every run, independent of partitioning; ``df.sample`` is neither).
+
+    Scale: the keep/drop decision is a map-side CASE + hash filter with
+    zero shuffles; only this report's tiny per-language rollup
+    aggregates.  The kept-count hash pins the exact sampled row set.
+    """
+    from duckdb_cluster_hash_spark.operators.sampling import (
+        sample_bucket_col,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(250)).otherwise(F.lit(600))
+    kept = stratified_sample(docs, "lang", "doc_id", {"en": 250}, 600)
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    kept_counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        totals.join(kept_counts, "lang", "left")
+        .select(
+            "lang",
+            F.when(F.col("lang") == "en", F.lit(250)).otherwise(F.lit(600)).alias(
+                "rate_permille"
+            ),
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "docs_token_shards",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS INTEGER) AS n_tokens, "
+        "md5(doc_id::VARCHAR) AS h FROM documents), "
+        "c AS (SELECT n_tokens, CAST(sum(n_tokens) OVER "
+        "(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "- n_tokens AS BIGINT) AS cum FROM t) "
+        "SELECT cum // 5000 AS shard, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS shard_tokens "
+        "FROM c GROUP BY shard ORDER BY shard"
+    ),
+)
+def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding: pack the corpus, in deterministic md5
+    order, into ~5000-token training shards.
+
+    The oracle computes the running sum with ONE global window — fine at
+    sf0.01, a single-partition sort at 100 TB.  The Spark side is the
+    scalable two-level prefix sum (256 parallel bucket windows + a
+    broadcast 256-row offset table, operators/sampling.py): identical
+    shard ids, no global sort of the corpus anywhere.
+    """
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+    from duckdb_cluster_hash_spark.operators.sampling import token_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    shards = token_shards(docs, "doc_id", "n_tokens", budget=5000)
+    return (
+        shards.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "emb_int8_quantize_stats",
+    oracle=(
+        "WITH q AS (SELECT label, "
+        "[CASE WHEN mx > mn THEN CAST(floor((x::DOUBLE - mn) * 255 / (mx - mn) + 0.5) AS BIGINT) "
+        "ELSE 0 END FOR x IN embedding] AS qs FROM "
+        "(SELECT label, embedding, list_min(embedding)::DOUBLE AS mn, "
+        "list_max(embedding)::DOUBLE AS mx FROM embeddings)) "
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(list_sum(qs)) AS BIGINT) AS sum_q, "
+        "CAST(sum(list_sum([CAST(v * v AS BIGINT) FOR v IN qs])) AS BIGINT) AS sum_q2 "
+        "FROM q GROUP BY label ORDER BY label"
+    ),
+)
+def emb_int8_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 per-vector quantization of the embedding column with
+    per-label integer checksums (operators/quantize.py).
+
+    The codes are bit-identical across engines (IEEE +,-,*,/ and floor
+    only — no round(), no transcendentals), so the oracle checks every
+    code exactly via sum / sum-of-squares.  Scale: quantization is a
+    map-side codegen'd transform; 4x smaller vectors are what the ANN
+    candidate path scans at 100 TB.
+    """
+    from duckdb_cluster_hash_spark.operators.quantize import quantize_label_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_label_stats(emb, "embedding", "label").orderBy("label")
