@@ -2766,3 +2766,35 @@ def emb_int8_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return quantize_label_stats(emb, "embedding", "label").orderBy("label")
+
+
+@query(
+    "events_click_purchase_attribution",
+    oracle=(
+        "SELECT c.event_id AS click_id, c.user_id, "
+        "CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch, "
+        "CAST(count(*) AS BIGINT) AS n_purchases, "
+        "CAST(round(sum(CAST(p.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS purchased_value "
+        "FROM events c JOIN events p ON c.user_id = p.user_id "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE "
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase' "
+        "GROUP BY click_id, c.user_id, click_epoch "
+        "ORDER BY click_id"
+    ),
+)
+def events_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (streaming/events.py attribute_purchases_to_clicks): purchases
+    attributed to same-user clicks within a 30-minute horizon.
+
+    Scale: equality on user_id keeps it a hash join (one shuffle per
+    side, never a time-only cross product); in streaming mode the
+    time-bound condition + watermarks evict join state, so the same
+    expression runs unbounded.  Type filters push into both scans.
+    """
+    from duckdb_cluster_hash_spark.streaming.events import (
+        attribute_purchases_to_clicks,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_purchases_to_clicks(ev).orderBy("click_id")

@@ -9,4 +9,5 @@ from duckdb_cluster_hash_spark.streaming.events import (  # noqa: F401
     running_user_totals,
     dedup_events_stream,
     enrich_events_with_dim,
+    attribute_purchases_to_clicks,
 )

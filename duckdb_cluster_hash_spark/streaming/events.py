@@ -42,6 +42,7 @@ __all__ = [
     "running_user_totals",
     "dedup_events_stream",
     "enrich_events_with_dim",
+    "attribute_purchases_to_clicks",
 ]
 
 
@@ -61,6 +62,80 @@ def enrich_events_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
         events.user_id == F.col("c_custkey"),
         "left_outer",
     ).drop("c_custkey")
+
+
+def attribute_purchases_to_clicks(
+    events: DataFrame,
+    purchases: DataFrame | None = None,
+    horizon_minutes: int = 30,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-STREAM interval join: attribute each purchase to the clicks
+    that preceded it by at most ``horizon_minutes`` for the same user —
+    the canonical attribution query, and the one streaming shape the rest
+    of this module doesn't cover (two unbounded sides, joint state).
+
+    In streaming mode both sides carry a watermark and the join condition
+    bounds purchase time to [click_ts, click_ts + horizon], so Spark can
+    evict click state once the purchase-side watermark passes the horizon
+    and purchase state immediately — bounded state, runs forever.  The
+    equality key ``user_id`` keeps it a hash join (both streams shuffle
+    on user_id once; no time-only join, which would be a cross product).
+
+    Batch mode is the identical join expression — that twin is what the
+    DuckDB oracle checks and what the stream==batch test asserts.
+
+    Returns (click_id, user_id, click_epoch, n_purchases, purchased_value)
+    aggregated per click in batch mode; in streaming mode returns the
+    raw joined pairs (append-mode aggregation after a stream-stream join
+    would need a second watermark pass — callers aggregate downstream).
+    """
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    buys = (purchases if purchases is not None else events).where(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", watermark)
+        buys = buys.withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
+        )
+    )
+    joined = clicks.join(buys, cond)
+    if events.isStreaming:
+        return joined.select(
+            "click_id",
+            F.col("c_user").alias("user_id"),
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+            "purchase_id",
+            "purchase_value",
+        )
+    return (
+        joined.groupBy(
+            "click_id",
+            F.col("c_user").alias("user_id"),
+            F.unix_timestamp("click_ts").alias("click_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("purchase_value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("purchased_value"),
+        )
+    )
 
 
 def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:

@@ -225,3 +225,28 @@ def test_enrich_is_streaming_and_batch_plan_broadcasts(spark, staged):
     batch = enrich_events_with_dim(load_table(spark, SF, "events"), dim)
     plan = batch._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_stream_stream_interval_join_matches_batch(spark, staged):
+    """The stream-stream attribution join must produce exactly the pairs
+    the batch twin aggregates (closed-state subset == full set under
+    availableNow, which drains every file)."""
+    from duckdb_cluster_hash_spark.streaming import (
+        attribute_purchases_to_clicks,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, staged)
+    got = _run_to_memory(
+        spark, attribute_purchases_to_clicks(stream), "attrib_sink"
+    )
+    stream_pairs = {
+        (r["click_id"], r["purchase_id"]) for r in got.collect()
+    }
+    batch = attribute_purchases_to_clicks(load_table(spark, SF, "events"))
+    batch_n = {r["click_id"]: r["n_purchases"] for r in batch.collect()}
+    # every batch-attributed purchase pair appears exactly once in the stream
+    from collections import Counter
+
+    per_click = Counter(c for c, _ in stream_pairs)
+    assert dict(per_click) == batch_n
