@@ -42,9 +42,11 @@ from pyspark.sql.types import (
 __all__ = [
     "attach_fake_media",
     "media_metadata",
+    "media_byte_features",
     "decode_image",
     "sample_frames",
     "MEDIA_META_SCHEMA",
+    "BYTE_FEATURES_SCHEMA",
 ]
 
 _MAGIC = b"FIMG"
@@ -127,6 +129,68 @@ def media_metadata(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media", "media_type").mapInPandas(
         decode_batches, MEDIA_META_SCHEMA
     )
+
+
+BYTE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload_len", LongType()),
+        StructField("distinct_bytes", IntegerType()),
+        StructField("byte_sum", LongType()),
+        StructField("byte_min", IntegerType()),
+        StructField("byte_max", IntegerType()),
+    ]
+)
+
+
+def media_byte_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Feature-extract over the raw payload bytes (codec-free stage of a
+    real multimodal pipeline: corruption screens, entropy filters and
+    format sniffing all run on byte histograms before any decode).
+
+    Per document: payload length, distinct byte count, byte sum and
+    min/max — each from a numpy ``bincount`` over the Arrow batch; bytes
+    never leave the batch as Python ints.  Integer-exact, so the whole
+    stage is oracle-checkable (the fake payload is the UTF-8 text, and
+    the corpus is ASCII, so DuckDB reproduces it from code points).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            media = pdf["media"].to_numpy()
+            n = len(media)
+            payload_len = np.empty(n, dtype=np.int64)
+            distinct = np.empty(n, dtype=np.int32)
+            byte_sum = np.empty(n, dtype=np.int64)
+            byte_min = np.empty(n, dtype=np.int32)
+            byte_max = np.empty(n, dtype=np.int32)
+            for i, m in enumerate(media):
+                payload = np.frombuffer(m, dtype=np.uint8, offset=16)
+                payload_len[i] = payload.size
+                if payload.size:
+                    counts = np.bincount(payload, minlength=256)
+                    present = np.nonzero(counts)[0]
+                    distinct[i] = present.size
+                    byte_sum[i] = int(counts @ np.arange(256, dtype=np.int64))
+                    byte_min[i] = int(present[0])
+                    byte_max[i] = int(present[-1])
+                else:
+                    distinct[i] = 0
+                    byte_sum[i] = 0
+                    byte_min[i] = -1
+                    byte_max[i] = -1
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64").to_numpy(),
+                    "payload_len": payload_len,
+                    "distinct_bytes": distinct,
+                    "byte_sum": byte_sum,
+                    "byte_min": byte_min,
+                    "byte_max": byte_max,
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(extract, BYTE_FEATURES_SCHEMA)
 
 
 def decode_image(data: bytes):

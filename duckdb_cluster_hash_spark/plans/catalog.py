@@ -2798,3 +2798,35 @@ def events_click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataF
 
     ev = _t(spark, sf_dir, "events")
     return attribute_purchases_to_clicks(ev).orderBy("click_id")
+
+
+@query(
+    "docs_media_byte_features",
+    oracle=(
+        "WITH cs AS (SELECT doc_id, "
+        "[unicode(c) FOR c IN regexp_extract_all(text, '.')] AS b FROM documents) "
+        "SELECT doc_id, CAST(len(b) AS BIGINT) AS payload_len, "
+        "CAST(len(list_distinct(b)) AS INTEGER) AS distinct_bytes, "
+        "CAST(coalesce(list_sum(b), 0) AS BIGINT) AS byte_sum, "
+        "CAST(coalesce(list_min(b), -1) AS INTEGER) AS byte_min, "
+        "CAST(coalesce(list_max(b), -1) AS INTEGER) AS byte_max "
+        "FROM cs ORDER BY doc_id"
+    ),
+)
+def docs_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free multimodal feature extraction: byte histograms of each
+    media payload via Arrow-batched numpy (operators/multimodal.py
+    media_byte_features) — the screen a real pipeline runs before decode.
+
+    The fake payload is the document's UTF-8 text and the corpus is
+    ASCII, so the DuckDB oracle reproduces every integer from code
+    points.  Scale: pure map-side mapInPandas, no shuffle; metadata-only
+    readers never touch the payload column (parquet column pruning).
+    """
+    from duckdb_cluster_hash_spark.operators.multimodal import (
+        attach_fake_media,
+        media_byte_features,
+    )
+
+    docs = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return media_byte_features(docs).orderBy("doc_id")

@@ -112,3 +112,24 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n")
+
+
+def test_media_byte_features_values_and_edges(spark):
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "abca"), (2, "")], "doc_id long, text string"
+    )
+    feats = {
+        r["doc_id"]: r.asDict()
+        for r in mm.media_byte_features(mm.attach_fake_media(df)).collect()
+    }
+    a = feats[1]
+    assert a["payload_len"] == 4
+    assert a["distinct_bytes"] == 3  # a, b, c
+    assert a["byte_sum"] == ord("a") * 2 + ord("b") + ord("c")
+    assert (a["byte_min"], a["byte_max"]) == (ord("a"), ord("c"))
+    empty = feats[2]
+    assert empty["payload_len"] == 0
+    assert (empty["distinct_bytes"], empty["byte_sum"]) == (0, 0)
+    assert (empty["byte_min"], empty["byte_max"]) == (-1, -1)
