@@ -2830,3 +2830,83 @@ def docs_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_fake_media(_t(spark, sf_dir, "documents"))
     return media_byte_features(docs).orderBy("doc_id")
+
+
+@query(
+    "orders_trailing_3mo_revenue",
+    oracle=(
+        "WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INTEGER) AS month_idx, "
+        "o_orderpriority AS priority, "
+        "sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev "
+        "FROM orders GROUP BY month_idx, priority) "
+        "SELECT month_idx, priority, "
+        "CAST(round(rev, 2) AS DOUBLE) AS month_revenue, "
+        "CAST(round(sum(rev) OVER (PARTITION BY priority ORDER BY month_idx "
+        "RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trailing_3mo "
+        "FROM m ORDER BY priority, month_idx"
+    ),
+)
+def orders_trailing_3mo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over a numeric month index: per-priority monthly
+    revenue with a trailing-3-calendar-month total (RANGE, not ROWS — a
+    missing month must still count as a frame gap).
+
+    Scale: the window runs over the pre-aggregated per-(month, priority)
+    rollup — thousands of rows at any corpus size — never the raw fact;
+    one shuffle for the rollup, one tiny one for the window partitions.
+    The frame sums are DECIMAL-exact before the final rounding.
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("int")
+        .alias("month_idx"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("month_idx")
+        .rangeBetween(-2, Window.currentRow)
+    )
+    return m.select(
+        "month_idx",
+        "priority",
+        F.round(F.col("rev"), 2).cast("double").alias("month_revenue"),
+        F.round(F.sum("rev").over(w), 2).cast("double").alias("trailing_3mo"),
+    ).orderBy("priority", "month_idx")
+
+
+@query(
+    "part_size_unpivot_profile",
+    oracle=(
+        "WITH wide AS (SELECT p_brand, "
+        "count(*) FILTER (p_size <= 10) AS small_n, "
+        "count(*) FILTER (p_size > 10 AND p_size <= 30) AS mid_n, "
+        "count(*) FILTER (p_size > 30) AS large_n "
+        "FROM part GROUP BY p_brand) "
+        "SELECT p_brand, size_class, CAST(n AS BIGINT) AS n FROM wide "
+        "UNPIVOT (n FOR size_class IN (small_n AS 'small', mid_n AS 'mid', large_n AS 'large')) "
+        "ORDER BY p_brand, size_class"
+    ),
+)
+def part_size_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long UNPIVOT (Spark ``unpivot`` / SQL ``stack``): per-brand
+    size-class counts melted to (brand, size_class, n) rows.
+
+    Scale: the unpivot runs on the aggregated wide table (|brands| rows),
+    a constant-factor row expansion with no shuffle of its own.
+    """
+    part = _t(spark, sf_dir, "part")
+    wide = part.groupBy("p_brand").agg(
+        F.count(F.when(F.col("p_size") <= 10, 1)).alias("small"),
+        F.count(F.when((F.col("p_size") > 10) & (F.col("p_size") <= 30), 1)).alias(
+            "mid"
+        ),
+        F.count(F.when(F.col("p_size") > 30, 1)).alias("large"),
+    )
+    return (
+        wide.unpivot("p_brand", ["small", "mid", "large"], "size_class", "n")
+        .orderBy("p_brand", "size_class")
+    )
