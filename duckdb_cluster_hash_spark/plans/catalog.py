@@ -2910,3 +2910,121 @@ def part_size_unpivot_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.unpivot("p_brand", ["small", "mid", "large"], "size_class", "n")
         .orderBy("p_brand", "size_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: decontamination + deterministic splits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "docs_eval_contamination",
+    oracle=(
+        f"WITH {_ot.shingles_cte(3)}, "
+        "eval_sh AS (SELECT DISTINCT unnest(sh) AS sh FROM shingled "
+        "WHERE doc_id % 97 = 0), "
+        "corp AS (SELECT doc_id, unnest(sh) AS sh FROM shingled "
+        "WHERE doc_id % 97 <> 0), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+        "CAST(sum(CASE WHEN sh IN (SELECT sh FROM eval_sh) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_hit FROM corp GROUP BY doc_id) "
+        "SELECT doc_id, n_shingles, n_hit, "
+        "CAST((10000 * n_hit) // n_shingles AS BIGINT) AS overlap_bp "
+        "FROM agg WHERE (10000 * n_hit) // n_shingles >= 500 ORDER BY doc_id"
+    ),
+)
+def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen: for every training document, the
+    fraction of its word 3-grams that also appear anywhere in a held-out
+    eval set (here the deterministic ``doc_id % 97 == 0`` slice) — the
+    n-gram-overlap contamination check every serious pretraining pipeline
+    runs before training (the reference has no analog; driver Tier C).
+
+    Scale: the eval side is tiny by construction (benchmarks are KBs, the
+    corpus is TBs), so its distinct-shingle set is BROADCAST and the
+    corpus side is a map-side hash probe — the only shuffle is the per-doc
+    count aggregation, which AQE-coalesces.  No corpus-vs-corpus join
+    exists anywhere in the plan.  The overlap ratio is integer basis
+    points via floor division (cross-engine exact, no float rounding).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    eval_sh = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(_dd.word_ngrams(F.col("text"), 3)).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corp = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.explode(_dd.word_ngrams(F.col("text"), 3)).alias("sh"))
+    )
+    agg = (
+        corp.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.floor((F.lit(10000) * F.col("n_hit")) / F.col("n_shingles"))
+            .cast("long")
+            .alias("overlap_bp"),
+        )
+        .where(F.col("overlap_bp") >= 500)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_train_val_test_split",
+    oracle=(
+        "WITH d AS (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 "
+        "AS bucket FROM documents), "
+        "s AS (SELECT CASE WHEN bucket < 98 THEN 'train' WHEN bucket = 98 THEN 'val' "
+        "ELSE 'test' END AS split, "
+        "len(string_split(text, ' ')) AS n_tokens, n_chars FROM d) "
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM s GROUP BY split ORDER BY split"
+    ),
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by md5(doc_id)
+    bucket — the standard content-addressed split that stays stable as
+    the corpus grows (a new document never reshuffles existing
+    assignments, unlike ntile/random splits).  md5 is the one hash both
+    engines share bit-identically.
+
+    Scale: pure per-row projection + one partial-aggregated groupBy over
+    3 groups; no joins, no windows, no skew (md5 is uniform).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 98, "train").when(bucket == 98, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )

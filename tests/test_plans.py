@@ -235,3 +235,21 @@ def test_q22_anti_join_no_per_row_subquery(spark, sf_small):
     assert "LeftAnti" in plan
     # the single-row aggregate broadcast is the only nested-loop allowed
     assert "CartesianProduct" not in plan
+
+
+def test_eval_contamination_broadcasts_eval_side(spark, sf_small):
+    """Decontamination must probe a broadcast eval-shingle set — a
+    corpus-vs-corpus shuffle join here would be the 100 TB killer."""
+    plan = plan_of(QUERIES["docs_eval_contamination"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_train_val_test_split_is_pure_projection(spark, sf_small):
+    """The split is one scan + one partial-agg groupBy: no joins, no
+    windows, no Python."""
+    plan = plan_of(QUERIES["docs_train_val_test_split"](spark, sf_small))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython nodes
