@@ -32,6 +32,8 @@ __all__ = [
     "quality_features",
     "quality_score_col",
     "rolling_hash_col",
+    "repetition_stats",
+    "tfidf_top_terms",
     "STOPWORDS",
 ]
 
@@ -185,6 +187,121 @@ def rolling_hash_col(text: Column, base: int = 31, mod: int = 2147483647) -> Col
         lambda acc, i: (acc * base + byte_at(i)) % mod,
     )
     return F.when(nbytes == 0, F.lit(0).cast("bigint")).otherwise(fold)
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document.
+
+    For each doc: token count, distinct-token count, the most frequent
+    token's share, and the duplicate-2-gram fraction — the repetition
+    filters (Rae et al. 2021 §A1.1) every pretraining pipeline applies
+    before training.  Ratios are integer basis points (floor division),
+    cross-engine exact.
+
+    Scale: both aggregations are keyed by (doc_id, token) then doc_id —
+    partial aggregation combines map-side, the shuffle carries counts
+    (not text), and no join crosses documents.  The two per-doc aggregate
+    branches join on doc_id (co-partitioned by the groupBy shuffle).
+    """
+    from duckdb_cluster_hash_spark.operators.dedup import word_ngrams_seq
+
+    spread = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    toks = spread.select(
+        "doc_id", F.explode(F.split(F.col("_text"), " ")).alias("tok")
+    )
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").cast("long").alias("max_tok"),
+        )
+    )
+    grams = spread.select(
+        "doc_id", F.explode(word_ngrams_seq(F.col("_text"), 2)).alias("gram")
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.count("*").alias("n_distinct_grams"),
+        )
+    )
+    joined = tok_stats.join(gram_stats, "doc_id")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.floor((F.lit(10000) * F.col("max_tok")) / F.col("n_tokens"))
+        .cast("long")
+        .alias("top_token_bp"),
+        F.floor(
+            (F.lit(10000) * (F.col("n_grams") - F.col("n_distinct_grams")))
+            / F.col("n_grams")
+        )
+        .cast("long")
+        .alias("dup_2gram_bp"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` most characteristic terms per group by an integer TF-IDF.
+
+    score = (tf_in_group * n_docs_total) // df_term — a rarity-weighted
+    term frequency kept in exact integer arithmetic (no log, no float)
+    so both engines rank identically; ties break on the term string.
+
+    Scale: tf is a (group, term) partial-aggregated count; df is a
+    distinct (doc, term) count keyed by term; the tf⋈df join is keyed on
+    the term (hash join, never broadcast — vocabulary grows with the
+    corpus); the final window ranks within groups over |groups|·|vocab|
+    aggregated rows, a tiny fraction of the input tokens.
+    """
+    from pyspark.sql.window import Window as W
+
+    base = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    n_docs = df.count()
+    tf = base.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        base.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = tf.join(dfreq, "term").select(
+        "grp",
+        "term",
+        F.floor((F.col("tf") * F.lit(n_docs)) / F.col("df"))
+        .cast("long")
+        .alias("score"),
+    )
+    w = W.partitionBy("grp").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("grp"),
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "score",
+        )
+    )
 
 
 def rolling_hash_pudf(base: int = 31, mod: int = 2147483647):

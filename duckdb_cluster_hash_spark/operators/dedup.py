@@ -37,6 +37,8 @@ __all__ = [
     "minhash_neardup_pairs",
     "simhash64",
     "simhash_neardup_pairs",
+    "chunk_digest_table",
+    "chunk_dedup_histogram",
 ]
 
 
@@ -400,6 +402,60 @@ def simhash_neardup_pairs(
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (chunk-level) dedup — the paragraph-dedup analog for a
+# corpus whose documents are single-line; dolma/RefinedWeb run exactly
+# this shape at paragraph granularity.
+# ---------------------------------------------------------------------------
+
+def chunk_digest_table(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 8
+) -> DataFrame:
+    """Distinct (doc_id, chunk_hash) for non-overlapping ``chunk_words``-word
+    chunks (trailing partial chunk dropped).
+
+    The shuffle carries 32-byte md5 digests, never chunk text — same
+    discipline as :func:`dedup_representatives`.  Documents shorter than
+    one chunk contribute no rows.
+    """
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.floor(F.size(ws) / chunk_words).cast("int")
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i * chunk_words + 1, chunk_words))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.repartition(F.col(id_col))
+        .select(F.col(id_col).alias("doc_id"), F.explode(chunks).alias("chunk_hash"))
+        .distinct()
+    )
+
+
+def chunk_dedup_histogram(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 8
+) -> DataFrame:
+    """How shared are chunks across documents: for each count of documents
+    sharing a chunk, how many distinct chunks have that count.
+
+    Two keyed aggregations (chunk_hash, then the tiny sharing-count
+    histogram); map-side combines keep the shuffles proportional to the
+    distinct-chunk count, not the token count.
+    """
+    per_chunk = (
+        chunk_digest_table(df, id_col, text_col, chunk_words)
+        .groupBy("chunk_hash")
+        .agg(F.count("*").alias("docs_sharing"))
+    )
+    return (
+        per_chunk.groupBy("docs_sharing")
+        .agg(F.count("*").alias("n_chunks"))
+        .orderBy("docs_sharing")
     )
 
 

@@ -40,6 +40,8 @@ __all__ = [
     "ivf_write_index",
     "ivf_probe_topk",
     "ivf_topk",
+    "semantic_dedup_pairs",
+    "semantic_dedup_summary",
 ]
 
 
@@ -411,6 +413,81 @@ def ivf_probe_topk(
         vec_col=vec_col,
         id_col=id_col,
         extra_cols=tuple(extra_cols) + ("cell",),
+    )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.6,
+    dim: int = 64,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style candidate pairs: vectors in the SAME coarse-quantizer
+    cell with cosine >= threshold (Abbas et al. 2023 — cluster the corpus,
+    then dedup only within clusters).
+
+    The cell tag (deterministic md5 centroids, :func:`ivf_assign_cells`)
+    turns the O(n²) corpus self-join into |cells| independent intra-cell
+    joins — at 100 TB the cell is a parquet partition column and each
+    join reads one partition; cross-cell pairs are never materialized.
+    Returns (cell, vec_a, vec_b, cos_sim) with vec_a < vec_b.
+    """
+    tagged = ivf_assign_cells(emb, dim=dim, n_cells=n_cells, vec_col=vec_col)
+    # hash once; both self-join sides read the tagged table
+    tagged = tagged.select(
+        F.col(id_col).alias("vid"), F.col("cell"), F.col(vec_col).alias("v")
+    ).localCheckpoint(eager=True)
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cos = _pair_cos_kernel(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            (F.round(cos * 1000000) / 1000000).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup_summary(
+    emb: DataFrame,
+    threshold: float = 0.6,
+    dim: int = 64,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cell SemDeDup report: corpus size, and how many vectors would
+    be dropped under keep-lowest-id (a vector is dropped iff some
+    lower-id vector in its cell has cosine >= threshold with it).
+
+    Returns (cell, n_vecs, n_dropped) — the shape a curation run reviews
+    before committing a semantic-dedup pass.
+    """
+    tagged = ivf_assign_cells(emb, dim=dim, n_cells=n_cells, vec_col=vec_col)
+    sizes = tagged.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    dropped = (
+        semantic_dedup_pairs(emb, threshold, dim, n_cells, vec_col, id_col)
+        .select("cell", F.col("vec_b").alias("vid"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    return (
+        sizes.join(dropped, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cell")
     )
 
 

@@ -461,3 +461,125 @@ def corpus_curation_sql(table: str = "documents", min_quality: float = 0.5) -> s
         "CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total "
         "FROM decided GROUP BY lang_id, decision ORDER BY lang_id, decision"
     )
+
+
+def repetition_quality_sql(table: str = "documents") -> str:
+    """Oracle for functions.text.repetition_stats: per-doc token counts,
+    most-frequent-token share and duplicate-2-gram fraction, all integer
+    basis points via floor division (Gopher repetition filters)."""
+    return (
+        f"WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM {table}), "
+        "tok AS (SELECT doc_id, unnest(ws) AS tok FROM words), "
+        "tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok), "
+        "ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_tok "
+        "FROM tc GROUP BY doc_id), "
+        "grams AS (SELECT doc_id, CASE WHEN len(ws) >= 2 THEN "
+        "[ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] ELSE [text] END AS gs "
+        "FROM words), "
+        "g AS (SELECT doc_id, unnest(gs) AS gram FROM grams), "
+        "gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram), "
+        "ga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_grams FROM gc GROUP BY doc_id) "
+        "SELECT ta.doc_id, ta.n_tokens, ta.n_distinct, "
+        "CAST((10000 * max_tok) // n_tokens AS BIGINT) AS top_token_bp, "
+        "CAST((10000 * (n_grams - n_distinct_grams)) // n_grams AS BIGINT) AS dup_2gram_bp "
+        "FROM ta JOIN ga ON ta.doc_id = ga.doc_id ORDER BY ta.doc_id"
+    )
+
+
+def chunk_dedup_histogram_sql(chunk_words: int = 8, table: str = "documents") -> str:
+    """Oracle for operators.dedup.chunk_dedup_histogram: md5 digests of
+    non-overlapping word chunks (trailing partial dropped), distinct per
+    doc, sharing-count histogram."""
+    cw = chunk_words
+    return (
+        f"WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {table}), "
+        f"c AS (SELECT doc_id, CAST(len(ws) // {cw} AS INT) AS nc, ws FROM w), "
+        "ch AS (SELECT DISTINCT doc_id, "
+        f"unnest([md5(array_to_string(ws[i*{cw}+1 : i*{cw}+{cw}], ' ')) "
+        "FOR i IN range(0, nc)]) AS chunk_hash FROM c WHERE nc > 0), "
+        "per AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS docs_sharing "
+        "FROM ch GROUP BY chunk_hash) "
+        "SELECT docs_sharing, CAST(count(*) AS BIGINT) AS n_chunks "
+        "FROM per GROUP BY docs_sharing ORDER BY docs_sharing"
+    )
+
+
+def tfidf_top_terms_sql(
+    k: int = 3, group_col: str = "source", table: str = "documents"
+) -> str:
+    """Oracle for functions.text.tfidf_top_terms: integer TF-IDF
+    score = (tf_in_group * n_docs) // df, row_number ties on term.
+    n_docs comes from a subquery so the oracle holds at any sf."""
+    return (
+        f"WITH tok AS (SELECT doc_id, {group_col} AS grp, unnest(string_split(text, ' ')) AS term "
+        f"FROM {table}), "
+        "tf AS (SELECT grp, term, count(*) AS tf FROM tok GROUP BY grp, term), "
+        "dfreq AS (SELECT term, count(*) AS df FROM "
+        "(SELECT DISTINCT doc_id, term FROM tok) GROUP BY term), "
+        "scored AS (SELECT grp, term, "
+        f"CAST((tf * (SELECT count(*) FROM {table})) // df AS BIGINT) AS score "
+        "FROM tf JOIN dfreq USING (term)), "
+        "ranked AS (SELECT grp, term, score, "
+        "CAST(row_number() OVER (PARTITION BY grp ORDER BY score DESC, term) AS INT) AS rank "
+        "FROM scored) "
+        f"SELECT grp, rank, term, score FROM ranked WHERE rank <= {k} "
+        "ORDER BY grp, rank"
+    )
+
+
+def _ivf_assign_ctes(dim: int = 64, n_cells: int = 16) -> str:
+    """CTE fragment ``cents, assign``: the deterministic md5 IVF centroids
+    and sequential-fold argmax cell assignment (shared by ivf_topk_sql and
+    semantic_dedup_summary_sql — must mirror similarity.ivf_assign_cells)."""
+    w_expr = (
+        "('0x' || substr(md5('ivf|' || c::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT"
+        f" / {2**59}.0 - 1.0"
+    )
+    cell_dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[e.embedding[i]::DOUBLE * c.w[i] FOR i IN range(1, {dim + 1})]), "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        f"cents AS (SELECT c, [{w_expr} FOR i IN range(1, {dim + 1})] AS w "
+        f"FROM range({n_cells}) t(c)), "
+        "assign AS (SELECT vec_id, cell FROM ("
+        f"SELECT e.vec_id, c.c::INTEGER AS cell, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {cell_dot} DESC, c.c) AS rn "
+        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1)"
+    )
+
+
+def semantic_dedup_summary_sql(
+    threshold: float = 0.6, dim: int = 64, n_cells: int = 16
+) -> str:
+    """Oracle for operators.similarity.semantic_dedup_summary: intra-cell
+    pair cosine (sequential fold, bit-identical to the Spark kernel),
+    keep-lowest-id drop counts per cell."""
+
+    def dot(u: str, v: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{u}[i]::DOUBLE * {v}[i]::DOUBLE FOR i IN range(1, {dim + 1})]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    cos = (
+        f"(round(({dot('a.embedding', 'b.embedding')} / "
+        f"sqrt({dot('a.embedding', 'a.embedding')} * {dot('b.embedding', 'b.embedding')})) "
+        "* 1000000) / 1000000)"
+    )
+    return (
+        f"WITH {_ivf_assign_ctes(dim, n_cells)}, "
+        "v AS (SELECT a.vec_id, a.cell, e.embedding FROM assign a "
+        "JOIN embeddings e ON a.vec_id = e.vec_id), "
+        f"pairs AS (SELECT a.cell, a.vec_id AS va, b.vec_id AS vb, {cos} AS cos_sim "
+        "FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id), "
+        f"dropped AS (SELECT cell, vb FROM pairs WHERE cos_sim >= {threshold} GROUP BY cell, vb), "
+        "dcount AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_dropped FROM dropped GROUP BY cell), "
+        "sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM assign GROUP BY cell) "
+        "SELECT s.cell, s.n_vecs, COALESCE(d.n_dropped, 0) AS n_dropped "
+        "FROM sizes s LEFT JOIN dcount d ON s.cell = d.cell ORDER BY s.cell"
+    )

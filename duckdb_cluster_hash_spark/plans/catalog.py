@@ -3028,3 +3028,70 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality, sub-document dedup, TF-IDF, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+@query("docs_repetition_quality", oracle=_ot.repetition_quality_sql())
+def docs_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    top-token share and duplicate-2-gram fraction in integer basis
+    points — the screens that reject boilerplate/spam before training.
+
+    Scale: two (doc_id, token)-keyed aggregations with map-side combine;
+    the doc_id⋈doc_id join of the two aggregate branches is
+    co-partitioned by the groupBy shuffles.  No cross-document joins.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query("docs_chunk_dedup_histogram", oracle=_ot.chunk_dedup_histogram_sql(8))
+def docs_chunk_dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup census (the paragraph-dedup analog, dolma /
+    RefinedWeb-style): md5 digests of non-overlapping 8-word chunks,
+    histogram of how many documents share each chunk.
+
+    Scale: the shuffle carries 32-byte digests (never chunk text); two
+    keyed aggregations sized by distinct-chunk count, then a histogram
+    over a handful of rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.chunk_dedup_histogram(docs, "doc_id", "text", 8)
+
+
+@query("docs_tfidf_top_terms", oracle=_ot.tfidf_top_terms_sql(3, "source"))
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic terms per source by integer TF-IDF
+    ((tf * n_docs) // df — exact arithmetic, no log, so both engines
+    rank identically; ties break on the term).
+
+    Scale: tf and df are partial-aggregated counts; tf⋈df joins on the
+    term key (hash join — vocabulary grows with the corpus, so no
+    broadcast); the rank window runs over |groups|·|vocab| aggregated
+    rows.  The corpus row count comes from parquet metadata (count-star
+    pushdown), not a data scan.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.tfidf_top_terms(docs, "doc_id", "text", "source", 3).orderBy(
+        "grp", "rank"
+    )
+
+
+@query("emb_semantic_dedup", oracle=_ot.semantic_dedup_summary_sql(0.6, 64, 16))
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding corpus into
+    coarse cells (deterministic md5 centroids — the same IVF quantizer
+    the ANN index uses), then count keep-lowest-id drops among
+    intra-cell pairs with cosine >= 0.6.
+
+    Scale: pairs exist only WITHIN a cell — the cell tag is the parquet
+    partition key at 100 TB, so each intra-cell join reads one pruned
+    partition and cross-cell pairs are never materialized.  The exact
+    pair cosine runs on candidates only, Arrow-vectorized.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup_summary(emb, threshold=0.6, dim=64, n_cells=16)

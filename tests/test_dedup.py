@@ -166,3 +166,29 @@ def test_dedup_decisions_one_keeper_per_cluster(spark, docs):
         F.sum(F.col("keep").cast("int")).alias("keepers")
     )
     assert per_comp.where("keepers != 1").count() == 0
+
+
+def test_chunk_digest_table_short_docs_drop_out(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, " ".join(str(i) for i in range(20)))],
+        "doc_id long, text string",
+    )
+    chunks = dd.chunk_digest_table(df, "doc_id", "text", chunk_words=8)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               chunks.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert 1 not in per_doc          # 3 words < one chunk
+    assert per_doc[2] == 2           # 20 words -> 2 full chunks, tail dropped
+
+
+def test_chunk_dedup_histogram_shared_chunk(spark):
+    shared = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, shared + " unique1 a b c d e f g"),
+         (2, shared + " other2 h i j k l m n"),
+         (3, "totally different words here spanning eight tokens now")],
+        "doc_id long, text string",
+    )
+    hist = {r["docs_sharing"]: r["n_chunks"]
+            for r in dd.chunk_dedup_histogram(df, "doc_id", "text", 8).collect()}
+    assert hist[2] == 1              # the shared leading chunk
+    assert hist[1] == 3              # each doc's distinct second chunk

@@ -73,3 +73,17 @@ def test_ivf_topk_recall(emb, qvec):
 def test_ivf_prunes_scan(emb, qvec):
     all_probed = sim.ivf_topk(emb, qvec, k=1000, n_clusters=8, nprobe=2)
     assert all_probed.count() < emb.count()
+
+
+def test_semantic_dedup_summary_consistency(spark, emb):
+    from duckdb_cluster_hash_spark.operators import similarity as sim
+
+    summary = sim.semantic_dedup_summary(emb, threshold=0.6, dim=64, n_cells=16)
+    rows = summary.collect()
+    assert sum(r["n_vecs"] for r in rows) == emb.count()
+    assert all(0 <= r["n_dropped"] <= r["n_vecs"] for r in rows)
+    # every dropped vector must have a lower-id intra-cell partner
+    pairs = sim.semantic_dedup_pairs(emb, threshold=0.6, dim=64, n_cells=16)
+    assert pairs.where(F.col("vec_a") >= F.col("vec_b")).count() == 0
+    n_dropped_total = sum(r["n_dropped"] for r in rows)
+    assert pairs.select("vec_b").distinct().count() == n_dropped_total

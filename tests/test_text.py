@@ -133,3 +133,41 @@ def test_media_byte_features_values_and_edges(spark):
     assert empty["payload_len"] == 0
     assert (empty["distinct_bytes"], empty["byte_sum"]) == (0, 0)
     assert (empty["byte_min"], empty["byte_max"]) == (-1, -1)
+
+
+def test_repetition_stats_values(spark):
+    from duckdb_cluster_hash_spark.functions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in repetition_stats(df, "doc_id", "text").collect()}
+    # doc 1: tokens [a,a,a,b] -> top share 3/4; 2-grams [a a, a a, a b] -> 1 dup of 3
+    assert rows[1]["n_tokens"] == 4 and rows[1]["n_distinct"] == 2
+    assert rows[1]["top_token_bp"] == 7500
+    assert rows[1]["dup_2gram_bp"] == 3333
+    # doc 2: no repetition at all
+    assert rows[2]["top_token_bp"] == 5000 and rows[2]["dup_2gram_bp"] == 0
+    # doc 3: single word -> whole-text fallback gram, zero dup
+    assert rows[3]["n_tokens"] == 1 and rows[3]["dup_2gram_bp"] == 0
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from duckdb_cluster_hash_spark.functions.text import tfidf_top_terms
+
+    # 'rare' appears only in src A (df=1), 'common' in every doc (df=4)
+    df = spark.createDataFrame(
+        [
+            (1, "A", "common rare rare"),
+            (2, "A", "common filler"),
+            (3, "B", "common other"),
+            (4, "B", "common other"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    top = tfidf_top_terms(df, "doc_id", "text", "source", 1).collect()
+    by_grp = {r["grp"]: r for r in top}
+    assert by_grp["A"]["term"] == "rare"  # tf=2, df=1 -> score 8
+    assert by_grp["A"]["score"] == 8
+    assert by_grp["B"]["term"] == "other"  # tf=2, df=2 -> score 4 beats common (2*4//4=2)
