@@ -48,11 +48,18 @@ _PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], Data
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects outright; read it as a long (session invariant
-    ``nanosAsLong``, see session.py) and floor-divide to microseconds —
-    floor, not truncate-toward-zero, so pre-1970 nanosecond values would
-    land on the same microsecond as DuckDB's conversion.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some corpus
+    builds and TIMESTAMP(MICROS, isAdjustedToUTC=false) in others, and
+    Spark's reading of the nanos flavor changed across releases (legacy
+    ``nanosAsLong`` long, then native TIMESTAMP_NTZ).  Normalize every
+    flavor to session-zone TimestampType at microsecond precision so the
+    rest of the engine sees one stable schema:
+
+    - long (legacy nanos-as-int64): floor-divide ns -> us — floor, not
+      truncate-toward-zero, so pre-1970 values land on the same
+      microsecond as DuckDB's conversion;
+    - TIMESTAMP_NTZ: reinterpret the naive wall time in the session zone
+      (pinned UTC, see session.py), identical to DuckDB's naive read.
     """
     per_session = _PLAN_CACHE.setdefault(spark, {})
     key = (sf_dir, name)
@@ -63,9 +70,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if name == "events":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type == "long":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     per_session[key] = df
     return df
 
