@@ -65,6 +65,7 @@ def main() -> int:
     here = os.path.dirname(os.path.abspath(__file__))
     prevs = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     prev_times: dict[str, float] = {}
+    prev: dict = {}
     if prevs:
         try:
             with open(prevs[-1]) as fh:
@@ -74,8 +75,15 @@ def main() -> int:
             prev_times = dict(prev.get("queries", {}))
         except (ValueError, OSError):
             prev = {}
-    else:
-        prev = {}
+    # driver artifacts carry only the 5 slowest; the full per-query map from
+    # the last local run lives in BENCH_LOCAL.json — prefer it for scheduling
+    try:
+        with open(os.path.join(here, "BENCH_LOCAL.json")) as fh:
+            local_prev = json.load(fh)
+        if isinstance(local_prev.get("queries"), dict):
+            prev_times = {**local_prev["queries"], **prev_times}
+    except (ValueError, OSError):
+        pass
     items = sorted(
         QUERIES.items(), key=lambda kv: -float(prev_times.get(kv[0], 0.0))
     )
@@ -99,36 +107,43 @@ def main() -> int:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Stdout must stay ONE SHORT line: the driver's tail-capture window
+    # truncated r02's 92-entry per-query map mid-JSON (BENCH_r02 parsed:null).
+    # Headline methodology (frozen from r2 onward): `value` = concurrent
+    # makespan under FAIR scheduling with `workers` threads; `queries_sum` =
+    # sum of per-query walls under contention (the round-over-round
+    # comparable).  Full per-query map + deltas go to BENCH_LOCAL.json.
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
     result = {
         "metric": "catalog_wall_time",
         "value": wall,
         "unit": "sec",
-        "queries": timings,
-        "queries_sum": round(sum(timings.values()), 3),
-        "workers": workers,
         "sf": sf_val,
+        "workers": workers,
+        "n_queries": len(timings),
+        "queries_sum": round(sum(timings.values()), 3),
+        "queries": top,  # 5 slowest only; full map in BENCH_LOCAL.json
     }
 
-    # round-over-round visibility: compare against the latest driver-recorded
-    # bench artifact; deltas ride along in the JSON, details go to stderr
+    detail = dict(result, queries=timings)
     if prevs:
         try:
-            result["prev_round"] = os.path.basename(prevs[-1])
-            result["prev_total"] = prev.get("value")
-            result["delta_total"] = round(result["value"] - float(prev["value"]), 3)
-            moved = {
+            detail["prev_round"] = os.path.basename(prevs[-1])
+            detail["prev_total"] = prev.get("value")
+            detail["delta_total"] = round(wall - float(prev["value"]), 3)
+            detail["delta_queries"] = {
                 q: round(t - prev["queries"][q], 3)
                 for q, t in timings.items()
                 if q in prev.get("queries", {}) and abs(t - prev["queries"][q]) >= 0.5
             }
-            if moved:
-                print(
-                    "bench delta vs %s: %s"
-                    % (result["prev_round"], json.dumps(moved, sort_keys=True)),
-                    file=sys.stderr,
-                )
         except (ValueError, KeyError, TypeError, OSError):
             pass
+    local_path = os.path.join(here, "BENCH_LOCAL.json")
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(detail, fh, indent=2, sort_keys=True)
+    except OSError:
+        pass
     print(json.dumps(result))
     return 0
 

@@ -42,6 +42,7 @@ __all__ = [
     "ivf_topk",
     "semantic_dedup_pairs",
     "semantic_dedup_summary",
+    "scaled_n_cells",
 ]
 
 
@@ -416,11 +417,32 @@ def ivf_probe_topk(
     )
 
 
+def scaled_n_cells(n_rows: int, floor: int = 16) -> int:
+    """SemDeDup cell count that scales with the corpus: ceil(sqrt(n)),
+    floored at ``floor``.
+
+    With cells ~ sqrt(n), the expected per-cell population is ~sqrt(n), so
+    total intra-cell pair work is O(n^1.5) instead of the O(n²) a FIXED
+    cell count degenerates to as the corpus grows (the SemDeDup paper uses
+    k≈100k clusters on LAION for the same reason).  Uses C-double
+    sqrt/ceil so the DuckDB oracle's GREATEST(floor, CAST(ceil(sqrt(
+    count(*))) AS BIGINT)) computes the identical value.
+    """
+    import math
+
+    return max(floor, int(math.ceil(math.sqrt(max(int(n_rows), 0)))))
+
+
+# average rows-per-cell above which an intra-cell self-join stops being a
+# "small local join" — warn the caller to raise n_cells
+_SEMANTIC_CELL_ROW_BUDGET = 200_000
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.6,
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -432,8 +454,23 @@ def semantic_dedup_pairs(
     turns the O(n²) corpus self-join into |cells| independent intra-cell
     joins — at 100 TB the cell is a parquet partition column and each
     join reads one partition; cross-cell pairs are never materialized.
-    Returns (cell, vec_a, vec_b, cos_sim) with vec_a < vec_b.
+    ``n_cells=None`` (default) derives :func:`scaled_n_cells` from the
+    corpus row count (a metadata-only count-star) so per-cell population
+    stays ~sqrt(n) at any scale; a fixed cell count re-approaches the
+    all-pairs join as n grows.  Returns (cell, vec_a, vec_b, cos_sim)
+    with vec_a < vec_b.
     """
+    if n_cells is None:
+        n = emb.count()  # parquet metadata count-star, no data scan
+        n_cells = scaled_n_cells(n)
+        if n // n_cells > _SEMANTIC_CELL_ROW_BUDGET:
+            import warnings
+
+            warnings.warn(
+                f"semantic_dedup_pairs: ~{n // n_cells} rows/cell exceeds the "
+                f"{_SEMANTIC_CELL_ROW_BUDGET} pair-join budget; raise n_cells",
+                stacklevel=2,
+            )
     tagged = ivf_assign_cells(emb, dim=dim, n_cells=n_cells, vec_col=vec_col)
     # hash once; both self-join sides read the tagged table
     tagged = tagged.select(
@@ -460,7 +497,7 @@ def semantic_dedup_summary(
     emb: DataFrame,
     threshold: float = 0.6,
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -468,9 +505,14 @@ def semantic_dedup_summary(
     be dropped under keep-lowest-id (a vector is dropped iff some
     lower-id vector in its cell has cosine >= threshold with it).
 
-    Returns (cell, n_vecs, n_dropped) — the shape a curation run reviews
-    before committing a semantic-dedup pass.
+    ``n_cells=None`` derives :func:`scaled_n_cells` from the corpus count
+    (same rule as :func:`semantic_dedup_pairs`, computed once here and
+    passed down so both passes agree).  Returns (cell, n_vecs, n_dropped)
+    — the shape a curation run reviews before committing a semantic-dedup
+    pass.
     """
+    if n_cells is None:
+        n_cells = scaled_n_cells(emb.count())
     tagged = ivf_assign_cells(emb, dim=dim, n_cells=n_cells, vec_col=vec_col)
     sizes = tagged.groupBy("cell").agg(F.count("*").alias("n_vecs"))
     dropped = (

@@ -529,10 +529,15 @@ def tfidf_top_terms_sql(
     )
 
 
-def _ivf_assign_ctes(dim: int = 64, n_cells: int = 16) -> str:
+def _ivf_assign_ctes(dim: int = 64, n_cells: int | None = 16) -> str:
     """CTE fragment ``cents, assign``: the deterministic md5 IVF centroids
     and sequential-fold argmax cell assignment (shared by ivf_topk_sql and
-    semantic_dedup_summary_sql — must mirror similarity.ivf_assign_cells)."""
+    semantic_dedup_summary_sql — must mirror similarity.ivf_assign_cells).
+
+    ``n_cells=None`` mirrors similarity.scaled_n_cells: GREATEST(16,
+    ceil(sqrt(count(*)))) computed from the embeddings table itself (the
+    scalar range() accepts a subquery where the table function does not).
+    """
     w_expr = (
         "('0x' || substr(md5('ivf|' || c::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT"
         f" / {2**59}.0 - 1.0"
@@ -542,9 +547,17 @@ def _ivf_assign_ctes(dim: int = 64, n_cells: int = 16) -> str:
         f"[e.embedding[i]::DOUBLE * c.w[i] FOR i IN range(1, {dim + 1})]), "
         "(acc, x) -> acc + x)"
     )
+    cells_src = (
+        f"range({n_cells})"
+        if n_cells is not None
+        else (
+            "(SELECT unnest(range((SELECT GREATEST(16, CAST(ceil(sqrt(count(*))) "
+            "AS BIGINT)) FROM embeddings))) AS c)"
+        )
+    )
     return (
         f"cents AS (SELECT c, [{w_expr} FOR i IN range(1, {dim + 1})] AS w "
-        f"FROM range({n_cells}) t(c)), "
+        f"FROM {cells_src} t(c)), "
         "assign AS (SELECT vec_id, cell FROM ("
         f"SELECT e.vec_id, c.c::INTEGER AS cell, "
         f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {cell_dot} DESC, c.c) AS rn "
@@ -553,11 +566,12 @@ def _ivf_assign_ctes(dim: int = 64, n_cells: int = 16) -> str:
 
 
 def semantic_dedup_summary_sql(
-    threshold: float = 0.6, dim: int = 64, n_cells: int = 16
+    threshold: float = 0.6, dim: int = 64, n_cells: int | None = None
 ) -> str:
     """Oracle for operators.similarity.semantic_dedup_summary: intra-cell
     pair cosine (sequential fold, bit-identical to the Spark kernel),
-    keep-lowest-id drop counts per cell."""
+    keep-lowest-id drop counts per cell.  ``n_cells=None`` = the scaled
+    sqrt(n) cell count (see _ivf_assign_ctes / similarity.scaled_n_cells)."""
 
     def dot(u: str, v: str) -> str:
         return (

@@ -3081,7 +3081,7 @@ def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_semantic_dedup", oracle=_ot.semantic_dedup_summary_sql(0.6, 64, 16))
+@query("emb_semantic_dedup", oracle=_ot.semantic_dedup_summary_sql(0.6, 64, None))
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster the embedding corpus into
     coarse cells (deterministic md5 centroids — the same IVF quantizer
@@ -3091,7 +3091,12 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairs exist only WITHIN a cell — the cell tag is the parquet
     partition key at 100 TB, so each intra-cell join reads one pruned
     partition and cross-cell pairs are never materialized.  The exact
-    pair cosine runs on candidates only, Arrow-vectorized.
+    pair cosine runs on candidates only, Arrow-vectorized.  The cell
+    count scales with the corpus (ceil(sqrt(n)), floor 16 — both engines
+    derive it from count(*)): per-cell population stays ~sqrt(n), so the
+    intra-cell pair work is O(n^1.5), not the O(n²) a fixed cell count
+    degenerates to at 100× scale (the SemDeDup paper's k≈100k on LAION
+    is the same rule of thumb).
     """
     emb = _t(spark, sf_dir, "embeddings")
-    return _sim.semantic_dedup_summary(emb, threshold=0.6, dim=64, n_cells=16)
+    return _sim.semantic_dedup_summary(emb, threshold=0.6, dim=64, n_cells=None)

@@ -87,3 +87,31 @@ def test_semantic_dedup_summary_consistency(spark, emb):
     assert pairs.where(F.col("vec_a") >= F.col("vec_b")).count() == 0
     n_dropped_total = sum(r["n_dropped"] for r in rows)
     assert pairs.select("vec_b").distinct().count() == n_dropped_total
+
+
+def test_scaled_n_cells_rule():
+    # floor below 256 rows, ceil(sqrt(n)) above — mirrors the oracle's
+    # GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT))
+    assert sim.scaled_n_cells(0) == 16
+    assert sim.scaled_n_cells(255) == 16
+    assert sim.scaled_n_cells(256) == 16
+    assert sim.scaled_n_cells(257) == 17
+    assert sim.scaled_n_cells(10_000) == 100
+    assert sim.scaled_n_cells(1_000_000) == 1000
+    assert sim.scaled_n_cells(10**12) == 10**6  # perfect square: exact sqrt
+
+
+def test_semantic_dedup_pair_budget_scales(emb):
+    """With auto n_cells the intra-cell pair count must stay ~O(n^1.5),
+    far under the all-pairs n(n-1)/2 a fixed cell count degenerates to."""
+    n = emb.count()
+    n_cells = sim.scaled_n_cells(n)
+    assert n_cells >= 16 and n_cells == sim.scaled_n_cells(n)
+    tagged = sim.ivf_assign_cells(emb, dim=64, n_cells=n_cells)
+    sizes = [r["c"] for r in tagged.groupBy("cell").agg(F.count("*").alias("c")).collect()]
+    intra_pairs = sum(s * (s - 1) // 2 for s in sizes)
+    all_pairs = n * (n - 1) // 2
+    # md5 cells are roughly balanced: budget 4x the balanced-cell pair count
+    balanced = n_cells * ((n // n_cells + 1) * (n // n_cells) // 2)
+    assert intra_pairs <= 4 * balanced
+    assert intra_pairs < all_pairs / 4
