@@ -2421,19 +2421,27 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Numeric discipline: the join equality runs on two MIN() results of the
     same parquet doubles — MIN is order-independent and bit-exact on both
     engines, so double equality is safe here (never true for SUM/AVG).
-    Scale: the offer table is a partial-aggregated rollup of the fact
-    (shuffles (partkey, suppkey), far smaller than lineitem); the per-part
-    best is a second small agg; dimensions broadcast; top-25 is
+    Scale: fact rows are pruned BEFORE the first shuffle — a left-semi
+    join against the broadcast p_size=15 part keys drops ~95% of lineitem
+    pre-aggregation (per-partkey MINs are unaffected: the filter removes
+    whole partkeys, never rows within one).  The offer rollup then
+    shuffles only surviving (partkey, suppkey) groups; the per-part best
+    is a second small agg; dimensions broadcast; top-25 is
     TakeOrderedAndProject, no global sort.
     """
     li = _t(spark, sf_dir, "lineitem")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
+    li_pruned = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    offers = li_pruned.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("offer")
     )
     best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("offer").alias("best_offer")
     )
-    part = _t(spark, sf_dir, "part").where(F.col("p_size") == 15)
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")

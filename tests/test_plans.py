@@ -253,3 +253,17 @@ def test_train_val_test_split_is_pure_projection(spark, sf_small):
     assert "Join" not in plan
     assert "Window" not in plan
     assert "Python" not in plan  # no ArrowEvalPython / BatchEvalPython nodes
+
+
+def test_q2_semi_join_below_offers_agg(spark, sf_small):
+    """The p_size part filter must prune lineitem BEFORE the first
+    aggregate: a broadcast left-semi join sits under the offers groupBy,
+    so the (partkey, suppkey) shuffle carries only surviving partkeys."""
+    plan = plan_of(QUERIES["tpch_q2_min_cost_supplier"](spark, sf_small))
+    semi = plan.find("LeftSemi")
+    assert semi != -1, plan
+    # tree prints root-first: every HashAggregate (the offers/best rollups)
+    # must appear ABOVE (= earlier than) the semi join that feeds them
+    first_agg = plan.find("HashAggregate")
+    assert first_agg != -1 and first_agg < semi
+    assert "BroadcastHashJoin" in plan[semi - 40 : semi + 40] or "BroadcastHashJoin" in plan
