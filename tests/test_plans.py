@@ -267,3 +267,16 @@ def test_q2_semi_join_below_offers_agg(spark, sf_small):
     first_agg = plan.find("HashAggregate")
     assert first_agg != -1 and first_agg < semi
     assert "BroadcastHashJoin" in plan[semi - 40 : semi + 40] or "BroadcastHashJoin" in plan
+
+
+def test_salted_agg_two_phase_plan(spark, sf_small):
+    """The salted hot-key aggregation must show BOTH phases: a first
+    grouping on (event_type, _salt) spreading the hot key over 32
+    reducers, then the per-key merge — 2 keyed aggregations (each with
+    its map-side partial), not one."""
+    plan = plan_of(QUERIES["events_hot_type_salted_counts"](spark, sf_small))
+    assert "_salt" in plan
+    # partial+final per phase => at least 4 HashAggregate nodes
+    assert plan.count("HashAggregate") >= 4, plan
+    # phase-1 shuffle keys include the salt
+    assert "hashpartitioning" in plan
