@@ -77,6 +77,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # the next corpus schema drift (INT96, string, date...) must
+            # fail loudly at load time, not produce silently-wrong results
+            # at query time — the exact mode this normalization exists for
+            raise TypeError(
+                f"events.ts: unrecognized parquet type {ts_type!r}; expected "
+                "long (nanos-as-int64), timestamp_ntz, or timestamp — extend "
+                "load_table's normalization for the new corpus flavor"
+            )
     per_session[key] = df
     return df
 
