@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["sample_bucket_col", "stratified_sample", "token_shards"]
+__all__ = [
+    "sample_bucket_col",
+    "stratified_sample",
+    "mixture_epochs",
+    "token_shards",
+]
 
 
 def sample_bucket_col(id_col: Column) -> Column:
@@ -66,6 +71,48 @@ def stratified_sample(
         rate = F.when(F.col(strata_col) == value, F.lit(permille)).otherwise(rate)
     return df.withColumn("bucket", sample_bucket_col(F.col(id_col))).where(
         F.col("bucket") < rate
+    )
+
+
+def mixture_epochs(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    epochs_millis: dict[str, int],
+    default_millis: int = 1000,
+) -> DataFrame:
+    """Deterministic fractional-epoch replication — the upsampling half of
+    data mixing (:func:`stratified_sample` is the downsampling half).
+
+    A stratum at ``epochs_millis`` = 2500 contributes each document 2
+    times, plus a third copy for the deterministic 50% of documents whose
+    md5 permille bucket falls under the fractional part:
+    ``copies = millis div 1000 + (bucket < millis mod 1000)``.  Rates
+    are integers (milli-epochs) so both engines compute identical copy
+    counts — no float rounding at the boundary.
+
+    Map-side only at any scale: the rate lookup is a CASE chain, the
+    replication is ``explode(sequence(...))`` on the scan — no shuffle,
+    no join.  Output rows carry ``copy_idx`` (0-based) so a downstream
+    training-order shuffle can separate epochs; rows with 0 copies are
+    dropped (a 0-rate stratum is a filter).
+    """
+    millis = F.lit(default_millis)
+    for value, m in sorted(epochs_millis.items()):
+        millis = F.when(F.col(strata_col) == value, F.lit(m)).otherwise(millis)
+    with_copies = df.withColumn(
+        "bucket", sample_bucket_col(F.col(id_col))
+    ).withColumn(
+        "n_copies",
+        F.floor(millis.cast("bigint") / F.lit(1000)).cast("bigint")
+        + F.when(F.col("bucket") < millis.cast("bigint") % 1000, 1).otherwise(0),
+    )
+    return (
+        with_copies.where(F.col("n_copies") > 0)
+        .withColumn(
+            "copy_idx", F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1))
+        )
+        .drop("bucket", "n_copies")
     )
 
 

@@ -3191,6 +3191,180 @@ def emb_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q12_priority_shipping",
+    oracle=(
+        "SELECT l_returnflag AS ship_class, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY ship_class ORDER BY ship_class"
+    ),
+)
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (completes the head pack Q1-Q22): fact-fact join
+    with conditional aggregation — lines shipped in 1996 classified by
+    whether their order was high priority (this corpus has no
+    l_shipmode/commitdate/receiptdate; l_returnflag stands in for the
+    shipmode group and the year filter for the receipt window).
+
+    Scale: the date filter is pushed into the lineitem scan (prunes ~85%
+    of the fact pre-join); orders is a fact table too, so the join is a
+    shuffle hash join on orderkey — Q12's defining cost — with only
+    (orderkey, priority) on the orders side after pruning.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_returnflag")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "formats_orc_roundtrip",
+    oracle=(
+        "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_qty, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+)
+def formats_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink (B11 beyond parquet/csv/json): write a lineitem
+    projection as ORC, read it back, aggregate.  DuckDB cannot read ORC,
+    so the oracle aggregates the ORIGINAL parquet — equality of the two
+    rollups is exactly the losslessness claim (ORC stores int64/double
+    natively, so the round-trip is bit-exact).
+
+    Scale: ORC writes are per-partition and parallel like parquet; the
+    read-back scan keeps pushdown/pruning (ORC is a first-class Spark
+    columnar source with its own predicate pushdown).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from duckdb_cluster_hash_spark.sources.formats import read_table, write_table
+
+    path = _os.path.join(
+        _tf.gettempdir(), f"dch_orc_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    write_table(li, path, format="orc")
+    back = read_table(
+        spark,
+        path,
+        format="orc",
+        schema="l_returnflag string, l_quantity double, l_extendedprice double",
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "sql_error_probe",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "('registered_slot_golden', 1649), "
+        "('unregistered_function_errors', 1)) t(probe, observed) "
+        "ORDER BY probe"
+    ),
+)
+def sql_error_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative catalog probe (B12, quack.test:6-9 'statement error'
+    shape): calling a function that was never registered must raise an
+    analysis error, and after ``register_all`` the registered function
+    answers the README golden (cluster_slot('user:1000') = 1649).  The
+    before/after pair is the reference's extension-load contract."""
+    try:
+        spark.sql("SELECT cluster_slot_unregistered_probe('x')")
+        unregistered_errors = 0
+    except Exception:  # AnalysisException: UNRESOLVED_ROUTINE
+        unregistered_errors = 1
+    register_all(spark)
+    slot = spark.sql("SELECT cluster_slot('user:1000') AS s").head()["s"]
+    return spark.createDataFrame(
+        [
+            ("registered_slot_golden", int(slot)),
+            ("unregistered_function_errors", unregistered_errors),
+        ],
+        "probe string, observed int",
+    ).orderBy("probe")
+
+
+@query(
+    "docs_mixture_epochs",
+    oracle=(
+        "WITH rated AS (SELECT doc_id, source, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS bucket, "
+        "CASE WHEN source = 'src0' THEN 2500 WHEN source = 'src1' THEN 1300 "
+        "WHEN source = 'src2' THEN 300 ELSE 1000 END AS millis FROM documents), "
+        "copies AS (SELECT doc_id, source, millis // 1000 "
+        "+ CASE WHEN bucket < millis % 1000 THEN 1 ELSE 0 END AS n_copies "
+        "FROM rated), "
+        "expanded AS (SELECT doc_id, source, unnest(range(n_copies)) AS copy_idx "
+        "FROM copies WHERE n_copies > 0) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(max(copy_idx) AS BIGINT) AS max_copy_idx "
+        "FROM expanded GROUP BY source ORDER BY source"
+    ),
+)
+def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture upsampling (the other half of docs_stratified_sample):
+    replicate src0 2.5 epochs, src1 1.3, downweight src2 to 0.3, leave
+    the rest at 1.0 — fractional epochs resolved per-document by the
+    deterministic md5-permille bucket, so both engines expand the
+    identical multiset.
+
+    Scale: pure map-side — rate lookup is a CASE chain, replication is
+    explode(sequence()) on the scan; no shuffle, no join.  Only this
+    report's per-source rollup aggregates.
+    """
+    from duckdb_cluster_hash_spark.operators.sampling import mixture_epochs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_epochs(
+        docs, "source", "doc_id", {"src0": 2500, "src1": 1300, "src2": 300}, 1000
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("copy_idx").cast("bigint").alias("max_copy_idx"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -3251,13 +3425,13 @@ _DRIVER_WINDOW_FIRST = [
     # — new this round —
     "events_hot_type_salted_counts",
     "emb_ivf_kmeans_recall",
-    # — rotated-in flagships (Tier A core + one per operator family) —
+    "tpch_q12_priority_shipping",
+    "formats_orc_roundtrip",
+    "sql_error_probe",
+    "docs_mixture_epochs",
+    # — rotated-in flagships (Tier A core) —
     "cluster_scalar_goldens",
     "cluster_node_distribution",
-    "ddl_readme_flow",
-    "cluster_skew_report",
-    "docs_exact_dedup",
-    "emb_cosine_topk",
 ]
 
 

@@ -280,3 +280,19 @@ def test_salted_agg_two_phase_plan(spark, sf_small):
     assert plan.count("HashAggregate") >= 4, plan
     # phase-1 shuffle keys include the salt
     assert "hashpartitioning" in plan
+
+
+def test_q12_pushes_date_filter_to_scan(spark, sf_small):
+    plan = plan_of(QUERIES["tpch_q12_priority_shipping"](spark, sf_small))
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # only the join key + group key are read from lineitem
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l and "l_orderkey" in l][0]
+    assert "l_extendedprice" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_mixture_epochs_is_map_side(spark, sf_small):
+    """Replication must ride the scan: no join anywhere, and the only
+    exchange is the final per-source rollup's."""
+    plan = plan_of(QUERIES["docs_mixture_epochs"](spark, sf_small))
+    assert "Join" not in plan
+    assert "Generate explode" in plan

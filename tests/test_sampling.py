@@ -119,3 +119,37 @@ def test_q15_max_probe_is_broadcast_not_window(spark, sf_small):
     plan = plan_of(QUERIES["tpch_q15_top_supplier"](spark, sf_small))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_mixture_epochs_copy_rule(spark):
+    """copies = millis div 1000 + (bucket < millis mod 1000); every doc in
+    a 2500-milli stratum appears 2 or 3 times, a 300-milli stratum 0 or 1,
+    and copy_idx enumerates 0..copies-1."""
+    from duckdb_cluster_hash_spark.operators.sampling import (
+        mixture_epochs,
+        sample_bucket_col,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "hot").otherwise("cold").alias("src"),
+    )
+    out = mixture_epochs(df, "src", "doc_id", {"hot": 2500, "cold": 300}).cache()
+    per_doc = (
+        out.groupBy("doc_id", "src")
+        .agg(F.count("*").alias("n"), F.max("copy_idx").alias("mx"))
+        .collect()
+    )
+    buckets = {
+        r["doc_id"]: r["bucket"]
+        for r in df.select("doc_id", sample_bucket_col(F.col("doc_id"))).collect()
+    }
+    seen = set()
+    for r in per_doc:
+        seen.add(r["doc_id"])
+        b = buckets[r["doc_id"]]
+        expect = (2 + (b < 500)) if r["src"] == "hot" else (0 + (b < 300))
+        assert r["n"] == expect and r["mx"] == expect - 1, r
+    # cold docs with bucket >= 300 are dropped entirely (0 copies)
+    dropped = {d for d, b in buckets.items() if d % 2 == 1 and b >= 300}
+    assert dropped.isdisjoint(seen) and len(dropped) > 0
