@@ -1,0 +1,101 @@
+"""Distributed global ranking — row_number / ntile without the
+single-partition sort (SURVEY.md §2 scale notes).
+
+``Window.orderBy(...)`` with no partition key forces ``Exchange
+SinglePartition``: the whole input crosses one reducer — the classic
+scale killer for "rank every customer / document globally" queries.
+The exact, scalable alternative is the same two-level pattern as
+``sampling.token_shards``:
+
+1. ``repartitionByRange`` on the order key — Spark's range partitioner
+   puts partition *i*'s rows entirely before partition *i+1*'s in the
+   global order (boundaries come from sampling, which affects only
+   balance, never correctness);
+2. ``row_number`` windows partitioned by the physical partition id —
+   N independent parallel sorts;
+3. per-partition row counts (one tiny N-row table) prefix-summed into
+   offsets and broadcast back: ``global_rank = offset + local_rank``.
+
+Only the N-row counts table is ever globally ordered.  ntile is then a
+pure expression over (rank, total): the SQL-standard allocation gives
+the first ``n mod k`` tiles ``ceil(n/k)`` rows and the rest
+``floor(n/k)`` — integer arithmetic both engines reproduce exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_row_number", "ntile_exact"]
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    n_buckets: int = 256,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Add a 1-based global row number in ``order_cols`` order without a
+    single-partition sort.  The order key must be total (add a unique
+    tie-break column); equal keys never split across range partitions,
+    so ranks are exact for any sampled boundaries.
+    """
+    ranged = df.repartitionByRange(n_buckets, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_c"))
+    # the ONLY globally-ordered data: one row per range bucket
+    over_pids = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "_pid", (F.sum("_c").over(over_pids) - F.col("_c")).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_exact(
+    df: DataFrame,
+    order_cols: list[Column],
+    k: int,
+    n_buckets: int = 256,
+    out_col: str = "tile",
+) -> DataFrame:
+    """SQL-standard ``ntile(k)`` over a total order, scalably.
+
+    Allocation rule (what Spark's and DuckDB's ntile both implement):
+    with q = n div k and rem = n mod k, the first ``rem`` tiles hold
+    q+1 rows, the rest q.  For 1-based rank r:
+
+    - r <= rem*(q+1):  tile = ceil(r / (q+1))
+    - else:            tile = rem + ceil((r - rem*(q+1)) / q)
+
+    Pure integer arithmetic over (rank, total) — bit-exact on both
+    engines; ``greatest(q, 1)`` guards the (never-taken at k > n is
+    false; taken when k >= n makes the else branch dead) division.
+    """
+    ranked = global_row_number(df, order_cols, n_buckets=n_buckets, out_col="_rn")
+    total = ranked.groupBy().agg(F.count("*").alias("_n"))
+    r, n = F.col("_rn"), F.col("_n")
+    q = (n / F.lit(k)).cast("bigint")  # n div k (non-negative)
+    rem = n % F.lit(k)
+    q_safe = F.greatest(q, F.lit(1).cast("bigint"))
+    head_rows = rem * (q + 1)
+    tile = (
+        F.when(r <= head_rows, F.ceil(r / (q + 1)))
+        .otherwise(rem + F.ceil((r - head_rows) / q_safe))
+        .cast("int")
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .withColumn(out_col, tile)
+        .drop("_rn", "_n")
+    )

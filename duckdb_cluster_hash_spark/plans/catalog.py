@@ -535,17 +535,24 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile segmentation over exact-decimal customer spend.
     The sort key is DECIMAL (exact) with custkey tie-break, so the decile
-    boundaries are deterministic across engines."""
-    from pyspark.sql.window import Window
+    boundaries are deterministic across engines.
+
+    Scale: a bare ``ntile(10) OVER (ORDER BY ...)`` (what the oracle
+    runs) is an Exchange SinglePartition — every customer through one
+    reducer.  This uses operators/ranking.ntile_exact instead: range
+    repartition + parallel per-partition row_numbers + a broadcast
+    256-row offset table, reproducing SQL ntile's exact allocation with
+    only the offsets table globally ordered.
+    """
+    from duckdb_cluster_hash_spark.operators.ranking import ntile_exact
 
     spend = (
         _t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"))
     )
-    d = spend.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.desc("s"), F.asc("o_custkey"))),
+    d = ntile_exact(
+        spend, [F.desc("s"), F.asc("o_custkey")], 10, out_col="decile"
     )
     return (
         d.groupBy("decile")

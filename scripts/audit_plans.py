@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""One-shot physical-plan smell audit over the whole catalog.
+
+Builds every catalog query (no execution beyond what query-construction
+itself triggers) and greps the executed-plan string for the smells that
+kill 100 TB runs:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — all-pairs joins;
+- ``BatchEvalPython`` — row-at-a-time (non-Arrow) Python in the plan;
+- parquet scans with no pushed filter while the plan filters right above
+  the scan (pushdown broken);
+- ``Exchange SinglePartition`` under a window (global sort bottleneck) —
+  reported, since a handful of tiny rollups legitimately use it.
+
+Usage: python scripts/audit_plans.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
+
+
+def main() -> int:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-audit")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    names = sys.argv[1:] or list(QUERIES)
+    flagged = 0
+    for name in names:
+        try:
+            plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001 — report, keep auditing
+            print(f"ERR  {name}: {type(exc).__name__}: {exc}")
+            flagged += 1
+            continue
+        smells = []
+        if "CartesianProduct" in plan:
+            smells.append("cartesian-product")
+        if "BroadcastNestedLoopJoin" in plan:
+            smells.append("nested-loop-join")
+        if "BatchEvalPython" in plan:
+            smells.append("row-at-a-time-python")
+        n_single = plan.count("Exchange SinglePartition")
+        if n_single:
+            smells.append(f"single-partition-exchange x{n_single}")
+        # a Filter sitting directly on a parquet scan that pushed nothing
+        for m in re.finditer(r"Filter .{0,400}?PushedFilters: \[\]", plan, re.S):
+            frag = m.group(0)
+            if "Scan parquet" in frag:
+                smells.append("unpushed-filter-over-scan")
+                break
+        if smells:
+            flagged += 1
+            print(f"FLAG {name}: {', '.join(smells)}")
+    print(f"\n{len(names) - flagged}/{len(names)} clean")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

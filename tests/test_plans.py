@@ -296,3 +296,13 @@ def test_mixture_epochs_is_map_side(spark, sf_small):
     plan = plan_of(QUERIES["docs_mixture_epochs"](spark, sf_small))
     assert "Join" not in plan
     assert "Generate explode" in plan
+
+
+def test_deciles_avoid_single_partition_sort(spark, sf_small):
+    """customer_spend_deciles must rank via range repartition + parallel
+    per-partition windows (operators/ranking.py), never a bare global
+    ntile window (Exchange SinglePartition of every customer)."""
+    plan = plan_of(QUERIES["customer_spend_deciles"](spark, sf_small))
+    assert "rangepartitioning" in plan
+    assert "ntile" not in plan  # replaced by the exact rank arithmetic
+    assert "_pid" in plan  # windows are per-range-partition

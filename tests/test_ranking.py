@@ -1,0 +1,50 @@
+"""Distributed ranking semantics: global_row_number / ntile_exact must
+reproduce the single-partition window results exactly, at any bucket
+count, including ties broken by the tie-break column."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from duckdb_cluster_hash_spark.operators.ranking import global_row_number, ntile_exact
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    # duplicate scores force the tie-break; 997 rows exercises uneven tiles
+    return spark.range(0, 997).select(
+        F.col("id"), (F.col("id") % 37).alias("score")
+    ).cache()
+
+
+def test_global_row_number_matches_window(spark, scored):
+    order = [F.desc("score"), F.asc("id")]
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(scored, order, n_buckets=16).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("k", [1, 3, 10, 997, 2000])
+def test_ntile_exact_matches_ntile(spark, scored, k):
+    order = [F.desc("score"), F.asc("id")]
+    got = {
+        r["id"]: r["tile"]
+        for r in ntile_exact(scored, order, k, n_buckets=8).collect()
+    }
+    want = {
+        r["id"]: r["t"]
+        for r in scored.withColumn(
+            "t", F.ntile(k).over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
