@@ -1866,19 +1866,24 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     0.2 * avg(l_quantity)`` is rewritten multiplication-only as
     ``5 * qty * cnt < sum_qty`` over DECIMAL — exact in both engines,
     immune to decimal-division scale differences (see module docstring).
-    Scale: per-part partial aggregation shrinks before the join; the
-    brand filter is pushed to the part scan and the part side is
-    broadcast.  No per-row subquery execution.
+    Scale: fact rows are pruned BEFORE the first shuffle — a broadcast
+    left-semi join against the Brand#4 part keys drops the ~96% of
+    lineitem whose per-part aggregates the later join would discard
+    anyway (per-partkey sums are unaffected: the filter removes whole
+    partkeys, never rows within one — same argument as Q2).  The part
+    side broadcasts; no per-row subquery execution.
     """
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4").select("p_partkey")
-    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    li_brand = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi"
+    )
+    pq = li_brand.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
         F.count("*").alias("cnt"),
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(pq, li.l_partkey == pq.pk)
+        li_brand.join(pq, li_brand.l_partkey == pq.pk)
         .where(
             F.lit(5) * F.col("l_quantity").cast("decimal(18,4)") * F.col("cnt")
             < F.col("sum_qty")

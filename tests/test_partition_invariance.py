@@ -1,0 +1,72 @@
+"""Physical-layout invariance — the distributed-correctness gate.
+
+Every catalog result must be a pure function of the DATA, never of the
+physical layout it happens to arrive in: scan split sizes, shuffle
+partition counts, and task scheduling all change between a laptop and a
+1000-executor cluster, and any query whose answer moves with them is
+wrong at scale even if it passes the oracle locally.
+
+The queries picked here are exactly the ones that internally use
+layout-sensitive primitives and must have engineered that sensitivity
+away: salted aggregation (monotonically_increasing_id in the salt),
+distributed ranking (spark_partition_id), token sharding (two-level
+prefix sum), LSH dedup (shared materialized shingles), and mixture
+replication.  Each runs under the session's normal config and again
+with tiny scan splits + a different shuffle width; sorted results must
+be identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+INVARIANCE_QUERIES = [
+    "events_hot_type_salted_counts",
+    "customer_spend_deciles",
+    "docs_token_shards",
+    "docs_minhash_neardup_pairs",
+    "docs_mixture_epochs",
+    "docs_train_val_test_split",
+    "cluster_skew_report",
+]
+
+ALT_CONFS = {
+    # force many tiny scan splits and a different shuffle width
+    "spark.sql.files.maxPartitionBytes": "65536",
+    "spark.sql.shuffle.partitions": "3",
+    "spark.sql.files.openCostInBytes": "0",
+}
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def _drop_shared_memos():
+    # the dedup shingle/signature memo would otherwise serve the alt run
+    # a checkpoint materialized under the baseline layout, hiding any
+    # layout sensitivity in the shingle stage itself
+    from duckdb_cluster_hash_spark.operators import dedup
+
+    dedup._SHARED_MATERIALIZED.clear()
+
+
+@pytest.mark.parametrize("name", INVARIANCE_QUERIES)
+def test_result_independent_of_physical_layout(spark, sf_small, name):
+    _drop_shared_memos()
+    baseline = _rows(QUERIES[name](spark, sf_small))
+    saved = {k: spark.conf.get(k, None) for k in ALT_CONFS}
+    try:
+        for k, v in ALT_CONFS.items():
+            spark.conf.set(k, v)
+        _drop_shared_memos()
+        alt = _rows(QUERIES[name](spark, sf_small))
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert alt == baseline

@@ -306,3 +306,12 @@ def test_deciles_avoid_single_partition_sort(spark, sf_small):
     assert "rangepartitioning" in plan
     assert "ntile" not in plan  # replaced by the exact rank arithmetic
     assert "_pid" in plan  # windows are per-range-partition
+
+
+def test_q17_semi_join_below_per_part_agg(spark, sf_small):
+    """Same gate as Q2: the brand filter must prune lineitem BEFORE the
+    per-part aggregate, via a broadcast left-semi join."""
+    plan = plan_of(QUERIES["tpch_q17_small_quantity_revenue"](spark, sf_small))
+    semi = plan.find("LeftSemi")
+    first_agg = plan.find("HashAggregate")
+    assert semi != -1 and first_agg != -1 and first_agg < semi, plan
