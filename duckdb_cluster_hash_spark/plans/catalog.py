@@ -1278,21 +1278,27 @@ def events_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def lineitem_quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete quantiles (C8): percentile with discrete interpolation
-    matches DuckDB's quantile_disc on exact values."""
+    """Discrete quantiles (C8): percentile_approx in exact mode matches
+    DuckDB's quantile_disc on exact values.
+
+    One sketch, three percentiles: the array form keeps a single exact
+    buffer per group instead of three (3x the aggregation state and CPU
+    for identical output).  Exact-mode percentile state is O(distinct
+    values) per group — fine for a bounded domain like quantity; for
+    unbounded measures at 100 TB use the approx accuracy knob instead.
+    """
     li = _t(spark, sf_dir, "lineitem")
+    qs = F.expr(
+        "percentile_approx(l_quantity, array(0.25D, 0.50D, 0.75D), 2147483647)"
+    )
     return (
         li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile_approx(l_quantity, 0.25, 2147483647)")
-            .cast("double")
-            .alias("q1"),
-            F.expr("percentile_approx(l_quantity, 0.50, 2147483647)")
-            .cast("double")
-            .alias("q2"),
-            F.expr("percentile_approx(l_quantity, 0.75, 2147483647)")
-            .cast("double")
-            .alias("q3"),
+        .agg(qs.alias("_qs"))
+        .select(
+            "l_returnflag",
+            F.col("_qs")[0].cast("double").alias("q1"),
+            F.col("_qs")[1].cast("double").alias("q2"),
+            F.col("_qs")[2].cast("double").alias("q3"),
         )
         .orderBy("l_returnflag")
     )
