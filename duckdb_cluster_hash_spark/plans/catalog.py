@@ -3321,11 +3321,14 @@ def sql_error_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     analysis error, and after ``register_all`` the registered function
     answers the README golden (cluster_slot('user:1000') = 1649).  The
     before/after pair is the reference's extension-load contract."""
-    try:
+    spark.sparkContext.setLogLevel("FATAL")  # the probe's failure is expected;
+    try:  # keep the UNRESOLVED_ROUTINE stack out of driver logs
         spark.sql("SELECT cluster_slot_unregistered_probe('x')")
         unregistered_errors = 0
     except Exception:  # AnalysisException: UNRESOLVED_ROUTINE
         unregistered_errors = 1
+    finally:
+        spark.sparkContext.setLogLevel("ERROR")
     register_all(spark)
     slot = spark.sql("SELECT cluster_slot('user:1000') AS s").head()["s"]
     return spark.createDataFrame(
