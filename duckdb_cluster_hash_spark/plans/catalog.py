@@ -3386,6 +3386,46 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_hll_shard_distinct",
+    oracle=(
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "CAST(1 AS INTEGER) AS within_2pct FROM events"
+    ),
+)
+def events_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (C8, the 100 TB architecture):
+    one Datasketches HLL per shard (events grouped by their cluster_node
+    route), merged centrally with hll_union_agg — the pattern that
+    replaces a global distinct shuffle with |shards| kilobyte-sized
+    sketches.
+
+    HLL estimates are implementation-specific, so the portable oracle is
+    a CONTRACT (like emb_ivf_kmeans_recall): the merged estimate must
+    land within 2% of the exact distinct count (default lgK=12 gives
+    ~1.6% typical error; at this corpus's cardinality the sketch is in
+    exact sparse mode).  The exact count rides along and is value-hashed
+    directly.
+    """
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.withColumn(
+        "node", cluster_node_col(F.col("user_id").cast("string"))
+    )
+    merged = tagged.groupBy("node").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(F.broadcast(merged)).select(
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.02 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("within_2pct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
