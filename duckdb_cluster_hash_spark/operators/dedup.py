@@ -58,6 +58,10 @@ def _h60(col: Column) -> Column:
 # engine session (the bench, a notebook, a long-lived service) that is the
 # dominant cost of the dedup suite.  Entries die with the input DataFrame;
 # results are bit-identical (materialization only, no semantic change).
+# localCheckpoint stores MEMORY_AND_DISK, so oversized entries spill rather
+# than OOM; at true 100 TB the equivalent of this memo is a materialized
+# intermediate table (write the shingle table once, scan it per query), not
+# session cache — the memo is the single-session/bench/notebook optimization.
 _SHARED_MATERIALIZED: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
     weakref.WeakKeyDictionary()
 )

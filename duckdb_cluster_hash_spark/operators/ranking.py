@@ -40,6 +40,11 @@ def global_row_number(
     single-partition sort.  The order key must be total (add a unique
     tie-break column); equal keys never split across range partitions,
     so ranks are exact for any sampled boundaries.
+
+    Size ``n_buckets`` so a bucket's rows fit one executor's sort budget
+    (rows/n_buckets per task): 256 suits up to ~10^9 input rows; beyond
+    that pass a larger value — the offsets table stays n_buckets rows
+    and is the only globally-ordered data either way.
     """
     ranged = df.repartitionByRange(n_buckets, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
