@@ -28,6 +28,44 @@ from pyspark.sql import SparkSession
 SF_DIR = os.environ.get("SPARK_GRAFT_AUDIT_SF", "/root/testdata/sf0.001")
 
 
+# Reviewed flags that are NOT scale problems, with the reason each is
+# acceptable.  A query acquiring a smell not waived here fails the audit
+# loudly; re-review before extending this table.
+WAIVERS: dict[str, str] = {
+    "cluster_shard_ranges": (
+        "UDTF generates <=64 literal rows (B-surface shard_ranges parity); "
+        "BatchEvalPython over a constant-sized generator is size-independent"
+    ),
+    "cluster_skew_report": "final scalar rollup of <=32 partial-agg rows",
+    "docs_exact_dedup": "final scalar rollup of partial-agg rows",
+    "active_multiline_customers": "final scalar rollup of partial-agg rows",
+    "tpch_q6_forecast_revenue": "global sum = SinglePartition merge of partials",
+    "tpch_q14_promo_effect": "global ratio = SinglePartition merge of partials",
+    "tpch_q15_top_supplier": "global max revenue = merge of partials",
+    "tpch_q17_small_quantity_revenue": "final scalar rollup of partials",
+    "tpch_q19_disjunctive_revenue": "global sum = merge of partials",
+    "tpch_q11_important_parts": (
+        "1-row broadcast (global threshold) nested-loop + its scalar rollup"
+    ),
+    "tpch_q22_dormant_rich_customers": (
+        "1-row broadcast (global avg acctbal) nested-loop + its scalar rollup"
+    ),
+    "docs_token_shards": "only the 256-row bucket-totals table is globally ordered",
+    "customer_spend_deciles": (
+        "offsets window + total count are n_buckets/1-row tables; the corpus "
+        "itself ranks via rangepartitioning (gated in test_plans)"
+    ),
+    "events_hll_shard_distinct": (
+        "two 1-row sides (exact count x merged sketch estimate) joined"
+    ),
+    "emb_ivf_kmeans_recall": (
+        "the unpushed filter is cell-membership over the KMeans-tagged frame "
+        "(computed column, unknowable to the scan); at scale the cell is a "
+        "parquet partition column (ivf_write_index) and prunes at the source"
+    ),
+}
+
+
 def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
@@ -66,11 +104,13 @@ def main() -> int:
             if "Scan parquet" in frag:
                 smells.append("unpushed-filter-over-scan")
                 break
-        if smells:
+        if smells and name in WAIVERS:
+            print(f"WAIVED {name}: {', '.join(smells)} — {WAIVERS[name]}")
+        elif smells:
             flagged += 1
             print(f"FLAG {name}: {', '.join(smells)}")
-    print(f"\n{len(names) - flagged}/{len(names)} clean")
-    return 0
+    print(f"\n{len(names) - flagged}/{len(names)} clean ({flagged} unwaived)")
+    return 1 if flagged else 0
 
 
 if __name__ == "__main__":
