@@ -3387,6 +3387,42 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_media_frame_sample",
+    oracle=(
+        "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L, "
+        "(1 + doc_id % 8) AS n FROM documents) "
+        "SELECT doc_id, CAST((n + 1) // 2 AS BIGINT) AS n_frames_sampled, "
+        "CAST(list_sum([GREATEST((L - i + n - 1) // n, 0) "
+        "FOR i IN range(0, n, 2)]) AS BIGINT) AS frame_bytes_total "
+        "FROM m ORDER BY doc_id"
+    ),
+)
+def docs_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over (fake) video media: explode every 2nd frame of
+    each document's media payload to (doc_id, frame_idx, frame_bytes)
+    via vectorized mapInPandas (multimodal.sample_frames), then roll up
+    per-doc sampled-frame counts and byte totals.
+
+    The fake container interleaves n_frames round-robin over the payload
+    (frame i = payload[i::n]), so the oracle recomputes each sampled
+    frame's length as ceil((L - i)/n) from the header arithmetic alone —
+    grading both the explode shape and the slicing.  Scale: map-side
+    explode (no shuffle until the rollup); a real codec slots into the
+    same mapInPandas seam with the identical output contract.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    frames = _mm.sample_frames(_mm.attach_fake_media(docs), every_k=2)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames_sampled"),
+            F.sum(F.length("frame_bytes")).alias("frame_bytes_total"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "events_hll_shard_distinct",
     oracle=(
         "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
