@@ -3387,6 +3387,100 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_salted_dim_join",
+    oracle=(
+        "WITH seg AS (SELECT * FROM (VALUES "
+        "('click', 'engagement'), ('view', 'engagement'), "
+        "('purchase', 'revenue'), ('signup', 'growth'), ('error', 'ops')) "
+        "t(event_type, segment)) "
+        "SELECT segment, CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events JOIN seg USING (event_type) "
+        "GROUP BY segment ORDER BY segment"
+    ),
+)
+def events_salted_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join over a hot key (the join-skew counterpart of
+    events_hot_type_salted_counts): the fact side gets a deterministic
+    salt, the dim side is replicated once per salt bucket
+    (skew.replicate_for_salted_join), and the join key becomes
+    (event_type, salt) — a hot event_type meets the dim in 8 different
+    reducers instead of one.
+
+    Salting is result-invariant (every fact row still matches exactly
+    its dim row), so the oracle is the plain join.  The shuffle_hash
+    hint forces the shuffle-join plan the technique exists for — with a
+    broadcastable literal dim Catalyst would otherwise broadcast and
+    hide the salted keys; at 100 TB the dim that needs this is the one
+    too big to broadcast.
+    """
+    from duckdb_cluster_hash_spark.operators.skew import (
+        replicate_for_salted_join,
+        with_salt,
+    )
+
+    seg = spark.createDataFrame(
+        [
+            ("click", "engagement"),
+            ("view", "engagement"),
+            ("purchase", "revenue"),
+            ("signup", "growth"),
+            ("error", "ops"),
+        ],
+        "event_type string, segment string",
+    )
+    buckets = 8
+    fact = with_salt(_t(spark, sf_dir, "events"), buckets)
+    dim = replicate_for_salted_join(seg, buckets).hint("shuffle_hash")
+    return (
+        fact.join(dim, ["event_type", "_salt"])
+        .groupBy("segment")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "emb_lsh_ann_recall",
+    oracle=(
+        "SELECT 10 AS k, 4 AS planes, 16 AS tables, "
+        "CAST(1 AS INTEGER) AS recall_ok, CAST(1 AS INTEGER) AS self_found"
+    ),
+)
+def emb_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (similarity.ann_lsh_topk — bucket probe across
+    16 tables, exact re-rank of candidates only) graded by its recall
+    contract against the exact fold-cosine top-k, like
+    emb_ivf_kmeans_recall: bucket membership depends on float sign
+    tests no SQL engine reproduces bit-for-bit, so the portable oracle
+    is the property, not the ranking.
+
+    recall_ok: >= 5 of the exact top-10 recovered (pytest pins >= 6 at
+    these parameters; 5 leaves margin).  self_found: the query vector
+    hashes into its own bucket in every table, so it is always a
+    candidate and ranks first — a structural invariant of LSH probing.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    approx = _sim.ann_lsh_topk(emb, qvec, k=10, planes=4, tables=16)
+    exact = _sim.cosine_topk(emb, qvec, k=10).select("vec_id")
+    overlap = (
+        approx.select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count("*").alias("overlap"))
+    )
+    self_hit = approx.agg(
+        F.max(F.when(F.col("vec_id") == 0, 1).otherwise(0)).alias("self_found")
+    )
+    return overlap.join(F.broadcast(self_hit)).select(
+        F.lit(10).alias("k"),
+        F.lit(4).alias("planes"),
+        F.lit(16).alias("tables"),
+        (F.col("overlap") >= F.lit(5)).cast("int").alias("recall_ok"),
+        F.col("self_found").cast("int").alias("self_found"),
+    )
+
+
+@query(
     "docs_media_frame_sample",
     oracle=(
         "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L, "

@@ -58,6 +58,9 @@ WAIVERS: dict[str, str] = {
     "events_hll_shard_distinct": (
         "two 1-row sides (exact count x merged sketch estimate) joined"
     ),
+    "emb_lsh_ann_recall": (
+        "two 1-row sides (overlap count x self-found flag) joined"
+    ),
     "emb_ivf_kmeans_recall": (
         "the unpushed filter is cell-membership over the KMeans-tagged frame "
         "(computed column, unknowable to the scan); at scale the cell is a "

@@ -315,3 +315,10 @@ def test_q17_semi_join_below_per_part_agg(spark, sf_small):
     semi = plan.find("LeftSemi")
     first_agg = plan.find("HashAggregate")
     assert semi != -1 and first_agg != -1 and first_agg < semi, plan
+
+
+def test_salted_join_keys_include_salt(spark, sf_small):
+    """The salted dim join must actually shuffle on (event_type, _salt) —
+    a hot event_type then lands on 8 reducers, not one."""
+    plan = plan_of(QUERIES["events_salted_dim_join"](spark, sf_small))
+    assert "ShuffledHashJoin [event_type" in plan and "_salt" in plan, plan
