@@ -3386,6 +3386,51 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_USER_KEY_SQL = "'user:' || user_id::VARCHAR"
+
+
+@query(
+    "events_node_partitioned_sink",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events "
+        f"FROM events WHERE {node_sql(_USER_KEY_SQL)} = 2 "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def events_node_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data-placement purpose as a SINK + pruned read
+    (C1): write events into per-shard directories (node_id=k/...) via
+    distribution.write_partitioned_by_node, then read back ONLY shard 2
+    — a partition-pruned scan that never opens the other 5 directories.
+
+    The oracle recomputes shard membership from the CRC16 slot math over
+    the same 'user:<id>' keys.  Scale: this is exactly how a 100 TB
+    corpus ships to its owning nodes — one directory per shard at write
+    time, and every shard-local query afterwards reads 1/n of the data
+    via PartitionFilters (asserted in test_plans).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from duckdb_cluster_hash_spark.operators.distribution import (
+        write_partitioned_by_node,
+    )
+
+    path = _os.path.join(
+        _tf.gettempdir(), f"dch_nodeparts_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "user_key", F.concat(F.lit("user:"), F.col("user_id").cast("string"))
+    )
+    write_partitioned_by_node(ev, "user_key", path)
+    shard2 = spark.read.parquet(path).where(F.col("node_id") == 2)
+    return (
+        shard2.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
 @query(
     "events_salted_dim_join",
     oracle=(

@@ -322,3 +322,12 @@ def test_salted_join_keys_include_salt(spark, sf_small):
     a hot event_type then lands on 8 reducers, not one."""
     plan = plan_of(QUERIES["events_salted_dim_join"](spark, sf_small))
     assert "ShuffledHashJoin [event_type" in plan and "_salt" in plan, plan
+
+
+def test_node_partitioned_sink_prunes_shards(spark, sf_small):
+    """Reading one shard of the node-partitioned sink must prune the
+    other directories at the source (PartitionFilters, not a post-scan
+    filter over all shards)."""
+    plan = plan_of(QUERIES["events_node_partitioned_sink"](spark, sf_small))
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "node_id" in pf[0] and "PartitionFilters: []" not in pf[0], plan
