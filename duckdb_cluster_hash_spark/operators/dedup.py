@@ -39,6 +39,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_neardup_pairs",
     "simhash64",
+    "simhash64_shared",
     "simhash_neardup_pairs",
     "chunk_digest_table",
     "chunk_dedup_histogram",
@@ -386,6 +387,16 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash64_shared(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """:func:`simhash64` through the per-corpus materialization memo —
+    use when other queries in the session also need the signatures."""
+    return _shared_checkpoint(
+        df,
+        ("simhash64", id_col, text_col),
+        lambda: simhash64(df, id_col, text_col),
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -415,8 +426,9 @@ def simhash_neardup_pairs(
     mask = (1 << width) - 1
 
     # the signature pipeline (explode + 64 conditional sums) feeds three
-    # subtrees (banding + both verify sides); materialize it once
-    sig = simhash64(df, id_col, text_col).localCheckpoint(eager=True)
+    # subtrees (banding + both verify sides) AND the standalone signature
+    # query over the same corpus; materialize once per corpus
+    sig = simhash64_shared(df, id_col, text_col)
     block_cols = [
         F.shiftright(F.col(half), j * width).bitwiseAND(F.lit(mask))
         for half in ("simhash_lo", "simhash_hi")

@@ -949,8 +949,11 @@ def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("docs_simhash_signatures", oracle=_ot.simhash_signatures_sql())
 def docs_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (C4): 64-bit majority-vote fingerprint per document."""
-    return _dd.simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    """SimHash (C4): 64-bit majority-vote fingerprint per document.
+    Shares the materialized signature table with the near-dup pairs
+    query (dedup._shared_checkpoint) — one explode + 64-sum pass per
+    corpus per session."""
+    return _dd.simhash64_shared(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query("docs_simhash_neardup_pairs", oracle=_ot.simhash_neardup_pairs_sql(2))
