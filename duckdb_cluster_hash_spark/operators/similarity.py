@@ -376,19 +376,37 @@ def ivf_probe_cells(
     return sorted(range(n_cells), key=lambda c: (-dots[c], c))[:nprobe]
 
 
+# index builds already done this session, weakly keyed by the session so a
+# restart always rebuilds (the corpus behind a path could have changed
+# between sessions, never within one — load_table canonicalizes per session)
+import weakref as _weakref
+
+_INDEX_WRITTEN: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def ivf_write_index(
     emb: DataFrame,
     path: str,
     dim: int = 64,
     n_cells: int = 16,
     vec_col: str = "embedding",
+    force: bool = False,
 ) -> None:
     """Materialize the IVF index: the corpus re-written as parquet
     partitioned by cell id.  At 100 TB this is the one-off index build;
     every subsequent probe is pure partition pruning (reads
-    nprobe/n_cells of the data, no shuffle, no full scan)."""
+    nprobe/n_cells of the data, no shuffle, no full scan).  The build is
+    memoized per session and parameters — repeated ANN queries in one
+    session pay the build once, which is the amortization the index
+    exists for; pass ``force=True`` after mutating the corpus."""
+    spark = emb.sparkSession
+    written = _INDEX_WRITTEN.setdefault(spark, set())
+    key = (path, dim, n_cells, vec_col)
+    if not force and key in written:
+        return
     tagged = ivf_assign_cells(emb, dim=dim, n_cells=n_cells, vec_col=vec_col)
     tagged.write.mode("overwrite").partitionBy("cell").parquet(path)
+    written.add(key)
 
 
 def ivf_probe_topk(
