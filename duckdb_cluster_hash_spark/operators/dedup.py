@@ -319,11 +319,33 @@ def minhash_neardup_pairs(
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard — computed ONLY on the
     candidate pairs (the 100 TB-scale property: verification cost is
-    O(candidates), not O(n²)).  Returns (doc_a, doc_b, jacc)."""
+    O(candidates), not O(n²)).  Returns (doc_a, doc_b, jacc).
+
+    The whole result is memoized per (corpus, parameters): the pairs
+    query and the components query consume the identical pair set, so
+    the banding join + verify pass runs once per session.
+    """
+    return _shared_checkpoint(
+        df,
+        ("mh_pairs", id_col, text_col, n, k, bands, rows, threshold),
+        lambda: _minhash_neardup_pairs_build(
+            df, id_col, text_col, n, k, bands, rows, threshold
+        ),
+    )
+
+
+def _minhash_neardup_pairs_build(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    k: int,
+    bands: int,
+    rows: int,
+    threshold: float,
+) -> DataFrame:
     # signatures feed both sides of the banding self-join; shingle sets
-    # feed both verify sides — materialize each once (n rows, narrow) and
-    # memoize per corpus: the pairs query and the components query run the
-    # identical signature + verify passes
+    # feed both verify sides — materialize each once (n rows, narrow)
     sigs = _shared_checkpoint(
         df,
         ("mh_sigs", id_col, text_col, n, k),

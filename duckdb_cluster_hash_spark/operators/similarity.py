@@ -561,6 +561,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     seed: int = 42,
     max_iter: int = 8,
+    train_permille: int = 1000,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer + nprobe cell search.
 
@@ -577,14 +578,22 @@ def ivf_topk(
     vecs = emb.withColumn("_v", array_to_vector(F.col(vec_col).cast("array<double>")))
     # a coarse quantizer does not need converged centroids — recall is set
     # by nprobe/n_clusters, and 8 Lloyd iterations land within a point of
-    # converged recall at a fraction of the fit cost
+    # converged recall at a fraction of the fit cost.  Likewise it does
+    # not need the whole corpus: train_permille < 1000 fits on an
+    # md5-deterministic sample (layout-independent, unlike df.sample) —
+    # the standard practice for IVF quantizers at corpus scale — and
+    # assigns ALL vectors with the sampled centroids.
+    train = vecs
+    if train_permille < 1000:
+        h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        train = vecs.where(h.cast("bigint") % 1000 < train_permille)
     model = KMeans(
         k=n_clusters,
         seed=seed,
         maxIter=max_iter,
         featuresCol="_v",
         predictionCol="_cell",
-    ).fit(vecs)
+    ).fit(train)
     tagged = model.transform(vecs)
     centers = [np.asarray(c, dtype=np.float64) for c in model.clusterCenters()]
     q = np.asarray(query_vec, dtype=np.float64)
