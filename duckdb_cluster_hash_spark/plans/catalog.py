@@ -3394,6 +3394,69 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_streaming_hourly",
+    oracle=(
+        "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_bucket, "
+        "event_type, count(*) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY hour_bucket, event_type "
+        "ORDER BY hour_bucket, event_type"
+    ),
+)
+def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE Structured Streaming execution graded by the batch oracle
+    (C7 — every other C7 driver row runs the batch twin of a streaming
+    function; this one runs readStream → watermarked windowed agg →
+    writeStream end-to-end): events staged as a file source, consumed
+    with trigger=availableNow into a memory sink, result read back from
+    the sink table.
+
+    Determinism: the stage is ONE chunk → one micro-batch, so the
+    watermark never drops anything and complete-mode output equals the
+    batch aggregation exactly (multi-batch late-data behavior is pinned
+    separately in tests/test_streaming.py, where it belongs — its
+    results legitimately depend on chunk boundaries).  Scale: the same
+    topology on a real bus is the production ingest path; state is
+    bounded by the watermark per the streaming module's design.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_stage_{base}")
+    _ev.stage_events_as_stream(spark, sf_dir, stage_dir, n_chunks=1)
+    stream = (
+        spark.readStream.schema(_ev.EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    agg = _ev.hourly_event_counts(stream)
+    sink = f"dch_stream_hourly_{base}"
+    handle = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("events_streaming_hourly micro-batch did not finish")
+    return (
+        spark.table(sink)
+        .select(
+            (F.col("window_start_epoch") / 3600).cast("bigint").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
+
+
 _USER_KEY_SQL = "'user:' || user_id::VARCHAR"
 
 
