@@ -3395,6 +3395,60 @@ def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_bucketed_coloc_join",
+    oracle=(
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+)
+def orders_bucketed_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketing (the 100 TB layout story):
+    both sides written ``bucketBy(custkey)`` into warehouse tables, then
+    joined WITHOUT either shuffle — bucket files align 1:1, so the sort
+    merge join reads matching buckets in place (Exchange-free plan gated
+    in tests/test_plans.py::test_bucketed_join_avoids_shuffle).
+
+    At 100 TB this one-off layout cost amortizes across every
+    custkey-join afterwards — the write is this query's dominant cost
+    and the probe side of the trade.  The oracle is the plain join over
+    the original parquet: bucketing is layout, never semantics.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    suffix = "".join(
+        c if c.isalnum() else "_" for c in _os_path_basename(sf_dir)
+    )
+    t_orders, t_cust = f"bkt_orders_{suffix}", f"bkt_cust_{suffix}"
+    for t in (t_orders, t_cust):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    orders.select("o_custkey", "o_totalprice").write.bucketBy(
+        8, "o_custkey"
+    ).sortBy("o_custkey").saveAsTable(t_orders)
+    cust.select("c_custkey", "c_mktsegment").write.bucketBy(
+        8, "c_custkey"
+    ).sortBy("c_custkey").saveAsTable(t_cust)
+    return (
+        spark.table(t_orders)
+        .hint("merge")  # keep the bucket-aligned SMJ even if AQE prefers BHJ
+        .join(spark.table(t_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _money_sum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _os_path_basename(sf_dir: str) -> str:
+    import os as _os
+
+    return _os.path.basename(sf_dir.rstrip("/"))
+
+
+@query(
     "events_streaming_hourly",
     oracle=(
         "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hour_bucket, "

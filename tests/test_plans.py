@@ -331,3 +331,13 @@ def test_node_partitioned_sink_prunes_shards(spark, sf_small):
     plan = plan_of(QUERIES["events_node_partitioned_sink"](spark, sf_small))
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert pf and "node_id" in pf[0] and "PartitionFilters: []" not in pf[0], plan
+
+
+def test_bucketed_coloc_query_join_is_exchange_free(spark, sf_small):
+    """The catalog's bucketed join must read aligned buckets in place:
+    no hash exchange on either join key between the scans and the SMJ
+    (the final rollup's exchange on c_mktsegment is expected)."""
+    plan = plan_of(QUERIES["orders_bucketed_coloc_join"](spark, sf_small))
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "Exchange hashpartitioning(c_custkey" not in plan
