@@ -3415,20 +3415,30 @@ def orders_bucketed_coloc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the probe side of the trade.  The oracle is the plain join over
     the original parquet: bucketing is layout, never semantics.
     """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     suffix = "".join(
         c if c.isalnum() else "_" for c in _os_path_basename(sf_dir)
     )
     t_orders, t_cust = f"bkt_orders_{suffix}", f"bkt_cust_{suffix}"
-    for t in (t_orders, t_cust):
+    # external locations under tmp: DROP TABLE in a fresh session cannot
+    # see a previous process's managed-table directory, which then fails
+    # the write with LOCATION_ALREADY_EXISTS — so own the location
+    # explicitly and clear it before each (re)build
+    for t, df_side, bucket_col in (
+        (t_orders, orders.select("o_custkey", "o_totalprice"), "o_custkey"),
+        (t_cust, cust.select("c_custkey", "c_mktsegment"), "c_custkey"),
+    ):
+        loc = _os.path.join(_tf.gettempdir(), f"dch_{t}")
         spark.sql(f"DROP TABLE IF EXISTS {t}")
-    orders.select("o_custkey", "o_totalprice").write.bucketBy(
-        8, "o_custkey"
-    ).sortBy("o_custkey").saveAsTable(t_orders)
-    cust.select("c_custkey", "c_mktsegment").write.bucketBy(
-        8, "c_custkey"
-    ).sortBy("c_custkey").saveAsTable(t_cust)
+        _shutil.rmtree(loc, ignore_errors=True)
+        df_side.write.bucketBy(8, bucket_col).sortBy(bucket_col).option(
+            "path", loc
+        ).saveAsTable(t)
     return (
         spark.table(t_orders)
         .hint("merge")  # keep the bucket-aligned SMJ even if AQE prefers BHJ
