@@ -48,3 +48,23 @@ def test_ntile_exact_matches_ntile(spark, scored, k):
         ).collect()
     }
     assert got == want
+
+
+def test_ntile_exact_allocation_property(spark):
+    """Hypothesis-style sweep: for many (n, k), ntile_exact must produce
+    the SQL-standard allocation — first n mod k tiles hold ceil(n/k)
+    rows, the rest floor(n/k), tiles contiguous in rank order."""
+    from collections import Counter
+
+    for n, k in [(1, 1), (2, 5), (7, 3), (50, 7), (101, 10), (256, 256), (400, 9)]:
+        df = spark.range(0, n).select(F.col("id"))
+        rows = ntile_exact(df, [F.asc("id")], k, n_buckets=4).collect()
+        by_id = {r["id"]: r["tile"] for r in rows}
+        # contiguity: tile is non-decreasing in rank order
+        tiles = [by_id[i] for i in range(n)]
+        assert tiles == sorted(tiles), (n, k)
+        sizes = Counter(tiles)
+        q, rem = divmod(n, k)
+        expect = {t: q + 1 for t in range(1, rem + 1)}
+        expect.update({t: q for t in range(rem + 1, k + 1) if q})
+        assert dict(sizes) == expect, (n, k, dict(sizes))
