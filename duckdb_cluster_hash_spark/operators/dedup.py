@@ -43,6 +43,7 @@ __all__ = [
     "simhash_neardup_pairs",
     "chunk_digest_table",
     "chunk_dedup_histogram",
+    "duplicated_span_coverage",
 ]
 
 
@@ -626,6 +627,56 @@ def winnow_fingerprints(
 # ---------------------------------------------------------------------------
 # Near-dup clustering: pairs -> connected components -> representatives
 # ---------------------------------------------------------------------------
+
+def duplicated_span_coverage(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Cross-document duplicated-span coverage (the exact-substring
+    dedup signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): for each document, the fraction of its
+    sequential word n-gram positions whose n-gram also appears in at
+    least one OTHER document.
+
+    Positions matter — unlike set-based Jaccard, this measures how much
+    of the document's surface is literally shared, the signal used to
+    cut memorized boilerplate spans.  Coverage is reported in integer
+    basis points so both engines compute the identical number.
+
+    Scale: positions shuffle as md5 digests, never gram text; the
+    shared-gram table is the result of one keyed aggregation with an
+    early HAVING filter, joined back by digest (left-semi — only
+    membership, no payload).  Returns (doc_id, n_spans, n_dup_spans,
+    dup_bp).
+    """
+    pos = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_ngrams_seq(F.col(text_col), n)).alias("gram"),
+    ).select("doc_id", F.md5("gram").alias("g"))
+    shared = (
+        pos.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g")
+    )
+    totals = pos.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dups = (
+        pos.join(shared, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return (
+        totals.join(dups, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.expr(
+                "(10000 * coalesce(n_dup_spans, 0)) div n_spans"
+            ).cast("bigint").alias("dup_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
 
 def neardup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Connected components over near-dup pairs (doc_a, doc_b).

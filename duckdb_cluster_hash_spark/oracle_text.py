@@ -597,3 +597,23 @@ def semantic_dedup_summary_sql(
         "SELECT s.cell, s.n_vecs, COALESCE(d.n_dropped, 0) AS n_dropped "
         "FROM sizes s LEFT JOIN dcount d ON s.cell = d.cell ORDER BY s.cell"
     )
+
+
+def duplicated_span_coverage_sql(n: int = 8, table: str = "documents") -> str:
+    """Oracle for operators.dedup.duplicated_span_coverage: same
+    sequential grams as winnow_fingerprints_sql, md5 digests, cross-doc
+    membership (count(DISTINCT doc_id) >= 2), integer basis points."""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(n))
+    return (
+        f"WITH words AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM {table}), "
+        f"grams AS (SELECT doc_id, CASE WHEN len(ws) >= {n} THEN "
+        f"[{gram} FOR i IN range(1, len(ws) - {n - 2})] ELSE [text] END AS gs FROM words), "
+        "pos AS (SELECT doc_id, md5(unnest(gs)) AS g FROM grams), "
+        "shared AS (SELECT g FROM pos GROUP BY g HAVING count(DISTINCT doc_id) >= 2), "
+        "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM pos GROUP BY doc_id), "
+        "dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM pos "
+        "JOIN shared USING (g) GROUP BY doc_id) "
+        "SELECT t.doc_id, t.n_spans, COALESCE(d.n_dup, 0) AS n_dup_spans, "
+        "CAST((10000 * COALESCE(d.n_dup, 0)) // t.n_spans AS BIGINT) AS dup_bp "
+        "FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY t.doc_id"
+    )

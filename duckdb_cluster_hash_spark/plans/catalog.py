@@ -3736,6 +3736,22 @@ def events_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("docs_dup_span_coverage", oracle=_ot.duplicated_span_coverage_sql(8))
+def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (Lee et al. 2022 exact
+    substring dedup signal): per document, the share of sequential
+    8-gram positions whose 8-gram appears in >= 1 other document —
+    position-aware, unlike set-based Jaccard, so it measures how much
+    of the document's SURFACE is literally shared boilerplate.
+
+    Scale: positions shuffle as md5 digests; shared grams come from one
+    keyed aggregation with an early HAVING; membership joins back
+    left-semi.  Basis points keep the ratio integer cross-engine.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.duplicated_span_coverage(docs, "doc_id", "text", n=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
