@@ -3491,7 +3491,9 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
     )
     stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_stage_{base}")
-    _ev.stage_events_as_stream(spark, sf_dir, stage_dir, n_chunks=1)
+    _ev.stage_events_as_stream(
+        spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
+    )
     stream = (
         spark.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("recursiveFileLookup", "true")

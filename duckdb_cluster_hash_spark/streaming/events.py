@@ -157,13 +157,18 @@ def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
 
 
 def stage_events_as_stream(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4,
+    single_file_chunks: bool = True,
 ) -> None:
-    """Replay-stage the batch events table as ``n_chunks`` parquet files.
+    """Replay-stage the batch events table as ``n_chunks`` parquet chunks.
 
     Chunks are contiguous ``event_id`` ranges, so event time is roughly
     monotone across files (with natural intra-chunk disorder) — a
     realistic replay source for watermark tests (FIXTURES.md §6).
+    ``single_file_chunks`` coalesces each chunk to one file (needed when
+    a test keys micro-batches to files via maxFilesPerTrigger); pass
+    False when chunk = batch boundary is enough — the write then keeps
+    the upstream parallelism instead of funneling through one task.
     """
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("event_id"), F.max("event_id")).head()
@@ -174,9 +179,9 @@ def stage_events_as_stream(
             (F.col("event_id") >= lo + i * step)
             & (F.col("event_id") < lo + (i + 1) * step)
         )
-        chunk.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"chunk={i}")
-        )
+        if single_file_chunks:
+            chunk = chunk.coalesce(1)
+        chunk.write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk={i}"))
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
