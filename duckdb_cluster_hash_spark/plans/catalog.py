@@ -3738,6 +3738,40 @@ def events_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "formats_text_roundtrip",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
+        "CAST(count(DISTINCT text) AS BIGINT) AS distinct_lines, "
+        "CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS total_tokens "
+        "FROM documents"
+    ),
+)
+def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-text source/sink (B11 — the canonical LLM-corpus input format):
+    write each document as one line of a text dataset, read it back with
+    ``spark.read.text``, and aggregate line/token stats.  Line order and
+    ids are not preserved by the format, so the rollup is order- and
+    id-free; equality with the oracle (computed on the original parquet)
+    proves the round-trip is content-lossless.  The corpus is verified
+    newline-free, so line = document exactly.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    path = _os.path.join(
+        _tf.gettempdir(), f"dch_text_{_os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    docs.select(F.col("text").alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("value").alias("distinct_lines"),
+        F.sum(F.size(F.split("value", " "))).cast("bigint").alias("total_tokens"),
+    )
+
+
 @query("docs_dup_span_coverage", oracle=_ot.duplicated_span_coverage_sql(8))
 def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span coverage (Lee et al. 2022 exact
