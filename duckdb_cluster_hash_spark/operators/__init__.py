@@ -13,6 +13,7 @@ from duckdb_cluster_hash_spark.operators.dedup import (  # noqa: F401
     winnow_fingerprints,
     neardup_components,
     dedup_decisions,
+    clear_shared_cache,
 )
 from duckdb_cluster_hash_spark.operators.similarity import (  # noqa: F401
     cosine_topk,

@@ -44,6 +44,7 @@ __all__ = [
     "chunk_digest_table",
     "chunk_dedup_histogram",
     "duplicated_span_coverage",
+    "clear_shared_cache",
 ]
 
 
@@ -101,6 +102,42 @@ def _shared_checkpoint(df: DataFrame, key: tuple, build) -> DataFrame:
     if entry["df"] is None:  # builder failed after we enqueued; rebuild
         return _shared_checkpoint(df, key, build)
     return entry["df"]
+
+
+def clear_shared_cache(df: DataFrame | None = None) -> int:
+    """Drop the session's memoized dedup intermediates (public hook for
+    long-lived sessions, where the per-corpus localCheckpoint blocks
+    would otherwise live as long as the corpus DataFrame does).
+
+    Unpersists every completed checkpoint so executor storage is
+    reclaimed immediately, then forgets the memo entries — the next
+    dedup call over the same corpus rebuilds from lineage.  With ``df``
+    given, only that corpus's entries are dropped; with ``None``, all.
+    Returns the number of entries cleared.  In-flight builders (entry
+    not yet ``done``) are left untouched so concurrent callers never see
+    an unpersisted block; they clear on the next call.
+    """
+    cleared = 0
+    with _SHARED_LOCK:
+        corpora = [df] if df is not None else list(_SHARED_MATERIALIZED.keys())
+        for corpus in corpora:
+            per_df = _SHARED_MATERIALIZED.get(corpus)
+            if not per_df:
+                continue
+            for key in list(per_df):
+                entry = per_df[key]
+                if not entry["done"].is_set():
+                    continue  # builder still running; leave it
+                if entry["df"] is not None:
+                    try:
+                        entry["df"].unpersist()
+                    except Exception:
+                        pass  # session already stopped; memo is moot
+                del per_df[key]
+                cleared += 1
+            if not per_df:
+                _SHARED_MATERIALIZED.pop(corpus, None)
+    return cleared
 
 
 # ---------------------------------------------------------------------------
@@ -645,13 +682,20 @@ def duplicated_span_coverage(
     Scale: positions shuffle as md5 digests, never gram text; the
     shared-gram table is the result of one keyed aggregation with an
     early HAVING filter, joined back by digest (left-semi — only
-    membership, no payload).  Returns (doc_id, n_spans, n_dup_spans,
-    dup_bp).
+    membership, no payload).  The position table feeds THREE subtrees
+    (shared-gram agg, per-doc totals, the dup semi-join), so it is
+    materialized once via ``_shared_checkpoint`` — without that, Spark
+    re-executes the explode+md5 scan per subtree (3 linear passes).
+    Returns (doc_id, n_spans, n_dup_spans, dup_bp).
     """
-    pos = df.repartition(F.col(id_col)).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_ngrams_seq(F.col(text_col), n)).alias("gram"),
-    ).select("doc_id", F.md5("gram").alias("g"))
+
+    def _build_pos() -> DataFrame:
+        return df.repartition(F.col(id_col)).select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_ngrams_seq(F.col(text_col), n)).alias("gram"),
+        ).select("doc_id", F.md5("gram").alias("g"))
+
+    pos = _shared_checkpoint(df, ("pos_grams", id_col, text_col, n), _build_pos)
     shared = (
         pos.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))

@@ -83,24 +83,30 @@ def ntile_exact(
     - r <= rem*(q+1):  tile = ceil(r / (q+1))
     - else:            tile = rem + ceil((r - rem*(q+1)) / q)
 
-    Pure integer arithmetic over (rank, total) — bit-exact on both
-    engines; ``greatest(q, 1)`` guards the (never-taken at k > n is
-    false; taken when k >= n makes the else branch dead) division.
+    Pure integer arithmetic over (rank, total) — ``div``-based quotients
+    and ``(a + d - 1) div d`` ceilings, no double-precision division
+    anywhere, so the allocation is bit-exact on both engines at ANY row
+    count (not just below 2^53); ``greatest(q, 1)`` guards the
+    (never-taken at k > n is false; taken when k >= n makes the else
+    branch dead) division.
     """
     ranked = global_row_number(df, order_cols, n_buckets=n_buckets, out_col="_rn")
     total = ranked.groupBy().agg(F.count("*").alias("_n"))
-    r, n = F.col("_rn"), F.col("_n")
-    q = (n / F.lit(k)).cast("bigint")  # n div k (non-negative)
-    rem = n % F.lit(k)
-    q_safe = F.greatest(q, F.lit(1).cast("bigint"))
-    head_rows = rem * (q + 1)
+    k_lit = int(k)
+    staged = (
+        ranked.join(F.broadcast(total))
+        .withColumn("_q", F.expr(f"_n div {k_lit}"))
+        .withColumn("_rem", F.col("_n") % F.lit(k_lit))
+        .withColumn("_qs", F.greatest(F.col("_q"), F.lit(1).cast("bigint")))
+        .withColumn("_head", F.col("_rem") * (F.col("_q") + F.lit(1)))
+    )
     tile = (
-        F.when(r <= head_rows, F.ceil(r / (q + 1)))
-        .otherwise(rem + F.ceil((r - head_rows) / q_safe))
+        # ceil(r / (q+1)) == (r + q) div (q + 1); ceil(x / qs) == (x + qs - 1) div qs
+        F.when(F.col("_rn") <= F.col("_head"), F.expr("(_rn + _q) div (_q + 1)"))
+        .otherwise(F.col("_rem") + F.expr("(_rn - _head + _qs - 1) div _qs"))
         .cast("int")
     )
     return (
-        ranked.join(F.broadcast(total))
-        .withColumn(out_col, tile)
-        .drop("_rn", "_n")
+        staged.withColumn(out_col, tile)
+        .drop("_rn", "_n", "_q", "_rem", "_qs", "_head")
     )

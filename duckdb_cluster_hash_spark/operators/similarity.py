@@ -376,12 +376,18 @@ def ivf_probe_cells(
     return sorted(range(n_cells), key=lambda c: (-dots[c], c))[:nprobe]
 
 
-# index builds already done this session, weakly keyed by the session so a
-# restart always rebuilds (the corpus behind a path could have changed
-# between sessions, never within one — load_table canonicalizes per session)
+# index builds already done this session, weakly keyed by the INPUT
+# DataFrame (like dedup._SHARED_MATERIALIZED) so the memo is tied to the
+# corpus identity, not just the output path: writing a DIFFERENT corpus
+# (filtered/transformed) to the same path is a fresh build, never a
+# silent no-op serving a stale index.  load_table canonicalizes one
+# DataFrame per (session, path), so repeated probes over the same corpus
+# still pay the build exactly once; a session restart always rebuilds.
 import weakref as _weakref
 
-_INDEX_WRITTEN: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_INDEX_WRITTEN: "_weakref.WeakKeyDictionary[DataFrame, set]" = (
+    _weakref.WeakKeyDictionary()
+)
 
 
 def ivf_write_index(
@@ -396,11 +402,11 @@ def ivf_write_index(
     partitioned by cell id.  At 100 TB this is the one-off index build;
     every subsequent probe is pure partition pruning (reads
     nprobe/n_cells of the data, no shuffle, no full scan).  The build is
-    memoized per session and parameters — repeated ANN queries in one
-    session pay the build once, which is the amortization the index
-    exists for; pass ``force=True`` after mutating the corpus."""
-    spark = emb.sparkSession
-    written = _INDEX_WRITTEN.setdefault(spark, set())
+    memoized per (input DataFrame, parameters) — repeated ANN queries in
+    one session pay the build once, which is the amortization the index
+    exists for, while a different corpus aimed at the same path always
+    rewrites; pass ``force=True`` to rebuild unconditionally."""
+    written = _INDEX_WRITTEN.setdefault(emb, set())
     key = (path, dim, n_cells, vec_col)
     if not force and key in written:
         return

@@ -3328,14 +3328,27 @@ def sql_error_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape): calling a function that was never registered must raise an
     analysis error, and after ``register_all`` the registered function
     answers the README golden (cluster_slot('user:1000') = 1649).  The
-    before/after pair is the reference's extension-load contract."""
+    before/after pair is the reference's extension-load contract.
+
+    The failure is EXPECTED, so both log channels are gated for the one
+    statement: ``setLogLevel`` covers log4j, and PySpark 4's Python-side
+    ``SQLQueryContextLogger`` (pyspark/errors/exceptions/base.py, which
+    ``propagate = False`` puts outside the root logger's control) is
+    disabled so the structured UNRESOLVED_ROUTINE stack trace does not
+    flood stderr/driver artifacts."""
+    import logging as _logging
+
+    ctx_logger = _logging.getLogger("SQLQueryContextLogger")
+    was_disabled = ctx_logger.disabled
     spark.sparkContext.setLogLevel("FATAL")  # the probe's failure is expected;
-    try:  # keep the UNRESOLVED_ROUTINE stack out of driver logs
+    ctx_logger.disabled = True  # keep the UNRESOLVED_ROUTINE stack out of logs
+    try:
         spark.sql("SELECT cluster_slot_unregistered_probe('x')")
         unregistered_errors = 0
     except Exception:  # AnalysisException: UNRESOLVED_ROUTINE
         unregistered_errors = 1
     finally:
+        ctx_logger.disabled = was_disabled
         spark.sparkContext.setLogLevel("ERROR")
     register_all(spark)
     slot = spark.sql("SELECT cluster_slot('user:1000') AS s").head()["s"]
@@ -3755,6 +3768,12 @@ def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-free; equality with the oracle (computed on the original parquet)
     proves the round-trip is content-lossless.  The corpus is verified
     newline-free, so line = document exactly.
+
+    Tokens are counted with the SAME regex on both engines — Spark
+    ``regexp_count(value, '[^ ]+')`` vs DuckDB
+    ``len(regexp_extract_all(text, '[^ ]+'))`` — so the equality is
+    structural, not corpus-dependent (``split(value, ' ')`` would count
+    empty strings under consecutive/leading spaces; ``[^ ]+`` cannot).
     """
     import os as _os
     import tempfile as _tf
@@ -3768,7 +3787,7 @@ def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.agg(
         F.count("*").alias("n_lines"),
         F.countDistinct("value").alias("distinct_lines"),
-        F.sum(F.size(F.split("value", " "))).cast("bigint").alias("total_tokens"),
+        F.sum(F.regexp_count("value", F.lit("[^ ]+"))).cast("bigint").alias("total_tokens"),
     )
 
 

@@ -97,3 +97,32 @@ def test_partitioned_write_layout(spark, sf_small, tmp_path):
     )
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(c_mktsegment" in plan
+
+
+def test_text_token_count_matches_oracle_on_messy_spacing(spark, tmp_path):
+    """formats_text_roundtrip's token count must equal the oracle's by
+    CONSTRUCTION, not by corpus luck: both engines count '[^ ]+' matches,
+    which (unlike split-on-space) is immune to leading/trailing/double
+    spaces.  A past corpus drift (events.ts) proved drift happens."""
+    import duckdb
+
+    docs = [
+        "plain single spaced text",
+        " leading space",
+        "trailing space ",
+        "double  space  inside",
+        "   ",  # all spaces -> 0 tokens
+        "one",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], "value string")
+    spark_total = df.agg(
+        F.sum(F.regexp_count("value", F.lit("[^ ]+"))).cast("bigint").alias("t")
+    ).head()["t"]
+    con = duckdb.connect()
+    oracle_total = con.execute(
+        "SELECT CAST(sum(len(regexp_extract_all(t, '[^ ]+'))) AS BIGINT) "
+        "FROM (SELECT unnest(?) AS t)",
+        [docs],
+    ).fetchone()[0]
+    con.close()
+    assert spark_total == oracle_total == 12
