@@ -1,6 +1,7 @@
 from duckdb_cluster_hash_spark.streaming.events import (  # noqa: F401
     EVENTS_SCHEMA,
     stage_events_as_stream,
+    stage_events_three_phase,
     read_events_stream,
     hourly_event_counts,
     sliding_window_rates,

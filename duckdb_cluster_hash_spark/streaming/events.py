@@ -34,6 +34,7 @@ EVENTS_SCHEMA = (
 __all__ = [
     "EVENTS_SCHEMA",
     "stage_events_as_stream",
+    "stage_events_three_phase",
     "read_events_stream",
     "hourly_event_counts",
     "sliding_window_rates",
@@ -182,6 +183,39 @@ def stage_events_as_stream(
         if single_file_chunks:
             chunk = chunk.coalesce(1)
         chunk.write.mode("overwrite").parquet(os.path.join(out_dir, f"chunk={i}"))
+
+
+def stage_events_three_phase(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Replay-stage events as THREE single-file deliveries — 70% / 10% /
+    20% of the rows, selected by a deterministic md5 bucket of
+    ``event_id`` (the oracles' digest convention,
+    ``('0x'||substr(md5(id),1,15))::BIGINT % 10``), so DuckDB can
+    reconstruct EXACTLY which rows each micro-batch delivered.
+
+    Three phases, not two, because of HOW Spark applies watermarks
+    (observed on 4.1, consistent with the two-version watermark design):
+    within micro-batch N the LATE-ROW FILTER uses the watermark that
+    evicted state in batch N-1, while EVICTION uses the advanced value.
+    So batch 1's late rows still merge into live state (filter wm = 0);
+    only after batch 1's commit evicts the closed windows does batch 2's
+    delivery meet an active filter and actually DROP.  Phase 0 (a
+    uniform 70% sample) carries the corpus max event time — asserted by
+    the caller — so the watermark after batch 0 is global-max - delay
+    and phase 2 is genuinely late.  Files are written in phase order so
+    the file source's (mtime, path) ordering replays delivery order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    for phase, cond in enumerate([bucket < 7, bucket == 7, bucket >= 8]):
+        ev.where(cond).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"phase={phase}")
+        )
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:

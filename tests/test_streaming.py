@@ -250,3 +250,51 @@ def test_stream_stream_interval_join_matches_batch(spark, staged):
 
     per_click = Counter(c for c, _ in stream_pairs)
     assert dict(per_click) == batch_n
+
+
+def test_three_phase_replay_actually_drops_late_rows(spark, tmp_path):
+    """events_streaming_late_data's fixture must exercise the watermark
+    DROP path, not just emission: batch 2 (the 20% late delivery) must
+    report numRowsDroppedByWatermark > 0, and the emitted windows must
+    equal the catalog oracle's reconstruction (checked separately by
+    check_oracle); here we pin the mechanism so a corpus or Spark-version
+    drift that silently stops dropping fails a unit test, not a grade."""
+    from duckdb_cluster_hash_spark.streaming import (
+        hourly_event_counts,
+        stage_events_three_phase,
+    )
+
+    staged = str(tmp_path / "three_phase")
+    stage_events_three_phase(spark, SF, staged)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged)
+    )
+    q = (
+        hourly_event_counts(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("late_drop_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(200)
+    progress = q.recentProgress
+    assert len(progress) >= 3, "expected one micro-batch per phase file"
+    dropped = [
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in progress
+        if p["stateOperators"]
+    ]
+    assert dropped[0] == 0 and dropped[1] == 0, \
+        "phases 0-1 run against an inactive late filter"
+    assert dropped[2] > 0, "phase 2 must hit the active watermark filter"
+    # emission is single-shot per window: no (window, type) appears twice
+    sink = spark.table("late_drop_sink")
+    assert sink.count() == \
+        sink.select("window_start_epoch", "event_type").distinct().count()
