@@ -34,7 +34,7 @@ from duckdb_cluster_hash_spark.functions.clusterhash import (
     register_all,
     slot_udf_col,
 )
-from duckdb_cluster_hash_spark.oracle import node_sql, slot_sql
+from duckdb_cluster_hash_spark.oracle import node_of_slot_sql, node_sql, slot_sql
 from duckdb_cluster_hash_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -125,6 +125,51 @@ def cluster_node_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node_id")
         .agg(F.count("*").alias("key_count"))
         .orderBy("node_id")
+    )
+
+
+@query(
+    "cluster_node_arity_sweep",
+    oracle=(
+        "WITH keys AS (SELECT DISTINCT 'user:' || user_id::VARCHAR AS k "
+        "FROM events), "
+        f"slots AS (SELECT {slot_sql('k')} AS slot FROM keys), "
+        "swept AS (SELECT slot, unnest([3, 6, 12]) AS n_nodes FROM slots) "
+        "SELECT n_nodes::INTEGER AS n_nodes, "
+        f"{node_of_slot_sql('slot', 'n_nodes')} AS node, "
+        "CAST(count(*) AS BIGINT) AS n_keys "
+        "FROM swept GROUP BY n_nodes, node ORDER BY n_nodes, node"
+    ),
+)
+def cluster_node_arity_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """README 2-arg ``cluster_node(key, n)`` swept across cluster sizes
+    n in {3, 6, 12} over the corpus's real user keys (A5/A7 — the 2-arg
+    surface otherwise rides only on ``ddl_readme_flow``'s goldens).  The
+    oracle recomputes every (slot, n) pair through the independent
+    closed-form SQL, so equality pins the whole slot->shard map at three
+    cluster sizes, not just n=6.
+
+    Scale: the CRC16 slot is computed ONCE per distinct key, then the
+    3-way sweep is a map-side ``explode`` over (slot, n) — no extra
+    shuffle beyond the distinct and the 39-group aggregate.
+    """
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select(
+        F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("k")
+    ).distinct()
+    slots = keys.select(cluster_slot_col(F.col("k")).alias("slot"))
+    swept = slots.select(
+        "slot",
+        F.explode(F.array(F.lit(3), F.lit(6), F.lit(12))).alias("n_nodes"),
+    )
+    return (
+        swept.select(
+            "n_nodes",
+            node_of_slot_col(F.col("slot"), F.col("n_nodes")).alias("node"),
+        )
+        .groupBy("n_nodes", "node")
+        .agg(F.count("*").alias("n_keys"))
+        .orderBy("n_nodes", "node")
     )
 
 
@@ -3507,8 +3552,14 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ev.stage_events_as_stream(
         spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
     )
+    # Isolated session clone (shared SparkContext): the hourly state is a
+    # few hundred (window, type) keys, so 32 state-store partitions are
+    # ~all empty — 8 cuts the per-batch store open/commit overhead 4x
+    # without touching the shared session's shuffle width.
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     stream = (
-        spark.readStream.schema(_ev.EVENTS_SCHEMA)
+        s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("recursiveFileLookup", "true")
         .parquet(stage_dir)
     )
@@ -3525,7 +3576,7 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         handle.stop()
         raise RuntimeError("events_streaming_hourly micro-batch did not finish")
     return (
-        spark.table(sink)
+        s2.table(sink)
         .select(
             (F.col("window_start_epoch") / 3600).cast("bigint").alias("hour_bucket"),
             "event_type",
@@ -3589,6 +3640,8 @@ def events_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_late_{base}")
     _ev.stage_events_three_phase(spark, sf_dir, stage_dir)
+    s2 = spark.newSession()  # narrow state-store width, isolated from the
+    s2.conf.set("spark.sql.shuffle.partitions", "8")  # shared session
     # The oracle's watermark model assumes the max event time arrives in
     # phase 0 (true for every known corpus; a uniform 70% sample misses
     # the argmax with p=0.3).  Corpus drift must fail LOUDLY, not grade
@@ -3609,7 +3662,7 @@ def events_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             "the watermark reconstruction no longer models this corpus"
         )
     stream = (
-        spark.readStream.schema(_ev.EVENTS_SCHEMA)
+        s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("recursiveFileLookup", "true")
         .parquet(stage_dir)
@@ -3627,7 +3680,7 @@ def events_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         handle.stop()
         raise RuntimeError("events_streaming_late_data micro-batches did not finish")
     return (
-        spark.table(sink)
+        s2.table(sink)
         .select(
             (F.col("window_start_epoch") / 3600).cast("bigint").alias("hour_bucket"),
             "event_type",
@@ -3923,59 +3976,62 @@ def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # continuity.  The long-stable r1/r2-green remainder rotates behind — still
 # fully covered by the local oracle gate.
 _DRIVER_WINDOW_FIRST = [
-    # — never driver-graded (r1/r2 positions 50-91) —
-    "emb_label_centroids",
-    "cluster_shard_ranges",
-    "events_asof_purchase_view",
-    "events_range_join_error_followers",
-    "emb_neardup_pairs",
-    "emb_ann_topk",
-    "docs_neardup_components",
-    "events_dedup_ingest",
-    "formats_csv_roundtrip",
-    "formats_json_roundtrip",
-    "docs_token_top20",
-    "tpch_q4_order_priority",
-    "tpch_q13_customer_order_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q22_dormant_rich_customers",
-    "docs_corpus_curation",
-    "events_enriched_by_segment",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q15_top_supplier",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_parts",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q20_promotable_suppliers",
-    "docs_stratified_sample",
-    "docs_token_shards",
-    "emb_int8_quantize_stats",
-    "events_click_purchase_attribution",
-    "docs_media_byte_features",
-    "orders_trailing_3mo_revenue",
-    "part_size_unpivot_profile",
-    "docs_eval_contamination",
-    "docs_train_val_test_split",
-    "docs_repetition_quality",
-    "docs_chunk_dedup_histogram",
-    "docs_tfidf_top_terms",
-    "emb_semantic_dedup",
-    # — new this round —
-    "events_hot_type_salted_counts",
-    "emb_ivf_kmeans_recall",
-    "tpch_q12_priority_shipping",
-    "formats_orc_roundtrip",
+    # — never driver-graded (registered after r3's window froze) + this
+    #   round's new query: after this rotation every catalog query has a
+    #   driver CORRECTNESS row in some round —
+    "docs_dup_span_coverage",
+    "docs_media_frame_sample",
+    "emb_lsh_ann_recall",
+    "events_hll_shard_distinct",
+    "events_node_partitioned_sink",
+    "events_salted_dim_join",
+    "events_streaming_hourly",
+    "events_streaming_late_data",
+    "formats_text_roundtrip",
+    "orders_bucketed_coloc_join",
+    "cluster_node_arity_sweep",
+    # — re-grade: code paths changed this round (ntile integer math,
+    #   IVF memo key, shared-checkpoint reuse, error-probe logging) —
+    "customer_spend_deciles",
     "sql_error_probe",
-    "docs_mixture_epochs",
-    # — rotated-in flagships (Tier A core) —
+    "emb_ann_topk",
+    "emb_ivf_kmeans_recall",
+    "docs_minhash_neardup_pairs",
+    "docs_neardup_components",
+    # — operator-diverse r3-green fill (every family represented) —
     "cluster_scalar_goldens",
     "cluster_node_distribution",
+    "cluster_shard_ranges",
+    "ddl_readme_flow",
+    "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_order_counts",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_dormant_rich_customers",
+    "events_asof_purchase_view",
+    "events_click_purchase_attribution",
+    "docs_exact_dedup",
+    "emb_semantic_dedup",
+    "emb_int8_quantize_stats",
+    "docs_token_top20",
+    "docs_repetition_quality",
+    "docs_tfidf_top_terms",
+    "docs_stratified_sample",
+    "docs_token_shards",
+    "docs_mixture_epochs",
+    "docs_train_val_test_split",
+    "docs_eval_contamination",
+    "events_hot_type_salted_counts",
+    "events_dedup_ingest",
+    "events_sessionization",
+    "formats_csv_roundtrip",
+    "formats_orc_roundtrip",
+    "docs_corpus_curation",
+    "part_size_unpivot_profile",
+    "orders_grouping_sets",
+    "events_daily_pivot",
 ]
 
 

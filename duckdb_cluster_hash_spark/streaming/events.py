@@ -206,16 +206,39 @@ def stage_events_three_phase(
     and phase 2 is genuinely late.  Files are written in phase order so
     the file source's (mtime, path) ordering replays delivery order.
     """
+    import glob
+    import time
+
     ev = load_table(spark, sf_dir, "events")
     bucket = (
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint")
         % 10
     )
-    for phase, cond in enumerate([bucket < 7, bucket == 7, bucket >= 8]):
-        ev.where(cond).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"phase={phase}")
-        )
+    phase = (
+        F.when(bucket < 7, 0).when(bucket == 7, 1).otherwise(2).alias("phase")
+    )
+    # ONE scan writes all three phases (hash-partitioning by phase keeps
+    # each phase in a single task, so each phase dir gets exactly one
+    # file — required by maxFilesPerTrigger=1 batch∶phase mapping)
+    (
+        ev.withColumn("phase", phase)
+        .repartition(3, F.col("phase"))
+        .write.mode("overwrite")
+        .partitionBy("phase")
+        .parquet(out_dir)
+    )
+    # The file source orders by modification time; a single job commits
+    # all files at ~the same instant, so delivery order is pinned
+    # explicitly instead of trusting sub-second mtime accidents.
+    base = time.time() - 100
+    for p in range(3):
+        files = glob.glob(os.path.join(out_dir, f"phase={p}", "*.parquet"))
+        if len(files) != 1:
+            raise RuntimeError(
+                f"phase={p} staged {len(files)} files; expected exactly 1"
+            )
+        os.utime(files[0], (base + p, base + p))
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:

@@ -192,3 +192,42 @@ def test_chunk_dedup_histogram_shared_chunk(spark):
             for r in dd.chunk_dedup_histogram(df, "doc_id", "text", 8).collect()}
     assert hist[2] == 1              # the shared leading chunk
     assert hist[1] == 3              # each doc's distinct second chunk
+
+
+def test_span_coverage_memo_keyed_by_corpus_identity(spark):
+    """The pos-gram memo must never serve corpus A's checkpoint to
+    corpus B aimed at the same (id_col, text_col, n) params — the key is
+    the DataFrame object itself (WeakKeyDictionary), so two different
+    corpora get independent entries and independent results."""
+    a = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine"),
+         (2, "one two three four five six seven eight ten")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    ra = {r["doc_id"]: r["n_dup_spans"] for r in
+          dd.duplicated_span_coverage(a, "doc_id", "text", n=8).collect()}
+    rb = {r["doc_id"]: r["n_dup_spans"] for r in
+          dd.duplicated_span_coverage(b, "doc_id", "text", n=8).collect()}
+    assert ra == {1: 1, 2: 1}        # the shared 8-gram at position 0
+    assert rb == {7: 0}              # single doc: nothing shared
+    assert a in dd._SHARED_MATERIALIZED and b in dd._SHARED_MATERIALIZED
+
+
+def test_clear_shared_cache_reclaims_and_rebuilds(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    first = dd.duplicated_span_coverage(df, "doc_id", "text", n=8).collect()
+    assert dd.clear_shared_cache(df) >= 1
+    assert df not in dd._SHARED_MATERIALIZED
+    # a fresh call rebuilds from lineage and agrees
+    again = dd.duplicated_span_coverage(df, "doc_id", "text", n=8).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, first))
+    # full clear (no df) drains everything
+    dd.clear_shared_cache()
+    assert len(list(dd._SHARED_MATERIALIZED.keys())) == 0

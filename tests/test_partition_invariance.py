@@ -30,6 +30,11 @@ INVARIANCE_QUERIES = [
     "docs_mixture_epochs",
     "docs_train_val_test_split",
     "cluster_skew_report",
+    # memoized position-gram table (localCheckpoint) + 3-subtree reuse
+    "docs_dup_span_coverage",
+    # per-shard HLL sketches merged centrally: estimate must not depend
+    # on how rows split across tasks (sketch merge is order-insensitive)
+    "events_hll_shard_distinct",
 ]
 
 ALT_CONFS = {
