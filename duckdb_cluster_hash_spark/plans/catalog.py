@@ -2813,6 +2813,87 @@ def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_pack_sequences",
+    oracle=(
+        "WITH toks AS (SELECT "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard, "
+        "md5(doc_id::VARCHAR) AS okey, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tokens "
+        "FROM documents), "
+        "packed AS (SELECT shard, tokens, "
+        "COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY okey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before "
+        "FROM toks) "
+        "SELECT shard::INTEGER AS shard, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(tokens) AS BIGINT) AS total_tokens, "
+        "CAST((sum(tokens) + 511) // 512 AS BIGINT) AS n_sequences, "
+        "CAST(sum(CASE WHEN tokens > 0 AND cum_before // 512 <> "
+        "(cum_before + tokens - 1) // 512 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_straddlers "
+        "FROM packed GROUP BY shard ORDER BY shard"
+    ),
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (the GPT-style concatenate-and-chunk
+    step): documents are concatenated in deterministic md5 order within
+    8 md5 shards and cut into fixed 512-token sequences; a document
+    whose span crosses a cut is a STRADDLER (it will be split across two
+    training sequences).  Per shard: doc/token totals, sequence count
+    ceil(total/512), and the straddler count.
+
+    The straddler count is a function of the exact packing ORDER (the
+    per-shard ordered prefix sum), so equality with the oracle pins the
+    whole concatenation layout, not just totals.  Integer div throughout
+    — no doubles anywhere.
+
+    Scale: ONE hash shuffle on shard, then per-shard local sort +
+    running sum (window partitioned by shard — never a global sort); at
+    100 TB shard count is the parallelism knob and each shard packs
+    independently, which is exactly how training-data pipelines shard
+    their tokenizer output.
+    """
+    from pyspark.sql.window import Window
+
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+
+    seq_len = 512
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % 8
+        ).cast("int").alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        ws_token_count(F.col("text")).cast("bigint").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    )
+    straddles = (F.col("tokens") > 0) & (
+        F.expr(f"cum_before div {seq_len}")
+        != F.expr(f"(cum_before + tokens - 1) div {seq_len}")
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.expr(f"(sum(tokens) + {seq_len - 1}) div {seq_len}").alias(
+                "n_sequences"
+            ),
+            F.sum(straddles.cast("bigint")).alias("n_straddlers"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
     "emb_int8_quantize_stats",
     oracle=(
         "WITH q AS (SELECT label, "
@@ -3990,6 +4071,7 @@ _DRIVER_WINDOW_FIRST = [
     "formats_text_roundtrip",
     "orders_bucketed_coloc_join",
     "cluster_node_arity_sweep",
+    "docs_pack_sequences",
     # — re-grade: code paths changed this round (ntile integer math,
     #   IVF memo key, shared-checkpoint reuse, error-probe logging) —
     "customer_spend_deciles",
@@ -4031,7 +4113,6 @@ _DRIVER_WINDOW_FIRST = [
     "docs_corpus_curation",
     "part_size_unpivot_profile",
     "orders_grouping_sets",
-    "events_daily_pivot",
 ]
 
 

@@ -35,6 +35,9 @@ INVARIANCE_QUERIES = [
     # per-shard HLL sketches merged centrally: estimate must not depend
     # on how rows split across tasks (sketch merge is order-insensitive)
     "events_hll_shard_distinct",
+    # per-shard ordered prefix sum (packing layout must be a pure
+    # function of the md5 order, never of scan/shuffle splits)
+    "docs_pack_sequences",
 ]
 
 ALT_CONFS = {
