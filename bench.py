@@ -35,6 +35,16 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
+    # 1-min load average BEFORE the session spins up, so it measures the
+    # ambient (neighbor) load, not this bench's own 32 threads.  This
+    # host shares hardware and sees sporadic neighbor storms that
+    # inflate the whole suite 2-3x uniformly (observed: same commit, 25s
+    # at ambient load ~1 vs 68-72s at load ~15-30); reporting it lets a
+    # reader separate engine regressions from measurement-window noise.
+    try:
+        ambient_load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        ambient_load1 = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -120,6 +130,7 @@ def main() -> int:
         "unit": "sec",
         "sf": sf_val,
         "workers": workers,
+        "ambient_load1": ambient_load1,
         "n_queries": len(timings),
         "queries_sum": round(sum(timings.values()), 3),
         "queries": top,  # 5 slowest only; full map in BENCH_LOCAL.json
