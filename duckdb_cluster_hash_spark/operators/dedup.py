@@ -114,8 +114,14 @@ def clear_shared_cache(df: DataFrame | None = None) -> int:
     dedup call over the same corpus rebuilds from lineage.  With ``df``
     given, only that corpus's entries are dropped; with ``None``, all.
     Returns the number of entries cleared.  In-flight builders (entry
-    not yet ``done``) are left untouched so concurrent callers never see
-    an unpersisted block; they clear on the next call.
+    not yet ``done``) are left untouched and clear on a later call.
+
+    CONCURRENCY CONTRACT: this is a maintenance hook — quiesce jobs
+    that CONSUME the targeted corpus's dedup results before calling.
+    localCheckpoint truncates lineage, so unpersisting blocks out from
+    under a running consumer job fails that job rather than recomputing
+    (Spark semantics, not recoverable here).  Builders are protected;
+    running consumers are the caller's responsibility.
     """
     cleared = 0
     with _SHARED_LOCK:

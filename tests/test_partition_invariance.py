@@ -55,10 +55,12 @@ def _rows(df):
 def _drop_shared_memos():
     # the dedup shingle/signature memo would otherwise serve the alt run
     # a checkpoint materialized under the baseline layout, hiding any
-    # layout sensitivity in the shingle stage itself
+    # layout sensitivity in the shingle stage itself; the public hook
+    # also unpersists the checkpoint blocks (plain .clear() would leak
+    # them until GC across this suite's many runs)
     from duckdb_cluster_hash_spark.operators import dedup
 
-    dedup._SHARED_MATERIALIZED.clear()
+    dedup.clear_shared_cache()
 
 
 @pytest.mark.parametrize("name", INVARIANCE_QUERIES)

@@ -348,11 +348,9 @@ def test_pack_sequences_single_shard_exchange_no_global_sort(spark, sf_small):
     partitions — a global sort of the corpus would be the 100 TB
     killer this operator exists to avoid."""
     plan = plan_of(QUERIES["docs_pack_sequences"](spark, sf_small))
-    assert "hashpartitioning(shard" in plan
-    # exactly one data exchange on shard; the only rangepartitioning
-    # allowed is the final 8-row ORDER BY presentation sort
-    body = plan.split("AdaptiveSparkPlan")[-1]
-    assert body.count("hashpartitioning(shard") >= 1
+    # exactly one data exchange on shard — a second one (e.g. a redundant
+    # repartition before the window) is the regression this gate pins
+    assert plan.count("hashpartitioning(shard") == 1
     pre_agg = plan.split("HashAggregate")[-1]  # below the final rollup
     assert "rangepartitioning" not in pre_agg
 

@@ -99,7 +99,7 @@ def test_partitioned_write_layout(spark, sf_small, tmp_path):
     assert "PartitionFilters: [isnotnull(c_mktsegment" in plan
 
 
-def test_text_token_count_matches_oracle_on_messy_spacing(spark, tmp_path):
+def test_text_token_count_matches_oracle_on_messy_spacing(spark):
     """formats_text_roundtrip's token count must equal the oracle's by
     CONSTRUCTION, not by corpus luck: both engines count '[^ ]+' matches,
     which (unlike split-on-space) is immune to leading/trailing/double

@@ -283,7 +283,9 @@ def test_three_phase_replay_actually_drops_late_rows(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(200)
+    if not q.awaitTermination(200):
+        q.stop()  # don't leave a running query polluting the shared session
+        raise AssertionError("three-phase replay did not drain in 200s")
     progress = q.recentProgress
     assert len(progress) >= 3, "expected one micro-batch per phase file"
     dropped = [
