@@ -3826,11 +3826,12 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH tagged AS (SELECT ts, event_type, value, "
         "('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 10 AS bucket "
         "FROM events), "
-        "wm0 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM tagged "
-        "WHERE bucket < 7), "
+        "gm AS (SELECT max(ts) AS m FROM tagged), "
+        "wm0 AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM tagged, gm "
+        "WHERE bucket < 7 OR ts = gm.m), "
         "fwm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS wm FROM tagged), "
-        "accepted AS (SELECT t.ts, t.event_type, t.value FROM tagged t, wm0 "
-        "WHERE t.bucket < 8 "
+        "accepted AS (SELECT t.ts, t.event_type, t.value FROM tagged t, wm0, gm "
+        "WHERE t.bucket < 8 OR t.ts = gm.m "
         "OR date_trunc('hour', t.ts) + INTERVAL 1 HOUR > wm0.wm), "
         "emitted AS (SELECT date_trunc('hour', a.ts) AS h, a.event_type, "
         "count(*) AS n_events, "
@@ -3857,13 +3858,16 @@ def events_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate window rows in append mode — equality with the oracle
     proves both the drop and the single emission).
 
-    The oracle reconstructs the run from the same md5 split, encoding
+    The oracle reconstructs the run from the same split, encoding
     Spark's two-version watermark (late filter in batch N uses the
     value that evicted in batch N-1): phases 0-1 are always accepted
     (their batches filtered with wm = 0); a phase-2 row survives iff
     its window end > max(phase-0 ts) - 10 min; a window is emitted iff
-    its end <= global max ts - 10 min.  Window-level equality of
-    (count, value-sum) audits drop + finalize, not just a drop count.
+    its end <= global max ts - 10 min.  Phase 0 is bucket<7 PLUS every
+    row tying the global max ts (same rule in staging and SQL), so the
+    argmax is in phase 0 by construction on any corpus.  Window-level
+    equality of (count, value-sum) audits drop + finalize, not just a
+    drop count.
     """
     import os as _os
     import tempfile as _tf
@@ -3875,24 +3879,17 @@ def events_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ev.stage_events_three_phase(spark, sf_dir, stage_dir)
     s2 = spark.newSession()  # narrow state-store width, isolated from the
     s2.conf.set("spark.sql.shuffle.partitions", "8")  # shared session
-    # The oracle's watermark model assumes the max event time arrives in
-    # phase 0 (true for every known corpus; a uniform 70% sample misses
-    # the argmax with p=0.3).  Corpus drift must fail LOUDLY, not grade
-    # a silently-divergent reconstruction.
-    ev_batch = _t(spark, sf_dir, "events")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint") % 10
-    )
-    maxes = ev_batch.agg(
-        F.max("ts").alias("m_all"),
-        F.max(F.when(bucket < 7, F.col("ts"))).alias("m_p0"),
-    ).head()
-    if maxes["m_p0"] != maxes["m_all"]:
+    # Sanity: staging routes every global-argmax row to phase 0, so the
+    # staged phase-0 max must equal the corpus max on ANY corpus.  A
+    # mismatch means the staging rule itself regressed — fail loudly.
+    staged_p0_max = spark.read.parquet(
+        _os.path.join(stage_dir, "phase=0")
+    ).agg(F.max("ts")).head()[0]
+    global_max = _t(spark, sf_dir, "events").agg(F.max("ts")).head()[0]
+    if staged_p0_max != global_max:
         raise RuntimeError(
-            "events_streaming_late_data: corpus max ts is not in phase 0 "
-            f"(phase0 max {maxes['m_p0']}, global {maxes['m_all']}); "
-            "the watermark reconstruction no longer models this corpus"
+            "events_streaming_late_data: staged phase 0 lost the corpus "
+            f"max ts (phase0 {staged_p0_max}, global {global_max})"
         )
     stream = (
         s2.readStream.schema(_ev.EVENTS_SCHEMA)

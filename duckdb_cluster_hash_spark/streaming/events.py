@@ -200,23 +200,30 @@ def stage_events_three_phase(
     evicted state in batch N-1, while EVICTION uses the advanced value.
     So batch 1's late rows still merge into live state (filter wm = 0);
     only after batch 1's commit evicts the closed windows does batch 2's
-    delivery meet an active filter and actually DROP.  Phase 0 (a
-    uniform 70% sample) carries the corpus max event time — asserted by
-    the caller — so the watermark after batch 0 is global-max - delay
-    and phase 2 is genuinely late.  Files are written in phase order so
-    the file source's (mtime, path) ordering replays delivery order.
+    delivery meet an active filter and actually DROP.  Phase 0 carries
+    the corpus max event time BY CONSTRUCTION — every row tying the
+    global max ts is assigned to phase 0 regardless of its md5 bucket, a
+    rule the DuckDB oracle replays verbatim — so the watermark after
+    batch 0 is global-max - delay on ANY corpus (a bucket-only split
+    would strand the argmax in the late phase with p≈0.3 per corpus
+    regeneration).  Files are written in phase order so the file
+    source's (mtime, path) ordering replays delivery order.
     """
     import glob
     import time
 
     ev = load_table(spark, sf_dir, "events")
+    gmax = ev.agg(F.max("ts")).head()[0]
     bucket = (
         F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
         .cast("bigint")
         % 10
     )
     phase = (
-        F.when(bucket < 7, 0).when(bucket == 7, 1).otherwise(2).alias("phase")
+        F.when((bucket < 7) | (F.col("ts") == F.lit(gmax)), 0)
+        .when(bucket == 7, 1)
+        .otherwise(2)
+        .alias("phase")
     )
     # ONE scan writes all three phases (hash-partitioning by phase keeps
     # each phase in a single task, so each phase dir gets exactly one

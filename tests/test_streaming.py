@@ -300,3 +300,39 @@ def test_three_phase_replay_actually_drops_late_rows(spark, tmp_path):
     sink = spark.table("late_drop_sink")
     assert sink.count() == \
         sink.select("window_start_epoch", "event_type").distinct().count()
+
+
+def test_three_phase_staging_routes_argmax_to_phase0(spark, tmp_path):
+    """Drift-proofing: the global-argmax row must land in phase 0 even
+    when its md5 bucket falls in the LATE range — otherwise a corpus
+    regeneration has a ~30% chance of breaking the oracle's watermark
+    model.  event_id=1 hashes to bucket 8 (late); give it the max ts and
+    assert staging routes it on time."""
+    import datetime
+
+    from duckdb_cluster_hash_spark.streaming import stage_events_three_phase
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # event_id 1 -> bucket 8, carries the max ts
+        (1, t0 + datetime.timedelta(hours=48), 1, "click", 1.0, "{}"),
+    ] + [
+        (i, t0 + datetime.timedelta(minutes=i), i, "view", 0.5, "{}")
+        for i in range(2, 40)
+    ]
+    src = str(tmp_path / "drift_sf")
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(src + "/events.parquet")
+    staged = str(tmp_path / "drift_staged")
+    stage_events_three_phase(spark, src, staged)
+    p0_max = spark.read.parquet(staged + "/phase=0").agg(
+        F.max("ts")
+    ).head()[0]
+    assert p0_max == t0 + datetime.timedelta(hours=48)
+    # and the row is NOT duplicated into the late phase
+    p2_ids = {r["event_id"]
+              for r in spark.read.parquet(staged + "/phase=2").collect()}
+    assert 1 not in p2_ids
