@@ -4139,10 +4139,12 @@ def events_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "formats_text_roundtrip",
     oracle=(
+        "WITH lines AS (SELECT regexp_replace(text, '[\r\n]', ' ', 'g') "
+        "AS text FROM documents) "
         "SELECT CAST(count(*) AS BIGINT) AS n_lines, "
         "CAST(count(DISTINCT text) AS BIGINT) AS distinct_lines, "
         "CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS total_tokens "
-        "FROM documents"
+        "FROM lines"
     ),
 )
 def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4151,14 +4153,15 @@ def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.read.text``, and aggregate line/token stats.  Line order and
     ids are not preserved by the format, so the rollup is order- and
     id-free; equality with the oracle (computed on the original parquet)
-    proves the round-trip is content-lossless.  The corpus is verified
-    newline-free, so line = document exactly.
+    proves the round-trip is content-lossless.
 
-    Tokens are counted with the SAME regex on both engines — Spark
-    ``regexp_count(value, '[^ ]+')`` vs DuckDB
-    ``len(regexp_extract_all(text, '[^ ]+'))`` — so the equality is
-    structural, not corpus-dependent (``split(value, ' ')`` would count
-    empty strings under consecutive/leading spaces; ``[^ ]+`` cannot).
+    Structural on ANY corpus, not just today's: newlines are flattened
+    to spaces with the identical regex on both engines BEFORE the sink
+    write (a raw ``\\n`` would split one document into two lines and
+    break line = document silently on corpus drift), and tokens are
+    counted with the same ``[^ ]+`` regex on both sides
+    (``split(value, ' ')`` would count empty strings under
+    consecutive/leading spaces; ``[^ ]+`` cannot).
     """
     import os as _os
     import tempfile as _tf
@@ -4167,7 +4170,9 @@ def formats_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         _tf.gettempdir(), f"dch_text_{_os.path.basename(sf_dir.rstrip('/'))}"
     )
     docs = _t(spark, sf_dir, "documents")
-    docs.select(F.col("text").alias("value")).write.mode("overwrite").text(path)
+    docs.select(
+        F.regexp_replace(F.col("text"), "[\r\n]", " ").alias("value")
+    ).write.mode("overwrite").text(path)
     back = spark.read.text(path)
     return back.agg(
         F.count("*").alias("n_lines"),

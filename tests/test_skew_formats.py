@@ -126,3 +126,31 @@ def test_text_token_count_matches_oracle_on_messy_spacing(spark):
     ).fetchone()[0]
     con.close()
     assert spark_total == oracle_total == 12
+
+
+def test_text_roundtrip_survives_embedded_newlines(spark, tmp_path):
+    """formats_text_roundtrip's sanitize rule: documents containing
+    raw newlines must round-trip as ONE line each (flattened to spaces
+    identically on both engines), not silently split the line count."""
+    import duckdb
+
+    docs = ["plain doc", "two\nlines", "crlf\r\nstyle", "tab\tsafe"]
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    path = str(tmp_path / "nl_text")
+    df.select(
+        F.regexp_replace(F.col("text"), "[\r\n]", " ").alias("value")
+    ).write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    assert back.count() == len(docs)
+    spark_tokens = back.agg(
+        F.sum(F.regexp_count("value", F.lit("[^ ]+"))).cast("bigint").alias("t")
+    ).head()["t"]
+    con = duckdb.connect()
+    oracle_tokens = con.execute(
+        "SELECT CAST(sum(len(regexp_extract_all("
+        "regexp_replace(t, '[\r\n]', ' ', 'g'), '[^ ]+'))) AS BIGINT) "
+        "FROM (SELECT unnest(?) AS t)",
+        [docs],
+    ).fetchone()[0]
+    con.close()
+    assert spark_tokens == oracle_tokens == 7
