@@ -34,6 +34,8 @@ __all__ = [
     "rolling_hash_col",
     "repetition_stats",
     "tfidf_top_terms",
+    "bm25_topk",
+    "bigram_lift_top",
     "STOPWORDS",
 ]
 
@@ -301,6 +303,217 @@ def tfidf_top_terms(
             "term",
             "score",
         )
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents for a keyword query by an integer BM25.
+
+    Classic BM25 (k1=1.2, b=0.75) with two engine-portability changes,
+    both monotone in the same direction as the original:
+
+    - idf is the log's ARGUMENT kept in milli-units,
+      ``idf_x1000 = ((N - df + 1) * 1000) div (df + 1)`` — rarity-ordered
+      exactly like ``log((N-df+0.5)/(df+0.5))`` without a cross-engine
+      transcendental;
+    - the tf saturation / length normalization runs entirely in scaled
+      integer division (milli-units), so Spark ``div`` and DuckDB ``//``
+      produce bit-identical scores (doubles never appear).
+
+    score(doc) = sum over query terms of
+      ``(idf_x1000 * tf * 2200) div (tf*1000 + (1200 * (250 + (750 *
+      dl_ratio_x1000) div 1000)) div 1000)``
+    where ``dl_ratio_x1000 = (dl * 1000000) div avgdl_x1000``.
+
+    Scale: tokens are filtered to the query vocabulary INSIDE the token
+    array (higher-order ``filter`` before ``explode``), so the exploded
+    row count is per-query hits, not the corpus token count; the df table
+    is <= |query| rows (broadcast); tf joins doc lengths on the id key.
+    Magnitudes stay < 2^63 while N*1000*max_tf*2200 does (N up to ~1e12
+    at realistic tf) — far beyond any single corpus shard.
+    """
+    terms = sorted(set(query_terms))
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    base = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"), toks.alias("toks")
+    )
+    lengths = base.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl")
+    )
+    tot_dl, n_docs = lengths.agg(
+        F.sum("dl").cast("bigint"), F.count("*").cast("bigint")
+    ).head()
+    # exact integer milli-average; Python // == SQL div for positives
+    avgdl_x1000 = max(1, (int(tot_dl) * 1000) // int(n_docs))
+
+    term_set = F.array(*[F.lit(t) for t in terms])
+    hits = base.select(
+        "doc_id",
+        F.explode(
+            F.filter("toks", lambda x: F.array_contains(term_set, x))
+        ).alias("term"),
+    )
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dfreq = (
+        hits.distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    scored = (
+        tf.join(broadcast(dfreq), "term")
+        .join(lengths, "doc_id")
+        .withColumn(
+            "s",
+            F.expr(
+                f"((({n_docs} - df + 1) * 1000) div (df + 1)) * tf * 2200 div "
+                f"(tf * 1000 + (1200 * (250 + (750 * "
+                f"((dl * 1000000) div {avgdl_x1000})) div 1000)) div 1000)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s").cast("bigint").alias("score"),
+            F.count("*").cast("bigint").alias("n_hit_terms"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — same integer recurrence."""
+    terms = sorted(set(query_terms))
+    in_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    return (
+        f"WITH t AS (SELECT {id_col} AS doc_id, "
+        f"regexp_extract_all(lower({text_col}), '[a-z]+') AS toks "
+        f"FROM {table}), "
+        "l AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t), "
+        "g AS (SELECT greatest(1, (CAST(sum(dl) AS BIGINT) * 1000) // "
+        "count(*)) AS avgdl_x1000, CAST(count(*) AS BIGINT) AS n FROM l), "
+        "h AS (SELECT doc_id, unnest(list_filter(toks, "
+        f"x -> x IN ({in_list}))) AS term FROM t), "
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM h GROUP BY doc_id, term), "
+        "df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM h GROUP BY term), "
+        "s AS (SELECT tf.doc_id, "
+        "(((g.n - df.df + 1) * 1000) // (df.df + 1)) * tf.tf * 2200 // "
+        "(tf.tf * 1000 + (1200 * (250 + (750 * "
+        "((l.dl * 1000000) // g.avgdl_x1000)) // 1000)) // 1000) AS s "
+        "FROM tf JOIN df USING (term) JOIN l USING (doc_id) CROSS JOIN g) "
+        "SELECT doc_id, CAST(sum(s) AS BIGINT) AS score, "
+        "CAST(count(*) AS BIGINT) AS n_hit_terms FROM s GROUP BY doc_id "
+        f"ORDER BY score DESC, doc_id LIMIT {k}"
+    )
+
+
+def bigram_lift_top(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-``k`` word-bigram collocations by integer lift.
+
+    lift_x1000 = ``(c_xy * B * 1000) div (c_x * c_y)`` — PMI's argument
+    (P(xy)/(P(x)P(y))) in milli-units; ranking by lift is ranking by PMI
+    (log is monotone) without a cross-engine transcendental.  ``B`` is
+    the corpus bigram total, ``c_x``/``c_y`` unigram counts, and a
+    ``min_count`` floor drops the unstable singleton tail.
+
+    Scale: bigrams materialize as (w1, w2) pairs straight off each token
+    array (map-side ``transform`` over the array, no self-join); the two
+    unigram joins key on the word with NO forced broadcast — Catalyst
+    broadcasts while the vocabulary fits the threshold and falls back to
+    a shuffle join once it outgrows it (Heaps' law: vocab grows
+    sublinearly but unboundedly).  B comes from a separate one-pass sum
+    of per-doc (len-1), not a second scan of the pair table.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    base = df.repartition(F.col(id_col)).select(toks.alias("t"))
+    btot = int(
+        base.agg(
+            F.sum(
+                F.when(F.size("t") >= 2, F.size("t") - 1).otherwise(F.lit(0))
+            ).cast("bigint")
+        ).head()[0]
+    )
+    pairs = (
+        base.where(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, size(t) - 1), "
+                    "(x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    cb = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c_xy")
+    )
+    uni = (
+        base.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    scored = (
+        cb.where(F.col("c_xy") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .withColumn(
+            "lift_x1000", F.expr(f"(c_xy * {btot} * 1000) div (c1 * c2)")
+        )
+    )
+    return (
+        scored.select("w1", "w2", "c_xy", "lift_x1000")
+        .orderBy(F.desc("lift_x1000"), F.asc("w1"), F.asc("w2"))
+        .limit(k)
+    )
+
+
+def bigram_lift_top_sql(
+    table: str, id_col: str, text_col: str, k: int = 20, min_count: int = 5
+) -> str:
+    """DuckDB oracle for :func:`bigram_lift_top` — same integer lift."""
+    return (
+        f"WITH t AS (SELECT regexp_extract_all(lower({text_col}), "
+        f"'[a-z]+') AS t FROM {table}), "
+        "bt AS (SELECT CAST(sum(CASE WHEN len(t) >= 2 THEN len(t) - 1 "
+        "ELSE 0 END) AS BIGINT) AS btot FROM t), "
+        "bi AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i "
+        "FROM t WHERE len(t) >= 2), "
+        "b AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM bi), "
+        "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy FROM b "
+        "GROUP BY w1, w2), "
+        "u AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM "
+        "(SELECT unnest(t) AS w FROM t) GROUP BY w) "
+        "SELECT cb.w1, cb.w2, cb.c_xy, "
+        "(cb.c_xy * bt.btot * 1000) // (u1.c * u2.c) AS lift_x1000 "
+        "FROM cb JOIN u u1 ON cb.w1 = u1.w JOIN u u2 ON cb.w2 = u2.w "
+        f"CROSS JOIN bt WHERE cb.c_xy >= {min_count} "
+        f"ORDER BY lift_x1000 DESC, w1, w2 LIMIT {k}"
     )
 
 

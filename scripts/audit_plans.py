@@ -56,6 +56,15 @@ WAIVERS: dict[str, str] = {
         "offsets window + total count are n_buckets/1-row tables; the corpus "
         "itself ranks via rangepartitioning (gated in test_plans)"
     ),
+    "events_funnel_conversion": (
+        "final scalar rollup + 4-row stack unpivot; input is the per-user "
+        "aggregate, already partial-agged per partition"
+    ),
+    "docs_bigram_collocations": (
+        "the unpushed filter is size(tokens) >= 2 over the tokenized array "
+        "(computed column, unknowable to the scan); map-side, no shuffle "
+        "before it"
+    ),
     "events_hll_shard_distinct": (
         "two 1-row sides (exact count x merged sketch estimate) joined"
     ),

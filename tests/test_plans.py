@@ -373,3 +373,52 @@ def test_source_quota_single_pass_no_second_scan(spark, sf_small):
     plan = plan_of(QUERIES["docs_source_quota_sample"](spark, sf_small))
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
+
+
+def test_bm25_broadcasts_df_table_and_topk(spark, sf_small):
+    """The per-term df table (<= |query| rows) must broadcast; top-10
+    must plan TakeOrderedAndProject, never a global sort; and the query
+    must stay entirely JVM-side (no Python in the plan)."""
+    plan = plan_of(QUERIES["docs_bm25_search"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # vocabulary filter runs INSIDE the token array before explode: the
+    # generator input is already filtered, so no Filter sits above the
+    # Generate consuming raw tokens
+    assert "array_contains" in plan or "filter(" in plan
+
+
+def test_bigram_collocations_equijoins_no_forced_broadcast(spark, sf_small):
+    """Unigram joins key on the word as plain equi-joins with NO forced
+    broadcast hint — Catalyst picks broadcast at toy scale (vocab under
+    the threshold, correct) and falls back to a shuffle join when the
+    vocabulary outgrows it; pairs come map-side off the token arrays
+    (no self-join of the corpus)."""
+    df = QUERIES["docs_bigram_collocations"](spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the choice is Catalyst's, not a hint baked into the logical plan
+    assert "UnresolvedHint" not in df._jdf.queryExecution().logical().toString()
+    assert "hint" not in optimized_of(df).lower()
+
+
+def test_pii_redaction_single_scan_no_python(spark, sf_small):
+    """Redaction is pure map-side string work: one scan of events, no
+    join, no Python, partial aggregation on event_type."""
+    plan = plan_of(QUERIES["events_pii_redaction"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_funnel_single_scan_two_aggs(spark, sf_small):
+    """Funnel = per-user conditional-min aggregate + scalar rollup:
+    one scan, no join, no window over raw events."""
+    plan = plan_of(QUERIES["events_funnel_conversion"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan

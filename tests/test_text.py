@@ -171,3 +171,106 @@ def test_tfidf_top_terms_ranking(spark):
     assert by_grp["A"]["term"] == "rare"  # tf=2, df=1 -> score 8
     assert by_grp["A"]["score"] == 8
     assert by_grp["B"]["term"] == "other"  # tf=2, df=2 -> score 4 beats common (2*4//4=2)
+
+
+def test_bm25_ranking_and_hand_values(spark):
+    # 4 docs: d0 matches both terms, d1 one term twice, d2 one term in a
+    # long doc (length-normalized DOWN), d3 no match at all.
+    rows = [
+        (0, "spark hash join"),
+        (1, "hash hash table"),
+        (2, "hash " + "pad " * 37),  # dl=38, one hit, long doc
+        (3, "sort merge only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.bm25_topk(df, "doc_id", "text", ("spark", "hash"), k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert 3 not in ids  # no-hit docs never appear
+    assert ids[0] == 0  # both-terms doc wins
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].n_hit_terms == 2
+    assert by_id[1].n_hit_terms == 1
+    # same term, same tf=1 — the longer doc must score strictly lower
+    d1_single = [
+        r for r in tx.bm25_topk(
+            df, "doc_id", "text", ("hash",), k=10
+        ).collect()
+    ]
+    scores = {r.doc_id: r.score for r in d1_single}
+    assert scores[0] > scores[2]  # dl=3 beats dl=38 at tf=1
+    # exact integer recurrence, hand-computed for doc 0, term set
+    # {'hash'}: N=4, df=3, avgdl_x1000 = (3+3+38+3)*1000//4 = 11750
+    # idf = (4-3+1)*1000 // (3+1) = 500
+    # dlr = 3_000_000 // 11750 = 255; inner = 250 + (750*255)//1000 = 441
+    # denom = 1000 + (1200*441)//1000 = 1529
+    # s = 500*1*2200 // 1529 = 719
+    assert scores[0] == 719
+
+
+def test_bm25_multispace_and_empty_docs(spark):
+    rows = [(0, "  spark   spark  "), (1, ""), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.bm25_topk(df, "doc_id", "text", ("spark",), k=5).collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].score > 0
+
+
+def test_bigram_lift_hand_values_and_edges(spark):
+    # "a b" appears in every doc (5x); "c d" once; singleton docs and an
+    # empty doc contribute no bigrams but their tokens still count.
+    rows = [(i, "a b") for i in range(5)] + [(5, "c d"), (6, "e"), (7, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tx.bigram_lift_top(df, "doc_id", "text", k=10, min_count=5).collect()
+    assert [(r.w1, r.w2) for r in out] == [("a", "b")]
+    # B = 6 bigrams total; c_ab=5, c_a=5, c_b=5 →
+    # lift = (5*6*1000)//(5*5) = 1200
+    assert out[0].lift_x1000 == 1200
+    assert out[0].c_xy == 5
+    # min_count=1 surfaces the (c, d) pair too
+    out2 = tx.bigram_lift_top(df, "doc_id", "text", k=10, min_count=1).collect()
+    pairs = {(r.w1, r.w2): r.lift_x1000 for r in out2}
+    # c_cd=1, c_c=1, c_d=1 → lift = (1*6*1000)//1 = 6000 — rare-pair
+    # lift dominates, exactly PMI's behavior
+    assert pairs[("c", "d")] == 6000
+
+
+def test_pii_regexes_cross_engine_semantics(spark):
+    """The catalog's PII regexes must match identically in Spark (Java
+    regex) and DuckDB (RE2) on the structures they claim to handle."""
+    import duckdb
+
+    from duckdb_cluster_hash_spark.plans.catalog import (
+        _PII_EMAIL_RE,
+        _PII_IP_RE,
+    )
+
+    samples = [
+        "plain text no pii",
+        "mail a.b-c_d%x+1@sub.domain.org end",
+        "ip 10.0.255.97 and 1.2.3.4 twice",
+        "not-an-ip 1.2.3 and half@nodot",
+        "u77@example.com at 10.1.2.3",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = df.select(
+        F.regexp_count("s", F.lit(_PII_EMAIL_RE)).alias("e"),
+        F.regexp_count("s", F.lit(_PII_IP_RE)).alias("i"),
+        F.regexp_replace(
+            F.regexp_replace("s", _PII_EMAIL_RE, "<EMAIL>"),
+            _PII_IP_RE,
+            "<IP>",
+        ).alias("r"),
+    ).collect()
+    con = duckdb.connect()
+    for row, s in zip(got, samples):
+        e, i, r = con.execute(
+            "SELECT len(regexp_extract_all(?, ?)), "
+            "len(regexp_extract_all(?, ?)), "
+            "regexp_replace(regexp_replace(?, ?, '<EMAIL>', 'g'), ?, "
+            "'<IP>', 'g')",
+            [s, _PII_EMAIL_RE, s, _PII_IP_RE, s, _PII_EMAIL_RE, _PII_IP_RE],
+        ).fetchone()
+        assert (row.e, row.i, row.r) == (e, i, r), s
+    # and no PII survives redaction on the hit rows
+    assert "<EMAIL>" in got[4].r and "<IP>" in got[4].r
+    assert "@" not in got[4].r
