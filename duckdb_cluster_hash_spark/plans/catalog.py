@@ -4430,6 +4430,198 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_incremental_dedup",
+    oracle=(
+        "WITH base AS (SELECT md5(text) AS digest FROM documents "
+        "WHERE doc_id % 2 = 0), "
+        "inc AS (SELECT doc_id, source, md5(text) AS digest FROM documents "
+        "WHERE doc_id % 2 = 1), "
+        "w AS (SELECT source, digest, "
+        "row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rk, "
+        "CASE WHEN digest IN (SELECT digest FROM base) THEN 1 ELSE 0 END "
+        "AS in_base FROM inc) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_incoming, "
+        "CAST(sum(CASE WHEN in_base = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_vs_base, "
+        "CAST(sum(CASE WHEN in_base = 0 AND rk > 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup_within, "
+        "CAST(sum(CASE WHEN in_base = 0 AND rk = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_new_unique "
+        "FROM w GROUP BY source ORDER BY source"
+    ),
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: a new batch (odd doc_ids) deduplicates
+    against the already-ingested base corpus (even doc_ids) AND within
+    itself, reporting per-source how much of the batch is (a) already in
+    the base, (b) self-duplicate inside the batch, (c) genuinely new —
+    the accept/reject accounting every rolling crawl ingestion keeps.
+
+    Scale: both sides shuffle 32-byte md5 digests, never text; the
+    vs-base membership is a LEFT SEMI-shaped join keyed on the digest
+    (at 100 TB the base digest set is a bucketed table, making this a
+    co-located join); within-batch dedup is one rank window over the
+    digest key — same shuffle, no second pass.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("digest")
+    )
+    inc = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    from pyspark.sql.window import Window
+
+    hit = base.distinct().withColumn("in_base", F.lit(1))
+    w = (
+        inc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("digest").orderBy("doc_id")
+            ),
+        )
+        .join(hit, "digest", "left")
+        .withColumn("in_base", F.coalesce("in_base", F.lit(0)))
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum((F.col("in_base") == 1).cast("bigint")).alias(
+                "n_dup_vs_base"
+            ),
+            F.sum(
+                ((F.col("in_base") == 0) & (F.col("rk") > 1)).cast("bigint")
+            ).alias("n_dup_within"),
+            F.sum(
+                ((F.col("in_base") == 0) & (F.col("rk") == 1)).cast("bigint")
+            ).alias("n_new_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+# Week indexing for cohorts: integer days-since-epoch-anchor div 7, NOT
+# date_trunc('week') — identical by construction on both engines and
+# independent of week-start conventions.
+_COHORT_ANCHOR = "2024-01-01"
+
+
+@query(
+    "events_retention_cohorts",
+    oracle=(
+        "WITH uw AS (SELECT DISTINCT user_id, "
+        f"date_diff('day', DATE '{_COHORT_ANCHOR}', CAST(ts AS DATE)) // 7 "
+        "AS week FROM events), "
+        "c AS (SELECT user_id, week, min(week) OVER "
+        "(PARTITION BY user_id) AS cohort FROM uw) "
+        "SELECT CAST(cohort AS INTEGER) AS cohort_week, "
+        "CAST(week - cohort AS INTEGER) AS week_offset, "
+        "CAST(count(*) AS BIGINT) AS n_users "
+        "FROM c GROUP BY cohort, week - cohort "
+        "ORDER BY cohort_week, week_offset"
+    ),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week,
+    counted in every later week they return — the (cohort x offset)
+    retention matrix every growth/engagement report draws.
+
+    Scale: events collapse to DISTINCT (user, week) first (the matrix
+    input is users-by-weeks, orders of magnitude below raw events, and
+    the distinct is a partial-agg shuffle); the cohort comes from a min
+    window over that small table partitioned by user — no join back to
+    raw events, no second scan.
+    """
+    ev = _t(spark, sf_dir, "events")
+    week = F.expr(
+        f"datediff(cast(ts AS date), DATE '{_COHORT_ANCHOR}') div 7"
+    )
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    from pyspark.sql.window import Window
+
+    cohort = F.min("week").over(Window.partitionBy("user_id"))
+    return (
+        uw.withColumn("cohort", cohort)
+        .groupBy(
+            F.col("cohort").cast("int").alias("cohort_week"),
+            (F.col("week") - F.col("cohort")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "orders_reorder_intervals",
+    oracle=(
+        "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, "
+        "o_orderkey FROM orders), "
+        "g AS (SELECT o_custkey, date_diff('day', lag(d) OVER "
+        "(PARTITION BY o_custkey ORDER BY d, o_orderkey), d) AS gap FROM o), "
+        "pc AS (SELECT o_custkey, CAST(sum(gap) AS BIGINT) AS sum_gap, "
+        "CAST(count(gap) AS BIGINT) AS n_gaps, "
+        "CAST(max(gap) AS BIGINT) AS max_gap "
+        "FROM g WHERE gap IS NOT NULL GROUP BY o_custkey) "
+        "SELECT c.c_mktsegment AS segment, "
+        "CAST(count(*) AS BIGINT) AS n_repeat_customers, "
+        "CAST(sum(pc.n_gaps) AS BIGINT) AS n_gaps, "
+        "(CAST(sum(pc.sum_gap) AS BIGINT) * 10) // "
+        "CAST(sum(pc.n_gaps) AS BIGINT) AS avg_gap_days_x10, "
+        "CAST(max(pc.max_gap) AS BIGINT) AS max_gap_days "
+        "FROM pc JOIN customer c ON pc.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment ORDER BY segment"
+    ),
+)
+def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap profile per market segment: for customers with
+    2+ orders, the day gaps between consecutive orders (lag window,
+    (date, orderkey)-tie-broken), rolled up to per-segment repeat-buyer
+    counts and an integer deci-day average — purchase-cadence analytics.
+
+    Scale: gaps aggregate to ONE row per customer before the customer
+    join (the join input shrinks from |orders| to |repeat customers|);
+    the lag window shuffles orders once on the customer key; the final
+    segment rollup is a 5-group partial agg.  Integer sum*10 div count
+    keeps the average cross-engine exact.
+    """
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    lag_d = F.lag("d").over(
+        Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    )
+    gaps = orders.withColumn("gap", F.datediff(F.col("d"), lag_d)).where(
+        F.col("gap").isNotNull()
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.sum("gap").cast("bigint").alias("sum_gap"),
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.max("gap").cast("bigint").alias("max_gap"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        per_cust.join(
+            cust, per_cust.o_custkey == cust.c_custkey, "inner"
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_repeat_customers"),
+            F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+            F.expr("(sum(sum_gap) * 10) div sum(n_gaps)").alias(
+                "avg_gap_days_x10"
+            ),
+            F.max("max_gap").cast("bigint").alias("max_gap_days"),
+        )
+        .orderBy("segment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -4449,6 +4641,9 @@ _DRIVER_WINDOW_FIRST = [
     "docs_bigram_collocations",
     "events_pii_redaction",
     "events_funnel_conversion",
+    "docs_incremental_dedup",
+    "events_retention_cohorts",
+    "orders_reorder_intervals",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -4499,8 +4694,6 @@ _DRIVER_WINDOW_FIRST = [
     "docs_train_val_test_split",
     "docs_eval_contamination",
     "events_hot_type_salted_counts",
-    "events_dedup_ingest",
-    "docs_corpus_curation",
 ]
 
 

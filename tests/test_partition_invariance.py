@@ -38,6 +38,12 @@ INVARIANCE_QUERIES = [
     # per-shard ordered prefix sum (packing layout must be a pure
     # function of the md5 order, never of scan/shuffle splits)
     "docs_pack_sequences",
+    # rank-window dedup accounting: the keep/dup split must follow the
+    # doc_id order inside each digest group, never task arrival order
+    "docs_incremental_dedup",
+    # lag-window gaps tie-broken on (date, orderkey): per-customer sums
+    # must not move with scan splits
+    "orders_reorder_intervals",
 ]
 
 ALT_CONFS = {

@@ -422,3 +422,40 @@ def test_funnel_single_scan_two_aggs(spark, sf_small):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_digests_on_the_wire_no_text_shuffle(spark, sf_small):
+    """Both dedup sides must shuffle md5 digests, never document text:
+    no Exchange carries the text column, and the vs-base membership is
+    a single digest-keyed join (no cartesian)."""
+    plan = plan_of(QUERIES["docs_incremental_dedup"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
+    # the doc_id parity split pushes to the scan as a filter
+    assert "PushedFilters" in plan
+
+
+def test_retention_cohorts_distinct_before_window(spark, sf_small):
+    """The min-cohort window must run over DISTINCT (user, week), not
+    raw events: HashAggregate (the distinct) sits below Window."""
+    plan = plan_of(QUERIES["events_retention_cohorts"](spark, sf_small))
+    assert "Join" not in plan
+    w_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    assert w_pos != -1 and agg_pos != -1 and w_pos < agg_pos
+
+
+def test_reorder_intervals_aggregates_before_customer_join(spark, sf_small):
+    """Per-customer gap aggregation must happen BELOW the customer join
+    (the join input is one row per repeat customer, not one per order)
+    — in the top-down plan print, a HashAggregate appears under the
+    join on the orders side."""
+    plan = plan_of(QUERIES["orders_reorder_intervals"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    join_pos = min(
+        p for p in (plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                    plan.find("ShuffledHashJoin")) if p != -1
+    )
+    assert "HashAggregate" in plan[join_pos:]
