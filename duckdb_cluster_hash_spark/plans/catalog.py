@@ -4622,6 +4622,116 @@ def orders_reorder_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_dim_stats",
+    oracle=(
+        "WITH e AS (SELECT unnest(embedding) AS v, "
+        "CAST(generate_subscripts(embedding, 1) AS INTEGER) AS pos "
+        "FROM embeddings), "
+        "m AS (SELECT pos, CAST(round(v::DOUBLE * 1000) AS BIGINT) AS mv "
+        "FROM e) "
+        "SELECT pos, CAST(count(*) AS BIGINT) AS n_vecs, "
+        "CAST(sum(mv) AS BIGINT) AS sum_milli, "
+        "CAST(sum(mv * mv) AS BIGINT) AS sumsq_milli2, "
+        "CAST(min(mv) AS BIGINT) AS min_milli, "
+        "CAST(max(mv) AS BIGINT) AS max_milli "
+        "FROM m GROUP BY pos ORDER BY pos"
+    ),
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution profile of the embedding corpus (the
+    normalization / dead-dimension / whitening report run before any
+    ANN indexing): count, sum, sum-of-squares, min, max — variance and
+    mean derive from the sums reader-side.
+
+    Values quantize to integer MILLIS before any aggregation (same
+    rationale as emb_label_centroids: float->double->round-to-int is
+    bit-identical across engines and integer sums are order-independent;
+    millis, not micros, keep the squared sum < 2^63 out to ~1e17 rows
+    per dimension).
+
+    Scale: one posexplode + one keyed partial aggregation on the
+    dimension index — the shuffle carries |dims| rows of five bigints
+    per map task, nothing else.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(F.posexplode("embedding").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1000).cast("bigint").alias("mv"),
+    )
+    return (
+        exploded.groupBy("pos")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("mv").alias("sum_milli"),
+            F.sum(F.col("mv") * F.col("mv")).alias("sumsq_milli2"),
+            F.min("mv").alias("min_milli"),
+            F.max("mv").alias("max_milli"),
+        )
+        .orderBy("pos")
+    )
+
+
+@query(
+    "docs_token_heavy_hitters",
+    oracle=(
+        "WITH w AS (SELECT doc_id % 8 AS shard, "
+        "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
+        "FROM documents), "
+        "c AS (SELECT shard, w, CAST(count(*) AS BIGINT) AS n FROM w "
+        "GROUP BY shard, w), "
+        "r AS (SELECT shard, w, n, row_number() OVER "
+        "(PARTITION BY shard ORDER BY n DESC, w) AS rk FROM c) "
+        "SELECT w, CAST(sum(n) AS BIGINT) AS merged_count, "
+        "CAST(count(*) AS BIGINT) AS n_shards_present "
+        "FROM r WHERE rk <= 64 GROUP BY w "
+        "ORDER BY merged_count DESC, w LIMIT 20"
+    ),
+)
+def docs_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via mergeable per-shard summaries: each of 8
+    deterministic shards (doc_id mod 8) keeps only its local top-64
+    token counters; the merged sums are LOWER bounds on true counts,
+    and any token in every shard's summary has its exact global count —
+    the SpaceSaving/Misra-Gries communication pattern, deterministic so
+    both engines agree bit-for-bit.
+
+    Scale: this is the shape that survives 100 TB — the merge shuffle
+    carries at most shards x 64 counter rows no matter how large the
+    corpus or vocabulary gets (vs docs_token_top20's full-vocabulary
+    aggregation), the per-shard truncation happens right after the
+    shard-local partial aggregation, and the summary size is the knob
+    trading recall threshold for bandwidth.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    counts = (
+        docs.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w"),
+        )
+        .groupBy("shard", "w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.desc("n"), F.asc("w"))
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .where(F.col("rk") <= 64)
+        .groupBy("w")
+        .agg(
+            F.sum("n").cast("bigint").alias("merged_count"),
+            F.count("*").cast("bigint").alias("n_shards_present"),
+        )
+        .orderBy(F.desc("merged_count"), F.asc("w"))
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -4644,6 +4754,8 @@ _DRIVER_WINDOW_FIRST = [
     "docs_incremental_dedup",
     "events_retention_cohorts",
     "orders_reorder_intervals",
+    "emb_dim_stats",
+    "docs_token_heavy_hitters",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -4692,8 +4804,6 @@ _DRIVER_WINDOW_FIRST = [
     "docs_token_shards",
     "docs_mixture_epochs",
     "docs_train_val_test_split",
-    "docs_eval_contamination",
-    "events_hot_type_salted_counts",
 ]
 
 

@@ -459,3 +459,28 @@ def test_reorder_intervals_aggregates_before_customer_join(spark, sf_small):
                     plan.find("ShuffledHashJoin")) if p != -1
     )
     assert "HashAggregate" in plan[join_pos:]
+
+
+def test_emb_dim_stats_single_explode_partial_agg(spark, sf_small):
+    """One posexplode feeding one keyed partial aggregation — no join,
+    no Python, map-side combine before the dimension-key exchange."""
+    plan = plan_of(QUERIES["emb_dim_stats"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_heavy_hitters_truncates_per_shard_before_merge(spark, sf_small):
+    """The per-shard top-64 cut (rank window over the shard-local
+    aggregate) must sit below the global merge aggregation — the
+    bounded-summary shuffle is the whole point of the operator."""
+    plan = plan_of(QUERIES["docs_token_heavy_hitters"](spark, sf_small))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    w_pos = plan.find("Window")
+    # top-down print: the FIRST HashAggregate above the window is the
+    # merge; the window itself consumes the shard-local aggregate below
+    assert w_pos != -1
+    assert "HashAggregate" in plan[:w_pos]  # merge agg above the window
+    assert "HashAggregate" in plan[w_pos:]  # shard-local agg below it
