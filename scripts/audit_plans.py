@@ -60,6 +60,10 @@ WAIVERS: dict[str, str] = {
         "final scalar rollup + 4-row stack unpivot; input is the per-user "
         "aggregate, already partial-agged per partition"
     ),
+    "events_daily_engagement": (
+        "cumulative-users running sum orders the DAY-LEVEL rollup only "
+        "(tens of rows/year), not events; gated in test_plans"
+    ),
     "docs_bigram_collocations": (
         "the unpushed filter is size(tokens) >= 2 over the tokenized array "
         "(computed column, unknowable to the scan); map-side, no shuffle "

@@ -484,3 +484,35 @@ def test_heavy_hitters_truncates_per_shard_before_merge(spark, sf_small):
     assert w_pos != -1
     assert "HashAggregate" in plan[:w_pos]  # merge agg above the window
     assert "HashAggregate" in plan[w_pos:]  # shard-local agg below it
+
+
+def test_resharding_plan_stays_jvm_and_filters_early(spark, sf_small):
+    """Both node mappings are native integer expressions (no Python, no
+    join); slots that do not move are filtered before the rollup."""
+    plan = plan_of(QUERIES["cluster_resharding_plan"](spark, sf_small))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Filter" in plan
+
+
+def test_daily_engagement_waived_window_over_daily_rollup(spark, sf_small):
+    """The cumulative-users window must consume the day-level rollup
+    (tens of rows), never raw events: Window above both HashAggregates."""
+    plan = plan_of(QUERIES["events_daily_engagement"](spark, sf_small))
+    w_pos = plan.find("Window")
+    assert w_pos != -1
+    assert "HashAggregate" in plan[w_pos:]  # aggregates feed the window
+    assert "CartesianProduct" not in plan
+
+
+def test_copurchase_pairs_join_on_order_key(spark, sf_small):
+    """Pair generation must key the self-join on the order key (bounded
+    per-basket blow-up), never a cartesian/nested-loop over brands or
+    orders."""
+    df = QUERIES["parts_copurchase_affinity"](spark, sf_small)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    opt = optimized_of(df)
+    assert "o#" in opt or "(o =" in opt or "o =" in opt  # order-key equality
