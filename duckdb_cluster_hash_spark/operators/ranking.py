@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "ntile_exact"]
+__all__ = ["global_row_number", "ntile_exact", "ordered_prefix_sum"]
 
 
 def global_row_number(
@@ -109,4 +109,44 @@ def ntile_exact(
     return (
         staged.withColumn(out_col, tile)
         .drop("_rn", "_n", "_q", "_rem", "_qs", "_head")
+    )
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    val_col: str,
+    n_buckets: int = 256,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Add an INCLUSIVE running sum of ``val_col`` in ``order_cols``
+    order without a single-partition sort — the cumulative-share /
+    Pareto primitive, built exactly like :func:`global_row_number`:
+    range partition on the order key, N parallel local running sums,
+    then broadcast per-partition totals prefix-summed over the only
+    globally-ordered table (n_buckets rows).
+
+    The order key must be total (include a unique tie-break) so the
+    running sum is a pure function of the data, not the layout.
+    """
+    ranged = df.repartitionByRange(n_buckets, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    in_part = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("_lcum", F.sum(val_col).over(in_part))
+    totals = ranged.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
+    over_pids = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = totals.select(
+        "_pid", (F.sum("_t").over(over_pids) - F.col("_t")).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lcum")).cast("bigint"))
+        .drop("_pid", "_lcum", "_off")
     )

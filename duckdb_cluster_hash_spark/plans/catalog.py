@@ -71,6 +71,9 @@ def _money_sum(col: str):
 # the true value sits at a 10^-k midpoint (e.g. 0.70915).  Scaling to an
 # integer first is safe: integer midpoints are exactly representable, so
 # both engines see the same side.  Oracles use round(x * 10^k) / 10^k too.
+# Integer division: Spark `a div b` and DuckDB `a // b` BOTH truncate toward
+# zero, including negative operands (-7 div 2 == -7 // 2 == -3; verified),
+# so div-based scores stay bit-identical even when sums go negative.
 
 
 # ---------------------------------------------------------------------------
@@ -4891,6 +4894,114 @@ def parts_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_volume_anomaly_mad",
+    oracle=(
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY event_type, day), "
+        "r1 AS (SELECT event_type, day, n, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS r, "
+        "count(*) OVER (PARTITION BY event_type) AS cnt FROM daily), "
+        "med AS (SELECT event_type, CAST(sum(CASE "
+        "WHEN r = (cnt + 1) // 2 AND r = (cnt + 2) // 2 THEN 2 * n "
+        "WHEN r = (cnt + 1) // 2 OR r = (cnt + 2) // 2 THEN n "
+        "ELSE 0 END) AS BIGINT) AS med_x2 FROM r1 GROUP BY event_type), "
+        "dev AS (SELECT d.event_type, d.day, d.n, m.med_x2, "
+        "abs(2 * d.n - m.med_x2) AS dd FROM daily d "
+        "JOIN med m ON d.event_type = m.event_type), "
+        "r2 AS (SELECT event_type, day, dd, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY dd, day) AS r, "
+        "count(*) OVER (PARTITION BY event_type) AS cnt FROM dev), "
+        "mad AS (SELECT event_type, CAST(sum(CASE "
+        "WHEN r = (cnt + 1) // 2 AND r = (cnt + 2) // 2 THEN 2 * dd "
+        "WHEN r = (cnt + 1) // 2 OR r = (cnt + 2) // 2 THEN dd "
+        "ELSE 0 END) AS BIGINT) AS mad_x2 FROM r2 GROUP BY event_type) "
+        "SELECT dev.event_type, dev.med_x2, mad.mad_x2, "
+        "CAST(count(*) AS BIGINT) AS n_periods, "
+        "CAST(sum(CASE WHEN dev.dd > 3 * mad.mad_x2 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_anomalous "
+        "FROM dev JOIN mad ON dev.event_type = mad.event_type "
+        "GROUP BY dev.event_type, dev.med_x2, mad.mad_x2 "
+        "ORDER BY dev.event_type"
+    ),
+)
+def events_volume_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume anomaly detection: per event type, the exact
+    doubled median and doubled MAD of daily event counts, plus how many
+    days violate ``|2n - med_x2| > 3 * mad_x2`` — median/MAD alerting
+    (immune to the spikes it hunts, unlike mean/stddev), kept in pure
+    integer arithmetic so both engines agree exactly (see
+    operators/robust.py for the doubled-median construction).
+
+    Scale: both median passes are rank windows PARTITIONED BY event_type
+    over the per-type DAILY rollup (365 rows/type/year, not raw events);
+    the med/mad tables are |types| rows and broadcast back.
+    """
+    from duckdb_cluster_hash_spark.operators.robust import volume_anomaly_mad
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return volume_anomaly_mad(daily, "event_type", "day", "n", k=3)
+
+
+@query(
+    "supplier_pareto_abc",
+    oracle=(
+        "WITH s AS (SELECT s_suppkey, "
+        "CAST(round(s_acctbal * 100) AS BIGINT) AS cents FROM supplier), "
+        "tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM s), "
+        "c AS (SELECT s_suppkey, cents, sum(cents) OVER "
+        "(ORDER BY cents DESC, s_suppkey ROWS UNBOUNDED PRECEDING) AS cum "
+        "FROM s), "
+        "k AS (SELECT cents, CASE WHEN cum * 100 <= 80 * tot.total THEN 'A' "
+        "WHEN cum * 100 <= 95 * tot.total THEN 'B' ELSE 'C' END AS abc_class "
+        "FROM c CROSS JOIN tot) "
+        "SELECT abc_class, CAST(count(*) AS BIGINT) AS n_suppliers, "
+        "CAST(sum(cents) AS BIGINT) AS class_cents, "
+        "(CAST(sum(cents) AS BIGINT) * 10000) // (SELECT total FROM tot) "
+        "AS share_bp FROM k GROUP BY abc_class ORDER BY abc_class"
+    ),
+)
+def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification of suppliers by account balance:
+    A-class until 80% of the cumulative total, B until 95%, C after —
+    the inventory-management 80/20 cut, on exact integer cents.
+
+    Scale: the cumulative share uses ranking.ordered_prefix_sum — range
+    partition on (cents desc, suppkey), parallel local running sums,
+    broadcast bucket offsets — so no supplier-wide single-partition
+    window; only the 256-row bucket-totals table is globally ordered.
+    The class rollup is a 3-group partial aggregation.
+    """
+    from duckdb_cluster_hash_spark.operators.ranking import ordered_prefix_sum
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    total = int(sup.agg(F.sum("cents").cast("bigint")).head()[0])
+    cum = ordered_prefix_sum(
+        sup, [F.desc("cents"), F.asc("s_suppkey")], "cents", out_col="cum"
+    )
+    klass = cum.withColumn(
+        "abc_class",
+        F.when(F.col("cum") * 100 <= 80 * total, F.lit("A"))
+        .when(F.col("cum") * 100 <= 95 * total, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return (
+        klass.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+            F.expr(f"(sum(cents) * 10000) div {total}").alias("share_bp"),
+        )
+        .orderBy("abc_class")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -4918,6 +5029,8 @@ _DRIVER_WINDOW_FIRST = [
     "cluster_resharding_plan",
     "events_daily_engagement",
     "parts_copurchase_affinity",
+    "events_volume_anomaly_mad",
+    "supplier_pareto_abc",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -4960,8 +5073,6 @@ _DRIVER_WINDOW_FIRST = [
     "emb_semantic_dedup",
     "emb_int8_quantize_stats",
     "docs_token_top20",
-    "docs_repetition_quality",
-    "docs_tfidf_top_terms",
 ]
 
 

@@ -60,6 +60,10 @@ WAIVERS: dict[str, str] = {
         "final scalar rollup + 4-row stack unpivot; input is the per-user "
         "aggregate, already partial-agged per partition"
     ),
+    "supplier_pareto_abc": (
+        "only the 256-row bucket-totals table of the two-level prefix sum "
+        "is globally ordered (same shape as docs_token_shards)"
+    ),
     "events_daily_engagement": (
         "cumulative-users running sum orders the DAY-LEVEL rollup only "
         "(tens of rows/year), not events; gated in test_plans"

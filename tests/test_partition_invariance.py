@@ -44,6 +44,9 @@ INVARIANCE_QUERIES = [
     # lag-window gaps tie-broken on (date, orderkey): per-customer sums
     # must not move with scan splits
     "orders_reorder_intervals",
+    # two-level prefix sum over spark_partition_id: the ABC split must be
+    # a pure function of the (cents, suppkey) order, never the layout
+    "supplier_pareto_abc",
 ]
 
 ALT_CONFS = {

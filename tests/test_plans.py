@@ -516,3 +516,25 @@ def test_copurchase_pairs_join_on_order_key(spark, sf_small):
     assert "TakeOrderedAndProject" in plan
     opt = optimized_of(df)
     assert "o#" in opt or "(o =" in opt or "o =" in opt  # order-key equality
+
+
+def test_mad_anomaly_windows_partition_by_type(spark, sf_small):
+    """Both median rank windows must partition by event_type (parallel)
+    — no single-partition window over the daily series."""
+    plan = plan_of(QUERIES["events_volume_anomaly_mad"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    # every Window in the plan is keyed (partition spec non-empty)
+    import re as _re
+
+    for m in _re.finditer(r"Window .*?partitionBy=\[(.*?)\]", plan):
+        assert m.group(1).strip(), "unkeyed window found"
+
+
+def test_pareto_abc_uses_two_level_prefix_sum(spark, sf_small):
+    """The cumulative share must come from the range-partitioned
+    two-level prefix sum: a rangepartitioning exchange on the cents
+    order, with only the bucket-totals table globally ordered."""
+    plan = plan_of(QUERIES["supplier_pareto_abc"](spark, sf_small))
+    assert "rangepartitioning(cents" in plan
+    assert "CartesianProduct" not in plan

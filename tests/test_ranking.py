@@ -68,3 +68,25 @@ def test_ntile_exact_allocation_property(spark):
         expect = {t: q + 1 for t in range(1, rem + 1)}
         expect.update({t: q for t in range(rem + 1, k + 1) if q})
         assert dict(sizes) == expect, (n, k, dict(sizes))
+
+
+def test_ordered_prefix_sum_matches_single_partition_window(spark):
+    """ordered_prefix_sum must equal the naive global-window running sum
+    on any data, including duplicate order keys broken by the tie."""
+    from pyspark.sql import Window
+
+    from duckdb_cluster_hash_spark.operators.ranking import ordered_prefix_sum
+
+    rows = [(i, (i * 37) % 11, (i * 13) % 5) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v long, grp long")
+    got = {
+        r.id: r.cum
+        for r in ordered_prefix_sum(
+            df, [F.desc("v"), F.asc("id")], "v", n_buckets=7
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("v"), F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == want
