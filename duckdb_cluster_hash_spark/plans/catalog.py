@@ -5002,6 +5002,96 @@ def supplier_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_price_approx_median_contract",
+    oracle=(
+        # contract oracle (implementation-specific sketch value): the
+        # approximate median's EXACT rank must sit within the published
+        # accuracy bound; the oracle pins n and the expected verdict.
+        "SELECT CAST(count(*) AS BIGINT) AS n, true AS ok FROM lineitem"
+    ),
+)
+def lineitem_price_approx_median_contract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE approximate median of l_extendedprice (the C8 sketch mode
+    the exact-quartiles query's docstring defers to at 100 TB), graded
+    by CONTRACT: percentile_approx with accuracy 10000 guarantees the
+    returned value's exact rank is within n/10000 of the target, and the
+    query re-derives that rank with a second aggregation and emits the
+    verdict — same shape as events_hll_shard_distinct.
+
+    Scale: the sketch is one mergeable aggregation buffer per partial
+    (bounded state, unlike exact mode's O(distinct) buffer); the rank
+    check is a broadcast of the 1-row sketch value into a count
+    aggregate.  The slack doubles the published bound to keep the gate
+    deterministic-noise-free.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    v = float(
+        li.agg(
+            F.expr("percentile_approx(l_extendedprice, 0.5D, 10000)")
+        ).head()[0]
+    )
+    return li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.abs(
+                2 * F.sum((F.col("l_extendedprice") <= F.lit(v)).cast("bigint"))
+                - F.count("*")
+            )
+            * 10000
+            <= 4 * F.count("*") + 20000
+        ).alias("ok"),
+    )
+
+
+@query(
+    "part_size_percent_rank",
+    oracle=(
+        "WITH r AS (SELECT p_brand, p_size, "
+        "rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS rk, "
+        "count(*) OVER (PARTITION BY p_brand) AS n FROM part) "
+        "SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS n_parts, "
+        "CASE WHEN max(n) > 1 THEN ((min(rk) - 1) * 10000) // (max(n) - 1) "
+        "ELSE 0 END AS pr_bp "
+        "FROM r GROUP BY p_brand, p_size ORDER BY p_brand, p_size"
+    ),
+)
+def part_size_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank in exact basis points: for each (brand, size), the
+    SQL-standard (rank-1)/(n-1) scaled to integer ``div`` so both
+    engines agree at every tie (rank(), not row_number, so equal sizes
+    share a rank) — the distribution-profile form of the window-function
+    surface.
+
+    Scale: the rank window partitions by brand; output cardinality is
+    domain-bounded (|brands| x |sizes|), independent of row count, and
+    the final rollup is a keyed partial aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    part = _t(spark, sf_dir, "part").select("p_brand", "p_size")
+    w = Window.partitionBy("p_brand").orderBy("p_size")
+    r = part.withColumn("rk", F.rank().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("p_brand"))
+    )
+    return (
+        r.groupBy("p_brand", "p_size")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.when(
+                F.max("n") > 1,
+                F.expr("((min(rk) - 1) * 10000) div (max(n) - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("pr_bp"),
+        )
+        .orderBy("p_brand", "p_size")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5031,6 +5121,8 @@ _DRIVER_WINDOW_FIRST = [
     "parts_copurchase_affinity",
     "events_volume_anomaly_mad",
     "supplier_pareto_abc",
+    "lineitem_price_approx_median_contract",
+    "part_size_percent_rank",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5071,8 +5163,6 @@ _DRIVER_WINDOW_FIRST = [
     "events_click_purchase_attribution",
     "docs_exact_dedup",
     "emb_semantic_dedup",
-    "emb_int8_quantize_stats",
-    "docs_token_top20",
 ]
 
 

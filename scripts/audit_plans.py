@@ -60,6 +60,10 @@ WAIVERS: dict[str, str] = {
         "final scalar rollup + 4-row stack unpivot; input is the per-user "
         "aggregate, already partial-agged per partition"
     ),
+    "lineitem_price_approx_median_contract": (
+        "final scalar rollup: the 1-row sketch-vs-exact-rank verdict; both "
+        "aggregations are map-side partial first"
+    ),
     "supplier_pareto_abc": (
         "only the 256-row bucket-totals table of the two-level prefix sum "
         "is globally ordered (same shape as docs_token_shards)"

@@ -538,3 +538,23 @@ def test_pareto_abc_uses_two_level_prefix_sum(spark, sf_small):
     plan = plan_of(QUERIES["supplier_pareto_abc"](spark, sf_small))
     assert "rangepartitioning(cents" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_approx_median_contract_bounded_state(spark, sf_small):
+    """The approximate path must use the accuracy-bounded sketch (an
+    explicit accuracy argument well below exact mode's MAX_INT), no
+    join, no Python."""
+    plan = plan_of(
+        QUERIES["lineitem_price_approx_median_contract"](spark, sf_small)
+    )
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "2147483647" not in plan  # exact-mode accuracy never appears
+
+
+def test_percent_rank_window_partitioned_by_brand(spark, sf_small):
+    """The rank window partitions by brand (parallel) — no
+    single-partition exchange anywhere in the plan."""
+    plan = plan_of(QUERIES["part_size_percent_rank"](spark, sf_small))
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
