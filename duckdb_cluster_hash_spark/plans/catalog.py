@@ -5092,6 +5092,137 @@ def part_size_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_streaming_attribution",
+    oracle=(
+        # identical to the batch twin's oracle: a one-chunk availableNow
+        # stream emits the complete interval-join result
+        "SELECT c.event_id AS click_id, c.user_id, "
+        "CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch, "
+        "CAST(count(*) AS BIGINT) AS n_purchases, "
+        "CAST(round(sum(CAST(p.value AS DECIMAL(18,4))), 2) AS DOUBLE) AS purchased_value "
+        "FROM events c JOIN events p ON c.user_id = p.user_id "
+        "AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE "
+        "WHERE c.event_type = 'click' AND p.event_type = 'purchase' "
+        "GROUP BY click_id, c.user_id, click_epoch "
+        "ORDER BY click_id"
+    ),
+)
+def events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-STREAM interval join executed by the streaming engine
+    (C7's joint-state shape: two unbounded watermarked sides, bounded
+    click/purchase state): events staged as a file stream, both sides of
+    attribute_purchases_to_clicks read from it, raw attributed pairs
+    appended to a memory sink by an availableNow micro-batch, then the
+    per-click rollup runs batch-side on the sink — output identical to
+    the batch twin (events_click_purchase_attribution), which is exactly
+    what the oracle grades.
+
+    Determinism: one chunk → one micro-batch, so the starting watermark
+    (epoch 0) filters nothing and the inner join emits every pair; the
+    multi-batch state-eviction behavior is pinned in
+    tests/test_streaming.py where chunk boundaries belong.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_stage_{base}")
+    _ev.stage_events_as_stream(
+        spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
+    )
+    s2 = spark.newSession()
+    # joint join state is a few thousand keys: 8 state-store partitions
+    # cut per-batch open/commit overhead without touching shared config
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        s2.readStream.schema(_ev.EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    pairs = _ev.attribute_purchases_to_clicks(stream)
+    sink = f"dch_stream_attrib_{base}"
+    handle = (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("events_streaming_attribution micro-batch hung")
+    return (
+        s2.table(sink)
+        .groupBy("click_id", "user_id", "click_epoch")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum(F.col("purchase_value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("purchased_value"),
+        )
+        .orderBy("click_id")
+    )
+
+
+@query(
+    "formats_schema_evolution",
+    oracle=(
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_with_lang, "
+        "CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_null_lang, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+        "FROM documents"
+    ),
+)
+def formats_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations (B11's data-lake
+    reality: yesterday's files lack today's columns): generation 1 files
+    carry (doc_id, n_chars), generation 2 adds ``lang``; a mergeSchema
+    read unions both into one frame where the missing column is NULL for
+    old rows.  The rollup proves the union is lossless (row count, char
+    sum) and the NULL fill lands exactly on the old generation.
+
+    Scale: mergeSchema's footer reconciliation is a planning-time cost
+    on file metadata only; the data path stays a plain pruned columnar
+    scan per generation — this is the zero-rewrite migration story for
+    a 100 TB corpus gaining a column.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    root = _os.path.join(_tf.gettempdir(), f"dch_schema_evo_{base}")
+    docs = _t(spark, sf_dir, "documents")
+    docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(root, "gen1"))
+    docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "lang"
+    ).write.mode("overwrite").parquet(_os.path.join(root, "gen2"))
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(root)
+    )
+    return merged.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("lang").isNotNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_with_lang"),
+        F.sum(F.col("lang").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_null_lang"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5123,6 +5254,8 @@ _DRIVER_WINDOW_FIRST = [
     "supplier_pareto_abc",
     "lineitem_price_approx_median_contract",
     "part_size_percent_rank",
+    "events_streaming_attribution",
+    "formats_schema_evolution",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5161,8 +5294,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q22_dormant_rich_customers",
     "events_asof_purchase_view",
     "events_click_purchase_attribution",
-    "docs_exact_dedup",
-    "emb_semantic_dedup",
 ]
 
 

@@ -39,6 +39,7 @@ WAIVERS: dict[str, str] = {
     "cluster_skew_report": "final scalar rollup of <=32 partial-agg rows",
     "docs_exact_dedup": "final scalar rollup of partial-agg rows",
     "formats_text_roundtrip": "final scalar rollup of partial-agg rows",
+    "formats_schema_evolution": "final scalar rollup of partial-agg rows",
     "active_multiline_customers": "final scalar rollup of partial-agg rows",
     "tpch_q6_forecast_revenue": "global sum = SinglePartition merge of partials",
     "tpch_q14_promo_effect": "global ratio = SinglePartition merge of partials",

@@ -100,3 +100,18 @@ def test_unrecognized_ts_flavor_raises(spark, tmp_path_factory):
     )
     with pytest.raises(TypeError, match="unrecognized parquet type"):
         load_table(spark, str(d), "events")
+
+
+def test_schema_evolution_null_fill_lands_on_old_generation(spark, sf_small):
+    """mergeSchema must fill the missing column with NULL exactly on the
+    generation that lacks it — and the merged row set must be lossless."""
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+    from duckdb_cluster_hash_spark.sources import load_table
+
+    (row,) = QUERIES["formats_schema_evolution"](spark, sf_small).collect()
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    n_odd = docs.where("doc_id % 2 = 1").count()
+    assert row.n_rows == n
+    assert row.n_with_lang == n_odd
+    assert row.n_null_lang == n - n_odd
