@@ -51,3 +51,30 @@ def test_constant_series_with_one_blip_flags_blip(spark):
     df = spark.createDataFrame(rows, "g string, t int, n long")
     (r,) = volume_anomaly_mad(df, "g", "t", "n").collect()
     assert r.mad_x2 == 0 and r.n_anomalous == 1
+
+
+def test_grouped_median_x2_matches_statistics_median_property(spark):
+    """Hypothesis-style sweep: med_x2 == 2 * statistics.median for every
+    multiset of ints (statistics.median averages the two middles, so
+    2 * median is exactly the middle sum our doubled form computes)."""
+    import random
+    import statistics
+    from fractions import Fraction
+
+    rng = random.Random(20240814)
+    cases = []
+    for g in range(12):
+        n = rng.randint(1, 17)
+        vals = [rng.randint(-1000, 1000) for _ in range(n)]
+        cases.append((f"g{g}", vals))
+    rows = [
+        (g, i, v) for g, vals in cases for i, v in enumerate(vals)
+    ]
+    from duckdb_cluster_hash_spark.operators.robust import grouped_median_x2
+
+    df = spark.createDataFrame(rows, "g string, t int, n long")
+    got = {r.g: r.med_x2 for r in grouped_median_x2(df, "g", "n", ["t"]).collect()}
+    for g, vals in cases:
+        want = 2 * Fraction(statistics.median(vals))
+        assert want.denominator == 1
+        assert got[g] == int(want), (g, sorted(vals))
