@@ -5223,6 +5223,51 @@ def formats_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_bpe_first_merges",
+    oracle=(
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS w FROM documents), "
+        "wi AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i "
+        "FROM w WHERE len(w) >= 2), "
+        "p AS (SELECT substr(w, i, 2) AS pair FROM wi) "
+        "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p "
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 10"
+    ),
+)
+def docs_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016): the most frequent adjacent symbol pairs over the corpus at
+    the character level — the merge candidates a byte-pair-encoding
+    vocabulary build starts from.  (Full BPE iterates driver-side,
+    re-counting after each merge; the per-iteration count is this exact
+    distributed job, so this grades the building block.)
+
+    Scale: pairs come map-side from each word via
+    ``transform(sequence(...), i -> substring(w, i, 2))`` — no join, no
+    per-character explode (one row per PAIR, same as BPE needs); the
+    count is a keyed partial aggregation over a domain bounded by
+    |alphabet|^2, and top-10 plans as TakeOrderedAndProject.
+    """
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5256,6 +5301,7 @@ _DRIVER_WINDOW_FIRST = [
     "part_size_percent_rank",
     "events_streaming_attribution",
     "formats_schema_evolution",
+    "docs_bpe_first_merges",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5293,7 +5339,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q13_customer_order_counts",
     "tpch_q22_dormant_rich_customers",
     "events_asof_purchase_view",
-    "events_click_purchase_attribution",
 ]
 
 

@@ -558,3 +558,13 @@ def test_percent_rank_window_partitioned_by_brand(spark, sf_small):
     plan = plan_of(QUERIES["part_size_percent_rank"](spark, sf_small))
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_bpe_pairs_map_side_no_join_topk(spark, sf_small):
+    """Pair extraction is map-side (transform over sequence, no join);
+    the count aggregates partially before the exchange; top-10 is
+    TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["docs_bpe_first_merges"](spark, sf_small))
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
