@@ -5268,6 +5268,74 @@ def docs_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_user_similarity_topk",
+    oracle=(
+        "WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id, day), "
+        "a AS (SELECT day, n AS an FROM ud WHERE user_id = 0), "
+        "sa AS (SELECT CAST(sum(an * an) AS BIGINT) AS sa2 FROM a), "
+        "su AS (SELECT user_id, CAST(sum(n * n) AS BIGINT) AS su2 "
+        "FROM ud WHERE user_id != 0 GROUP BY user_id), "
+        "cr AS (SELECT ud.user_id, CAST(sum(ud.n * a.an) AS BIGINT) AS cross_ "
+        "FROM ud JOIN a ON ud.day = a.day WHERE ud.user_id != 0 "
+        "GROUP BY ud.user_id) "
+        "SELECT su.user_id AS user_id, "
+        "su.su2 - 2 * coalesce(cr.cross_, 0) + sa.sa2 AS dist2 "
+        "FROM su LEFT JOIN cr ON su.user_id = cr.user_id CROSS JOIN sa "
+        "ORDER BY dist2, su.user_id LIMIT 10"
+    ),
+)
+def events_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the REPOSE/EDBT'19 distributed
+    top-k shape on activity series): the 10 users whose daily-activity
+    count vector is closest to user 0's in squared euclidean distance —
+    computed by the dot-product decomposition
+    ``dist2 = su2 - 2*cross + sa2`` so missing days need NO full-outer
+    densification: su2 aggregates each user's own days, the cross term
+    is an INNER join on the shared days only, sa2 is a broadcast scalar.
+    Counts are integers, so the distance is exact on both engines.
+
+    Scale: the per-(user, day) rollup shrinks raw events first; the
+    anchor series is a tiny broadcast side; per-user partial aggregates
+    carry one bigint each; top-10 plans as TakeOrderedAndProject.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    anchor = ud.where(F.col("user_id") == 0).select(
+        "day", F.col("n").alias("an")
+    )
+    sa2 = int(
+        anchor.agg(F.sum(F.col("an") * F.col("an")).cast("bigint")).head()[0]
+    )
+    rest = ud.where(F.col("user_id") != 0)
+    su2 = rest.groupBy("user_id").agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("su2")
+    )
+    cross = (
+        rest.join(F.broadcast(anchor), "day")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("n") * F.col("an")).cast("bigint").alias("cross_"))
+    )
+    return (
+        su2.join(cross, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.col("su2")
+                - 2 * F.coalesce(F.col("cross_"), F.lit(0))
+                + F.lit(sa2)
+            )
+            .cast("bigint")
+            .alias("dist2"),
+        )
+        .orderBy(F.asc("dist2"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5302,6 +5370,7 @@ _DRIVER_WINDOW_FIRST = [
     "events_streaming_attribution",
     "formats_schema_evolution",
     "docs_bpe_first_merges",
+    "events_user_similarity_topk",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5338,7 +5407,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q4_order_priority",
     "tpch_q13_customer_order_counts",
     "tpch_q22_dormant_rich_customers",
-    "events_asof_purchase_view",
 ]
 
 

@@ -568,3 +568,14 @@ def test_bpe_pairs_map_side_no_join_topk(spark, sf_small):
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_user_similarity_broadcasts_anchor_no_densification(spark, sf_small):
+    """The cross term joins on shared days with a broadcast anchor —
+    no full-outer densification, no cartesian; top-10 is
+    TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["events_user_similarity_topk"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" not in plan
+    assert "TakeOrderedAndProject" in plan
