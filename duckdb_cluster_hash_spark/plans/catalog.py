@@ -5336,6 +5336,80 @@ def events_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_quality_constraints",
+    oracle=(
+        "WITH a AS (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) "
+        "AS dup_ids, "
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS null_text, "
+        "CAST(sum(CASE WHEN n_chars != strlen(text) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS bad_n_chars, "
+        "CAST(sum(CASE WHEN lang IS NULL OR len(lang) != 2 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS bad_lang FROM documents) "
+        "SELECT v.name AS check_name, "
+        "CASE v.name WHEN 'doc_id_unique' THEN dup_ids "
+        "WHEN 'text_not_null' THEN null_text "
+        "WHEN 'n_chars_consistent' THEN bad_n_chars "
+        "ELSE bad_lang END AS n_violations, "
+        "(CASE v.name WHEN 'doc_id_unique' THEN dup_ids "
+        "WHEN 'text_not_null' THEN null_text "
+        "WHEN 'n_chars_consistent' THEN bad_n_chars "
+        "ELSE bad_lang END = 0) AS ok "
+        "FROM a CROSS JOIN (VALUES ('doc_id_unique'), ('text_not_null'), "
+        "('n_chars_consistent'), ('lang_wellformed')) AS v(name) "
+        "ORDER BY check_name"
+    ),
+)
+def docs_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint audit (the dbt-test /
+    expectation-suite shape every ingestion gate runs): uniqueness of
+    the key, non-null payloads, metadata consistency (n_chars ==
+    length(text)), and lang well-formedness — one row per check with
+    its violation count and verdict.
+
+    Scale: ALL checks ride one pass over the corpus (a single partial
+    aggregation computes every violation counter; the distinct-key
+    check is the only expand), then a 4-row stack unpivot of the 1-row
+    rollup (waived SinglePartition, same shape as the funnel).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        (F.count("*") - F.countDistinct("doc_id"))
+        .cast("bigint")
+        .alias("dup_ids"),
+        F.sum(F.col("text").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("null_text"),
+        # byte-length on BOTH engines (octet_length == strlen): char
+        # semantics diverge three ways (UTF-16 units / graphemes / code
+        # points) on exotic text, bytes never do
+        F.sum((F.col("n_chars") != F.octet_length("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("bad_n_chars"),
+        F.sum(
+            (F.col("lang").isNull() | (F.length("lang") != 2)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("bad_lang"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(4, 'doc_id_unique', dup_ids, 'text_not_null', "
+                "null_text, 'n_chars_consistent', bad_n_chars, "
+                "'lang_wellformed', bad_lang) AS (check_name, n_violations)"
+            )
+        )
+        .select(
+            "check_name",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("ok"),
+        )
+        .orderBy("check_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5371,6 +5445,7 @@ _DRIVER_WINDOW_FIRST = [
     "formats_schema_evolution",
     "docs_bpe_first_merges",
     "events_user_similarity_topk",
+    "docs_quality_constraints",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5406,7 +5481,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q2_min_cost_supplier",
     "tpch_q4_order_priority",
     "tpch_q13_customer_order_counts",
-    "tpch_q22_dormant_rich_customers",
 ]
 
 

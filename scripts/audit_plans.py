@@ -40,6 +40,10 @@ WAIVERS: dict[str, str] = {
     "docs_exact_dedup": "final scalar rollup of partial-agg rows",
     "formats_text_roundtrip": "final scalar rollup of partial-agg rows",
     "formats_schema_evolution": "final scalar rollup of partial-agg rows",
+    "docs_quality_constraints": (
+        "final scalar rollup + 4-row stack unpivot (funnel shape); every "
+        "violation counter partial-aggregates map-side in one pass"
+    ),
     "active_multiline_customers": "final scalar rollup of partial-agg rows",
     "tpch_q6_forecast_revenue": "global sum = SinglePartition merge of partials",
     "tpch_q14_promo_effect": "global ratio = SinglePartition merge of partials",
