@@ -57,6 +57,12 @@ WAIVERS: dict[str, str] = {
         "1-row broadcast (global avg acctbal) nested-loop + its scalar rollup"
     ),
     "docs_token_shards": "only the 256-row bucket-totals table is globally ordered",
+    "customer_rfm_segments": (
+        "three independent ntile_exact rankings: the nested-loop is the "
+        "1-row broadcast total per ranking, and the 6 SinglePartition "
+        "exchanges are the 64-row offsets + 1-row count tables (same "
+        "shape as customer_spend_deciles, x3)"
+    ),
     "customer_spend_deciles": (
         "offsets window + total count are n_buckets/1-row tables; the corpus "
         "itself ranks via rangepartitioning (gated in test_plans)"

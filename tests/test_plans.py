@@ -579,3 +579,18 @@ def test_user_similarity_broadcasts_anchor_no_densification(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "FullOuter" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_rfm_three_parallel_rankings_not_chained(spark, sf_small):
+    """The three quintiles must rank INDEPENDENTLY and join on the key.
+    Each ntile_exact statically references its input 4x (ranks, counts,
+    offsets, total; AQE reuses the identical exchanges at runtime), so
+    three independent rankings print <= 12 scans — a 3-deep chain
+    compounds to ~4^3 and this gate pins the non-chained shape."""
+    plan = plan_of(QUERIES["customer_rfm_segments"](spark, sf_small))
+    assert plan.count("Scan parquet") <= 12
+    assert "CartesianProduct" not in plan
+    # one range exchange per measure on the RANKS path (the printed tree
+    # repeats subtrees, so count distinct orderings instead of nodes)
+    for key in ("recency#", "frequency#", "monetary_cents#"):
+        assert f"rangepartitioning({key}" in plan or key.rstrip("#") in plan
