@@ -5490,6 +5490,60 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_rolling_active_users",
+    oracle=(
+        "WITH uw AS (SELECT DISTINCT user_id, "
+        f"date_diff('day', DATE '{_COHORT_ANCHOR}', CAST(ts AS DATE)) // 7 "
+        "AS week FROM events), "
+        "bounds AS (SELECT max(week) AS maxw FROM uw), "
+        "sh AS (SELECT user_id, week + o.off AS target_week FROM uw "
+        "CROSS JOIN (VALUES (0), (1), (2), (3)) AS o(off)), "
+        "m AS (SELECT target_week, CAST(count(DISTINCT user_id) AS BIGINT) "
+        "AS mau4 FROM sh GROUP BY target_week), "
+        "w AS (SELECT week, CAST(count(*) AS BIGINT) AS wau FROM uw "
+        "GROUP BY week) "
+        "SELECT CAST(w.week AS INTEGER) AS week, w.wau, m.mau4 "
+        "FROM w JOIN m ON w.week = m.target_week CROSS JOIN bounds "
+        "WHERE w.week <= bounds.maxw ORDER BY week"
+    ),
+)
+def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement metrics: weekly active users and the 4-week
+    rolling distinct-active count (the WAU/MAU pair) per week — computed
+    WITHOUT a rolling self-join: each (user, week) row map-side explodes
+    to the 4 target weeks it contributes to, and one distinct-count per
+    target week does the rest (the standard scale trick: a k-week
+    rolling distinct is a k-way map-side replication, never a window
+    over raw events or a range self-join).
+
+    Scale: events collapse to DISTINCT (user, week) first; the 4x
+    replication multiplies that small table, not the event log; both
+    aggregations are keyed partial aggs.  Weeks index integerly from the
+    shared anchor (same rule as events_retention_cohorts).
+    """
+    ev = _t(spark, sf_dir, "events")
+    week = F.expr(
+        f"datediff(cast(ts AS date), DATE '{_COHORT_ANCHOR}') div 7"
+    )
+    uw = ev.select("user_id", week.alias("week")).distinct()
+    maxw = int(uw.agg(F.max("week")).head()[0])
+    sh = uw.select(
+        "user_id",
+        F.explode(F.expr("sequence(week, week + 3)")).alias("target_week"),
+    )
+    mau = sh.groupBy("target_week").agg(
+        F.countDistinct("user_id").alias("mau4")
+    )
+    wau = uw.groupBy("week").agg(F.count("*").cast("bigint").alias("wau"))
+    return (
+        wau.join(mau, wau.week == mau.target_week)
+        .where(F.col("week") <= maxw)
+        .select(F.col("week").cast("int").alias("week"), "wau", "mau4")
+        .orderBy("week")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5527,6 +5581,7 @@ _DRIVER_WINDOW_FIRST = [
     "events_user_similarity_topk",
     "docs_quality_constraints",
     "customer_rfm_segments",
+    "events_rolling_active_users",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5560,7 +5615,6 @@ _DRIVER_WINDOW_FIRST = [
     "ddl_readme_flow",
     "tpch_q1_pricing_summary",
     "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
 ]
 
 

@@ -594,3 +594,13 @@ def test_rfm_three_parallel_rankings_not_chained(spark, sf_small):
     # repeats subtrees, so count distinct orderings instead of nodes)
     for key in ("recency#", "frequency#", "monetary_cents#"):
         assert f"rangepartitioning({key}" in plan or key.rstrip("#") in plan
+
+
+def test_rolling_active_users_no_self_join_on_events(spark, sf_small):
+    """The 4-week rolling distinct must come from map-side replication
+    of DISTINCT (user, week) — exactly one join (wau x mau on the week
+    key), no range self-join, no window over raw events."""
+    plan = plan_of(QUERIES["events_rolling_active_users"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("Scan parquet") <= 3  # uw reused per aggregation
