@@ -47,6 +47,9 @@ INVARIANCE_QUERIES = [
     # two-level prefix sum over spark_partition_id: the ABC split must be
     # a pure function of the (cents, suppkey) order, never the layout
     "supplier_pareto_abc",
+    # three ntile_exact rankings (spark_partition_id x3): the 125-cell
+    # census must be a pure function of the tie-broken orders data
+    "customer_rfm_segments",
 ]
 
 ALT_CONFS = {
