@@ -34,6 +34,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import SparkSession
 
 
+def _cpu_probe_ms() -> float:
+    """Wall time of a fixed single-thread busy loop, in ms.
+
+    Run once before the session spins up and once after the pool drains
+    (when this process is otherwise idle): the post/pre ratio exposes
+    neighbor-storm CPU contention DURING the suite — loadavg alone
+    cannot, because a storm can start after the pre-sample (observed:
+    start load 0.1, suite uniformly 5x inflated) and the 1-minute
+    average also counts this bench's own threads.
+    """
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc + i * i) & 0xFFFFFFFF
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> int:
     # 1-min load average BEFORE the session spins up, so it measures the
     # ambient (neighbor) load, not this bench's own 32 threads.  This
@@ -45,6 +62,7 @@ def main() -> int:
         ambient_load1 = round(os.getloadavg()[0], 1)
     except OSError:
         ambient_load1 = None
+    probe_ms_pre = _cpu_probe_ms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -131,6 +149,8 @@ def main() -> int:
         "sf": sf_val,
         "workers": workers,
         "ambient_load1": ambient_load1,
+        "probe_ms_pre": probe_ms_pre,
+        "probe_ms_post": _cpu_probe_ms(),
         "n_queries": len(timings),
         "queries_sum": round(sum(timings.values()), 3),
         "queries": top,  # 5 slowest only; full map in BENCH_LOCAL.json
