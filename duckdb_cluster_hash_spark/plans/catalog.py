@@ -5544,6 +5544,58 @@ def events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_markov_transitions",
+    oracle=(
+        "WITH s AS (SELECT user_id, event_type, "
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS prev_type FROM events), "
+        "c AS (SELECT prev_type, event_type AS cur_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM s WHERE prev_type IS NOT NULL "
+        "GROUP BY prev_type, cur_type), "
+        "t AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS total FROM c "
+        "GROUP BY prev_type) "
+        "SELECT c.prev_type AS prev_type, c.cur_type, c.n, "
+        "(c.n * 1000) // t.total AS permille "
+        "FROM c JOIN t ON c.prev_type = t.prev_type "
+        "ORDER BY c.prev_type, c.cur_type"
+    ),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavior model: the event-type transition matrix over
+    each user's time-ordered stream (lag window, (ts, event_id)
+    tie-broken) with per-row transition probability in integer permille
+    — the Markov-chain census behind next-action prediction and
+    anomaly-flow analysis.
+
+    Scale: the lag window partitions by user (parallel local sorts after
+    one shuffle on the user key — the same shuffle sessionization pays);
+    the transition census is |types|^2 rows; the row-probability join
+    keys on the 5-value prev_type.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = s.groupBy("prev_type", F.col("event_type").alias("cur_type")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        c.join(F.broadcast(t), "prev_type")
+        .select(
+            "prev_type",
+            "cur_type",
+            "n",
+            F.expr("(n * 1000) div total").alias("permille"),
+        )
+        .orderBy("prev_type", "cur_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5582,6 +5634,7 @@ _DRIVER_WINDOW_FIRST = [
     "docs_quality_constraints",
     "customer_rfm_segments",
     "events_rolling_active_users",
+    "events_markov_transitions",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5614,7 +5667,6 @@ _DRIVER_WINDOW_FIRST = [
     "cluster_shard_ranges",
     "ddl_readme_flow",
     "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
 ]
 
 

@@ -604,3 +604,13 @@ def test_rolling_active_users_no_self_join_on_events(spark, sf_small):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("Scan parquet") <= 3  # uw reused per aggregation
+
+
+def test_markov_window_partitioned_by_user(spark, sf_small):
+    """The lag window must partition by user (parallel) and the census
+    join must broadcast the 5-row totals — no single-partition window
+    over raw events."""
+    plan = plan_of(QUERIES["events_markov_transitions"](spark, sf_small))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
