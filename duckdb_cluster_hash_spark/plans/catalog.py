@@ -5596,6 +5596,83 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_vocab_growth_curve",
+    oracle=(
+        "WITH d AS (SELECT ("
+        "CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2)) AS INTEGER) * 4"
+        ") // 256 AS bucket, regexp_extract_all(lower(text), '[a-z]+') AS toks "
+        "FROM documents), "
+        "tok AS (SELECT bucket, unnest(toks) AS w FROM d), "
+        "firstb AS (SELECT w, min(bucket) AS min_bucket FROM tok GROUP BY w), "
+        "nv AS (SELECT min_bucket AS bucket, CAST(count(*) AS BIGINT) AS "
+        "new_vocab FROM firstb GROUP BY min_bucket), "
+        "nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens "
+        "FROM tok GROUP BY bucket), "
+        "q AS (SELECT g.b AS bucket FROM (VALUES (0), (1), (2), (3)) g(b)) "
+        "SELECT CAST((q.bucket + 1) * 25 AS INTEGER) AS checkpoint_pct, "
+        "CAST(sum(CASE WHEN nt.bucket <= q.bucket THEN nt.n_tokens "
+        "ELSE 0 END) AS BIGINT) AS total_tokens, "
+        "CAST((SELECT sum(nv.new_vocab) FROM nv "
+        "WHERE nv.bucket <= q.bucket) AS BIGINT) AS vocab_size "
+        "FROM q CROSS JOIN nt GROUP BY q.bucket ORDER BY checkpoint_pct"
+    ),
+)
+def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-token count and total
+    token count at 25/50/75/100% corpus checkpoints (md5-deterministic
+    document order, so the curve is reproducible and layout-free) — the
+    measurement behind tokenizer sizing and dedup-value estimates.
+
+    Scale: each token carries its doc's 2-bit checkpoint bucket; a
+    token's FIRST-SEEN checkpoint is one keyed min-aggregation, and the
+    curve is a 4-row cumulative sum over the per-bucket news — the
+    whole curve costs one explode pass + two keyed aggs, not four
+    prefix re-scans of the corpus.
+    """
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    bucket = F.expr(
+        "(cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) "
+        "as int) * 4) div 256"
+    )
+    tok = docs.select(
+        bucket.alias("bucket"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    firstb = tok.groupBy("w").agg(F.min("bucket").alias("min_bucket"))
+    nv = firstb.groupBy(F.col("min_bucket").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("new_vocab")
+    )
+    nt = tok.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    # cumulative over 4 checkpoints by map-side replication (a bucket-b
+    # row contributes to checkpoints b..3), the rolling-active-users
+    # trick — no inequality join anywhere
+    tot = (
+        nt.select(
+            F.explode(F.expr("sequence(bucket, 3)")).alias("qb"), "n_tokens"
+        )
+        .groupBy("qb")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+    )
+    voc = (
+        nv.select(
+            F.explode(F.expr("sequence(bucket, 3)")).alias("qb"), "new_vocab"
+        )
+        .groupBy("qb")
+        .agg(F.sum("new_vocab").alias("vocab_size"))
+    )
+    joined = tot.join(voc, "qb")
+    return joined.select(
+        ((F.col("qb") + 1) * 25).cast("int").alias("checkpoint_pct"),
+        F.col("total_tokens").cast("bigint"),
+        F.col("vocab_size").cast("bigint"),
+    ).orderBy("checkpoint_pct")
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5635,6 +5712,7 @@ _DRIVER_WINDOW_FIRST = [
     "customer_rfm_segments",
     "events_rolling_active_users",
     "events_markov_transitions",
+    "docs_vocab_growth_curve",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5666,7 +5744,6 @@ _DRIVER_WINDOW_FIRST = [
     "cluster_node_distribution",
     "cluster_shard_ranges",
     "ddl_readme_flow",
-    "tpch_q1_pricing_summary",
 ]
 
 

@@ -614,3 +614,13 @@ def test_markov_window_partitioned_by_user(spark, sf_small):
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_growth_one_explode_no_inequality_join(spark, sf_small):
+    """The curve must cost one token-explode pass + keyed aggs with the
+    4-checkpoint cumulative done by map-side replication — no
+    nested-loop inequality join, no four prefix re-scans."""
+    plan = plan_of(QUERIES["docs_vocab_growth_curve"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2  # tok feeds both agg paths
