@@ -5673,6 +5673,53 @@ def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("checkpoint_pct")
 
 
+@query(
+    "cluster_resharding_key_impact",
+    oracle=(
+        "WITH m AS (SELECT "
+        f"{node_of_slot_sql(slot_sql('c_name'), 6)} AS node_from, "
+        f"{node_of_slot_sql(slot_sql('c_name'), 8)} AS node_to "
+        "FROM customer), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM m) "
+        "SELECT node_from, node_to, CAST(count(*) AS BIGINT) AS n_keys, "
+        "(CAST(count(*) AS BIGINT) * 1000) // tot.n AS permille_of_corpus "
+        "FROM m CROSS JOIN tot WHERE node_from != node_to "
+        "GROUP BY node_from, node_to, tot.n ORDER BY node_from, node_to"
+    ),
+)
+def cluster_resharding_key_impact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The data-weighted companion to cluster_resharding_plan: how many
+    ACTUAL keys (customer names through the Tier-A hash) move between
+    which node pairs when the cluster grows 6 -> 8, and what share of
+    the corpus that is — slot counts price the plan in slots, this
+    prices it in rows, which is what the operator migrating data pays.
+
+    Scale: both node mappings are native integer Column expressions over
+    one scan (no join with the slot table — the closed form IS the
+    mapping); movers filter map-side before the tiny (from, to) rollup.
+    """
+    cust = _t(spark, sf_dir, "customer").select("c_name")
+    slot = cluster_slot_col("c_name")
+    mapped = cust.select(
+        node_of_slot_col(slot, 6).alias("node_from"),
+        node_of_slot_col(slot, 8).alias("node_to"),
+    )
+    total = int(mapped.count())
+    return (
+        mapped.where(F.col("node_from") != F.col("node_to"))
+        .groupBy("node_from", "node_to")
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.expr(f"(count(*) * 1000) div {total}").alias(
+                "permille_of_corpus"
+            ),
+        )
+        .orderBy("node_from", "node_to")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5713,6 +5760,7 @@ _DRIVER_WINDOW_FIRST = [
     "events_rolling_active_users",
     "events_markov_transitions",
     "docs_vocab_growth_curve",
+    "cluster_resharding_key_impact",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5743,7 +5791,6 @@ _DRIVER_WINDOW_FIRST = [
     "cluster_scalar_goldens",
     "cluster_node_distribution",
     "cluster_shard_ranges",
-    "ddl_readme_flow",
 ]
 
 

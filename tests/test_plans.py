@@ -624,3 +624,12 @@ def test_vocab_growth_one_explode_no_inequality_join(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2  # tok feeds both agg paths
+
+
+def test_resharding_key_impact_native_exprs_single_scan(spark, sf_small):
+    """Both node mappings are native Column expressions over one scan of
+    customer — no join with a slot table, no Python in the plan."""
+    plan = plan_of(QUERIES["cluster_resharding_key_impact"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
