@@ -5720,6 +5720,70 @@ def cluster_resharding_key_impact(
     )
 
 
+@query(
+    "docs_spearman_chars_tokens",
+    oracle=(
+        "WITH b AS (SELECT doc_id, n_chars, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS toks "
+        "FROM documents), "
+        "r AS (SELECT doc_id, "
+        "row_number() OVER (ORDER BY n_chars, doc_id) AS r1, "
+        "row_number() OVER (ORDER BY toks, doc_id) AS r2 FROM b) "
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2, "
+        "1000 - (6000 * CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT)) // "
+        "(CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) * "
+        "CAST(count(*) AS BIGINT) - 1)) AS rho_milli "
+        "FROM r"
+    ),
+)
+def docs_spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document character and token
+    counts, in exact integer milli-units: ``rho_milli = 1000 -
+    (6000 * sum(d^2)) div (n * (n^2 - 1))`` over (value, doc_id)
+    tie-broken ranks — the monotone-association statistic (feature
+    redundancy / quality-signal screening) without a single
+    cross-engine double.
+
+    Scale: the two rank assignments are INDEPENDENT two-level range
+    rankings (ranking.global_row_number — no customer-wide
+    single-partition sort) joined on the doc key; the rollup is the
+    waived 1-row scalar.  Ties break on doc_id so both engines rank
+    identically; the tie-broken variant equals textbook Spearman
+    whenever values are distinct and stays a well-defined deterministic
+    statistic when they are not.
+    """
+    from duckdb_cluster_hash_spark.operators.ranking import global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_count("text", F.lit("[^ ]+")).cast("bigint").alias("toks"),
+    )
+    r1 = global_row_number(
+        b.select("doc_id", "n_chars"),
+        [F.asc("n_chars"), F.asc("doc_id")],
+        n_buckets=64,
+        out_col="r1",
+    ).select("doc_id", "r1")
+    r2 = global_row_number(
+        b.select("doc_id", "toks"),
+        [F.asc("toks"), F.asc("doc_id")],
+        n_buckets=64,
+        out_col="r2",
+    ).select("doc_id", "r2")
+    d2 = (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+    return r1.join(r2, "doc_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+        F.expr(
+            "1000 - (6000 * sum((r1 - r2) * (r1 - r2))) div "
+            "(count(*) * (count(*) * count(*) - 1))"
+        ).alias("rho_milli"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5761,6 +5825,7 @@ _DRIVER_WINDOW_FIRST = [
     "events_markov_transitions",
     "docs_vocab_growth_curve",
     "cluster_resharding_key_impact",
+    "docs_spearman_chars_tokens",
     # — never driver-graded (registered after r3's window froze) + this
     #   round's new query: after this rotation every catalog query has a
     #   driver CORRECTNESS row in some round —
@@ -5790,7 +5855,6 @@ _DRIVER_WINDOW_FIRST = [
     # — operator-diverse r3-green fill (every family represented) —
     "cluster_scalar_goldens",
     "cluster_node_distribution",
-    "cluster_shard_ranges",
 ]
 
 

@@ -57,6 +57,10 @@ WAIVERS: dict[str, str] = {
         "1-row broadcast (global avg acctbal) nested-loop + its scalar rollup"
     ),
     "docs_token_shards": "only the 256-row bucket-totals table is globally ordered",
+    "docs_spearman_chars_tokens": (
+        "two 64-row offsets tables of the independent rankings + the 1-row "
+        "scalar rollup (deciles shape x2)"
+    ),
     "customer_rfm_segments": (
         "three independent ntile_exact rankings: the nested-loop is the "
         "1-row broadcast total per ranking, and the 6 SinglePartition "

@@ -633,3 +633,11 @@ def test_resharding_key_impact_native_exprs_single_scan(spark, sf_small):
     assert plan.count("Scan parquet") == 1
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_spearman_two_independent_range_rankings(spark, sf_small):
+    """Both rank assignments must be the two-level range ranking (never
+    a corpus-wide single-partition sort window) joined on the doc key."""
+    plan = plan_of(QUERIES["docs_spearman_chars_tokens"](spark, sf_small))
+    assert plan.count("rangepartitioning") >= 2
+    assert "CartesianProduct" not in plan
