@@ -5784,6 +5784,415 @@ def docs_spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_streaming_dedup_replay",
+    oracle=(
+        # a correct streaming dedup reproduces the CLEAN corpus exactly,
+        # so the oracle never needs to model the redelivery at all
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "AS total_value "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def events_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion from at-least-once delivery, executed by the
+    REAL streaming engine across micro-batches (C3 x C7 — the batch twin
+    is ``events_dedup_ingest``; this runs ``dropDuplicatesWithinWatermark``
+    end-to-end): delivery 0 streams the whole corpus, delivery 1 redelivers
+    a deterministic ~30% of it (md5 bucket of event_id, the staging rule in
+    streaming/events.py:stage_events_with_duplicates), and the deduped sink
+    must equal the clean batch aggregate.
+
+    Both dedup paths are exercised on any corpus: a redelivered row whose
+    ts is within the 10-minute watermark delay of the corpus max is
+    absorbed by live dedup state, while an older one meets the late-row
+    filter armed by delivery 0's commit (watermark = max ts - 10 min) and
+    is dropped — either way the duplicate never reaches the sink, which is
+    exactly what equality with the duplicate-blind oracle proves.
+
+    Scale: dedup state holds only ids newer than watermark - delay —
+    bounded by delivery-rate x delay, not stream length; the sink rollup
+    is an ordinary partial-agg groupBy.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_dup_{base}")
+    _ev.stage_events_with_duplicates(spark, sf_dir, stage_dir)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        s2.readStream.schema(_ev.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    deduped = _ev.dedup_events_stream(stream, watermark="10 minutes")
+    sink = f"dch_stream_dedup_{base}"
+    handle = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("events_streaming_dedup_replay micro-batches hung")
+    return (
+        s2.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_streaming_sessions",
+    oracle=(
+        # identical to events_sessionization's gaps-and-islands oracle: a
+        # one-chunk availableNow stream in complete mode emits every session
+        "WITH o AS (SELECT user_id, ts, value, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+        "s AS (SELECT user_id, ts, value, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+        "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch, "
+        "count(*) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
+        "FROM s GROUP BY user_id, sid"
+    ),
+)
+def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming session windows (C7 — ``events_sessionization`` is
+    the batch twin): the same ``session_window`` merge executed by the
+    streaming engine's session-state store, complete-mode memory sink,
+    availableNow trigger.  One chunk → one micro-batch, so complete-mode
+    output equals the batch gaps-and-islands semantics exactly (the
+    watermark never finalizes anything early; multi-batch session-merge
+    behavior across triggers is engine state machinery, pinned by the
+    stream==batch convergence test in tests/test_streaming.py).
+
+    Scale: session state is per live (user, open-session) only; with a
+    watermark in append mode (the production setting) closed sessions
+    evict — state is bounded by concurrently-active users, not history.
+    Reuses the shared one-chunk stage dir (same staging as
+    events_streaming_hourly/attribution — zero extra staging I/O).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_stage_{base}")
+    _ev.stage_events_as_stream(
+        spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
+    )
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        s2.readStream.schema(_ev.EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    sessions = _ev.sessionize(stream, gap="30 minutes")
+    sink = f"dch_stream_sess_{base}"
+    handle = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("events_streaming_sessions micro-batch hung")
+    return s2.table(sink).select(
+        "user_id", "session_start_epoch", "n_events", "total_value"
+    )
+
+
+@query(
+    "events_segment_scd2",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
+        "THEN 1 ELSE 0 END AS new_run "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "r AS (SELECT *, sum(new_run) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id FROM o), "
+        "g AS (SELECT user_id, run_id, min(event_type) AS event_type, "
+        "CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from_epoch, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM r GROUP BY user_id, run_id) "
+        "SELECT user_id, event_type, valid_from_epoch, "
+        "lead(valid_from_epoch) OVER uw AS valid_to_epoch, n_events, "
+        "CAST(CASE WHEN lead(valid_from_epoch) OVER uw IS NULL "
+        "THEN 1 ELSE 0 END AS INTEGER) AS is_current "
+        "FROM g WINDOW uw AS (PARTITION BY user_id ORDER BY run_id)"
+    ),
+)
+def events_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: compress
+    each user's event-type sequence into validity intervals
+    [valid_from, valid_to) with an is_current flag — the warehouse
+    operator that turns an append-only activity stream into point-in-time
+    dimension history (gaps-and-islands run compression + interval
+    stitching via lead()).
+
+    Determinism: runs are ordered by (ts, event_id) — a total order on
+    both engines — and every output value is an integer epoch / count,
+    so the hash comparison is exact.
+
+    Scale: one shuffle by user_id drives all three layers (run flagging,
+    run-id prefix sum, and the interval lead() all share the user_id
+    partitioning); the run aggregation is keyed partial aggregation on
+    (user_id, run_id) — never a global sort, state linear in runs.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+        )
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grouped = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("bigint").alias(
+            "valid_from_epoch"
+        ),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    uw = Window.partitionBy("user_id").orderBy("run_id")
+    lead_from = F.lead("valid_from_epoch").over(uw)
+    return grouped.select(
+        "user_id",
+        "event_type",
+        "valid_from_epoch",
+        lead_from.alias("valid_to_epoch"),
+        "n_events",
+        F.when(lead_from.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "events_cumulative_hll_curve",
+    oracle=(
+        # contract oracle (events_hll_shard_distinct pattern): the exact
+        # cumulative-distinct curve rides along and is value-hashed; the
+        # prefix-merged sketch estimate must land within 2% at EVERY day
+        "WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events), "
+        "fu AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id), "
+        "nu AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS c "
+        "FROM fu GROUP BY first_day), "
+        "d AS (SELECT DISTINCT day FROM e) "
+        "SELECT d.day, CAST(sum(coalesce(nu.c, 0)) OVER "
+        "(ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum_users, "
+        "CAST(1 AS INTEGER) AS within_2pct "
+        "FROM d LEFT JOIN nu ON d.day = nu.day ORDER BY d.day"
+    ),
+)
+def events_cumulative_hll_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user curve from MERGEABLE daily sketches (C8's
+    100 TB architecture applied over time instead of over shards): one
+    Datasketches HLL per day, prefix-unioned into "users ever seen
+    through day D" — the pattern that replaces D ever-growing global
+    distinct scans with a kilobyte sketch per day, and the reason
+    sketches (not exact sets) are what a warehouse stores per partition.
+
+    Like every implementation-specific estimate here, the portable
+    oracle is a CONTRACT: the exact curve (first-appearance trick:
+    cumulative distinct == running sum of per-day first-seen users)
+    rides along and is hashed; the prefix-merged estimate must land
+    within 2% of it on every day.
+
+    Scale: events collapse to |days| sketch rows by keyed partial
+    aggregation before anything pairwise; the prefix union joins the
+    DAY-LEVEL sketch table to itself (|days|^2 tiny rows); the exact
+    rider collapses to per-user rows map-side first.  At 100 TB only
+    the sketch build touches raw data — one linear pass.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily_sk = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # prefix merge: day d unions every day e <= d (day-level table only)
+    prefix_est = (
+        daily_sk.alias("l")
+        .join(
+            F.broadcast(daily_sk.select(F.col("day").alias("eday"), "sk")).alias(
+                "r"
+            ),
+            F.col("r.eday") <= F.col("l.day"),
+        )
+        .groupBy(F.col("l.day").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("r.sk"))).alias("est"))
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_users = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    days = ev.select("day").distinct()
+    exact_cum = (
+        days.join(new_users, "day", "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn(
+            "exact_cum_users",
+            F.sum("c")
+            .over(
+                Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("bigint"),
+        )
+        .select("day", "exact_cum_users")
+    )
+    return (
+        exact_cum.join(prefix_est, "day")
+        .select(
+            "day",
+            "exact_cum_users",
+            (
+                F.abs(F.col("est") - F.col("exact_cum_users"))
+                <= 0.02 * F.col("exact_cum_users")
+            )
+            .cast("int")
+            .alias("within_2pct"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "lineitem_discount_quantity_ols",
+    oracle=(
+        "WITH s AS (SELECT l_returnflag, "
+        "CAST(count(*) AS HUGEINT) AS n, "
+        "CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sx, "
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sy, "
+        "CAST(sum(CAST(round(l_discount * 100) AS BIGINT) * "
+        "CAST(round(l_quantity) AS BIGINT)) AS HUGEINT) AS sxy, "
+        "CAST(sum(CAST(round(l_discount * 100) AS BIGINT) * "
+        "CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sxx "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, "
+        "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
+        "AS BIGINT) AS slope_micro, "
+        "CAST(((sy * sxx - sx * sxy) * 1000000) // (n * sxx - sx * sx) "
+        "AS BIGINT) AS intercept_micro "
+        "FROM s ORDER BY l_returnflag"
+    ),
+)
+def lineitem_discount_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact closed-form OLS regression (quantity ~ discount) per return
+    flag, in pure integer arithmetic: x = discount in percent points,
+    y = rounded quantity, slope/intercept in micro-units via the normal
+    equations — distributed "learning" with NO floating point anywhere,
+    so the cross-engine hash equality is exact, not tolerance-based.
+
+    Overflow headroom: the five sufficient statistics are bigint sums
+    widened to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) BEFORE the
+    normal-equation products — (n*sxy)*1e6 exceeds int64 beyond ~1M
+    rows/group, and 128-bit headroom covers any realistic shard.  Both
+    engines truncate integer division toward zero (file-header rule),
+    so negative slopes stay bit-identical.
+
+    Scale: one keyed partial aggregation collapses the fact table to
+    |groups| sufficient-statistic rows — the map-side-combine regression
+    pattern; adding regressors adds columns, not passes.
+    """
+    x = F.round(F.col("l_discount") * 100).cast("bigint")
+    y = F.round(F.col("l_quantity")).cast("bigint")
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum(x).cast("decimal(38,0)").alias("sx"),
+            F.sum(y).cast("decimal(38,0)").alias("sy"),
+            F.sum(x * y).cast("decimal(38,0)").alias("sxy"),
+            F.sum(x * x).cast("decimal(38,0)").alias("sxx"),
+        )
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(
+            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx) "
+            "AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST(((sy * sxx - sx * sxy) * 1000000) div (n * sxx - sx * sx) "
+            "AS BIGINT)"
+        ).alias("intercept_micro"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "orders_cube_status_priority",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, "
+        "CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) "
+        "AS BIGINT) AS gid, "
+        "count(*) AS n_orders, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "AS total_price "
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+        "ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+    ),
+)
+def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (B8 completion: GROUP BY / GROUPING SETS /
+    ROLLUP are graded elsewhere, CUBE closes the family): all four
+    (status, priority) marginal combinations in one pass, with
+    ``grouping_id`` disambiguating a NULL key from a rolled-up level.
+
+    Scale: Catalyst expands CUBE into a single Expand + one hash
+    aggregate — one shuffle regardless of how many grouping sets, which
+    is exactly why CUBE beats unioning four separate aggregates.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count("*").alias("n_orders"),
+            _money_sum("o_totalprice").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus", "o_orderpriority", "gid", "n_orders", "total_price"
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -5799,6 +6208,12 @@ def docs_spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully covered by the local oracle gate.
 _DRIVER_WINDOW_FIRST = [
     # — this session's new queries (never driver-graded) —
+    "events_streaming_dedup_replay",
+    "events_streaming_sessions",
+    "events_segment_scd2",
+    "events_cumulative_hll_curve",
+    "lineitem_discount_quantity_ols",
+    "orders_cube_status_priority",
     "docs_bm25_search",
     "docs_bigram_collocations",
     "events_pii_redaction",
@@ -5845,16 +6260,12 @@ _DRIVER_WINDOW_FIRST = [
     "docs_source_quota_sample",
     "docs_rag_chunks",
     # — re-grade: code paths changed this round (ntile integer math,
-    #   IVF memo key, shared-checkpoint reuse, error-probe logging) —
+    #   error-probe logging); the IVF/shared-checkpoint re-grades that
+    #   previously filled the remaining slots rotated out to make room
+    #   for the six wave-3 queries — all stay covered by the local
+    #   oracle gate and their r3 driver rows —
     "customer_spend_deciles",
     "sql_error_probe",
-    "emb_ann_topk",
-    "emb_ivf_kmeans_recall",
-    "docs_minhash_neardup_pairs",
-    "docs_neardup_components",
-    # — operator-diverse r3-green fill (every family represented) —
-    "cluster_scalar_goldens",
-    "cluster_node_distribution",
 ]
 
 

@@ -35,6 +35,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "stage_events_as_stream",
     "stage_events_three_phase",
+    "stage_events_with_duplicates",
     "read_events_stream",
     "hourly_event_counts",
     "sliding_window_rates",
@@ -246,6 +247,48 @@ def stage_events_three_phase(
                 f"phase={p} staged {len(files)} files; expected exactly 1"
             )
         os.utime(files[0], (base + p, base + p))
+
+
+def stage_events_with_duplicates(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Replay-stage events as TWO single-file deliveries: delivery 0 is
+    the complete corpus; delivery 1 REDELIVERS ~30% of it (md5 bucket of
+    ``event_id`` < 3 — the oracles' digest convention, so DuckDB can
+    reconstruct the redelivered set exactly), simulating an
+    at-least-once source retrying a partially-acked batch.
+
+    Every redelivered row is a byte-identical copy of a delivery-0 row,
+    so a correct streaming dedup must reproduce the clean corpus exactly
+    — whether a duplicate is absorbed by live state (its ``ts`` is
+    within the watermark delay of the max) or dropped by the late-row
+    filter (its ``ts`` is older than the post-delivery-0 watermark),
+    the observable output is the same.  File mtimes are pinned so the
+    file source replays delivery order deterministically.
+    """
+    import glob
+    import time
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "delivery=0")
+    )
+    ev.where(bucket < 3).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "delivery=1")
+    )
+    base = time.time() - 100
+    for d in range(2):
+        files = glob.glob(os.path.join(out_dir, f"delivery={d}", "*.parquet"))
+        if len(files) != 1:
+            raise RuntimeError(
+                f"delivery={d} staged {len(files)} files; expected exactly 1"
+            )
+        os.utime(files[0], (base + d, base + d))
 
 
 def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:

@@ -95,6 +95,12 @@ WAIVERS: dict[str, str] = {
     "events_hll_shard_distinct": (
         "two 1-row sides (exact count x merged sketch estimate) joined"
     ),
+    "events_cumulative_hll_curve": (
+        "the <= prefix-merge nested-loop, the cumulative window, and the "
+        "coalesce filter all operate on the DAY-LEVEL rollup (|days| "
+        "sketch/count rows, tens per month); events collapse by keyed "
+        "partial aggregation before any of them"
+    ),
     "emb_lsh_ann_recall": (
         "two 1-row sides (overlap count x self-found flag) joined"
     ),

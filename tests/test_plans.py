@@ -641,3 +641,47 @@ def test_spearman_two_independent_range_rankings(spark, sf_small):
     plan = plan_of(QUERIES["docs_spearman_chars_tokens"](spark, sf_small))
     assert plan.count("rangepartitioning") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_shares_user_partitioning_no_global_sort(spark, sf_small):
+    """All three SCD2 layers (run flagging, run-id prefix sum, interval
+    lead) must run under user_id hash partitioning — a corpus-wide
+    single-partition window would be the 100 TB killer."""
+    plan = plan_of(QUERIES["events_segment_scd2"](spark, sf_small))
+    assert "hashpartitioning(user_id" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ols_map_side_sufficient_stats_pruned_scan(spark, sf_small):
+    """The regression must collapse to sufficient statistics by partial
+    aggregation (two HashAggregates around one exchange) over a scan
+    reading ONLY the three needed columns."""
+    plan = plan_of(QUERIES["lineitem_discount_quantity_ols"](spark, sf_small))
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_extendedprice", "l_shipdate"):
+        assert col not in read_schema
+
+
+def test_cube_single_expand_one_shuffle(spark, sf_small):
+    """CUBE must plan ONE Expand + one hash-aggregate exchange — four
+    grouping sets in a single pass, never a union of four aggregates."""
+    plan = plan_of(QUERIES["orders_cube_status_priority"](spark, sf_small))
+    assert plan.count("Expand") == 1
+    assert plan.count("hashpartitioning") == 1
+    assert "Union" not in plan
+
+
+def test_hll_curve_prefix_merge_runs_on_day_level_sketches(spark, sf_small):
+    """The <= prefix merge must consume the DAY-LEVEL sketch aggregate
+    (a broadcast of |days| kilobyte sketches), never raw events, and the
+    raw scan must collapse by keyed partial aggregation first."""
+    plan = plan_of(QUERIES["events_cumulative_hll_curve"](spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan  # deliberate: day-level only
+    assert "hll_union_agg" in plan or "hll_union" in plan
+    # partial sketch agg before the exchange on day
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan

@@ -336,3 +336,71 @@ def test_three_phase_staging_routes_argmax_to_phase0(spark, tmp_path):
     p2_ids = {r["event_id"]
               for r in spark.read.parquet(staged + "/phase=2").collect()}
     assert 1 not in p2_ids
+
+
+def test_duplicate_staging_redelivers_md5_bucket_exactly(spark, tmp_path):
+    """stage_events_with_duplicates must write exactly two single-file
+    deliveries: the full corpus, then byte-identical copies of exactly
+    the md5-bucket<3 rows — the rule the dedup-replay oracle's
+    duplicate-blindness relies on."""
+    import glob
+
+    from duckdb_cluster_hash_spark.streaming import stage_events_with_duplicates
+
+    out = str(tmp_path / "dup_staged")
+    stage_events_with_duplicates(spark, SF, out)
+    for d in range(2):
+        assert len(glob.glob(out + f"/delivery={d}/*.parquet")) == 1
+    full = spark.read.parquet(out + "/delivery=0")
+    dups = spark.read.parquet(out + "/delivery=1")
+    ev = load_table(spark, SF, "events")
+    assert full.count() == ev.count()
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    want = ev.where(bucket < 3)
+    assert dups.count() == want.count()
+    # redelivered rows are byte-identical copies (exceptAll is symmetric
+    # difference under multiset semantics: empty both ways = identical)
+    assert dups.exceptAll(want).count() == 0
+    assert want.exceptAll(dups).count() == 0
+
+
+def test_stream_dedup_replay_absorbs_both_duplicate_paths(spark, tmp_path):
+    """The two-delivery replay must reproduce the clean corpus whether a
+    duplicate is state-deduped (in-window) or late-dropped (older than
+    the armed watermark) — count + value-sum equality proves no leak and
+    no loss."""
+    import glob
+    import time
+
+    from duckdb_cluster_hash_spark.streaming import (
+        dedup_events_stream,
+        stage_events_with_duplicates,
+    )
+    from duckdb_cluster_hash_spark.streaming.events import EVENTS_SCHEMA
+
+    out = str(tmp_path / "dedup_replay")
+    stage_events_with_duplicates(spark, SF, out)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(out)
+    )
+    q = (
+        dedup_events_stream(stream, watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("dedup_replay_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    got = spark.table("dedup_replay_sink")
+    ev = load_table(spark, SF, "events")
+    assert got.count() == ev.count()
+    assert got.select(F.sum("event_id")).head()[0] == \
+        ev.select(F.sum("event_id")).head()[0]
