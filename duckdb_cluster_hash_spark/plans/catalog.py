@@ -6193,6 +6193,211 @@ def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_token_weighted_sample",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t), "
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS T FROM t) "
+        "SELECT doc_id, n_tokens, cum AS cum_tokens, "
+        "CAST(greatest(0, least(500, (1000 * cum + T - 1) // (2 * T))) "
+        "- greatest(0, least(500, (1000 * (cum - n_tokens) + T - 1) // (2 * T))) "
+        "AS BIGINT) AS n_draws "
+        "FROM c, tot "
+        "WHERE greatest(0, least(500, (1000 * cum + T - 1) // (2 * T))) "
+        "- greatest(0, least(500, (1000 * (cum - n_tokens) + T - 1) // (2 * T))) "
+        ">= 1 ORDER BY doc_id"
+    ),
+)
+def docs_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: draw k=500
+    documents with probability proportional to token count, via k
+    equally-spaced probes p_j = ((2j+1)*T) div (2k) into the cumulative
+    token axis — the exact-integer way to build a token-weighted training
+    mixture (every arithmetic step is bigint, so cross-engine equality is
+    bit-exact; no pow/ln, which would diverge in the last ulp).
+
+    A document covering cumulative interval [cum - w, cum) receives
+    f(cum) - f(cum - w) draws where f(x) = #{j : p_j < x} =
+    clamp((2kx + T - 1) div (2T), 0, k) — a pure map-side expression, so
+    after the prefix sum NO probe/interval join exists at all (compare
+    the broadcast-probes range join, which would be k x n).
+
+    Scale: the cumulative axis comes from the two-level distributed
+    prefix sum (range partition + 256-row broadcast offsets,
+    operators/ranking.py) — no global sort of the corpus; the 1-row
+    total broadcasts to a map-side expression.
+    """
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+    from duckdb_cluster_hash_spark.operators.ranking import ordered_prefix_sum
+
+    k = 500
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    cum = ordered_prefix_sum(docs, [F.col("doc_id")], "n_tokens")
+    total = docs.agg(F.sum("n_tokens").cast("bigint").alias("T"))
+    withT = cum.join(F.broadcast(total))
+
+    def f(x):
+        return F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.lit(k).cast("bigint"),
+                F.expr(f"(2 * {k} * ({x}) + T - 1) div (2 * T)"),
+            ),
+        )
+
+    draws = withT.withColumn(
+        "n_draws", (f("cum") - f("cum - n_tokens")).cast("bigint")
+    )
+    return (
+        draws.where(F.col("n_draws") >= 1)
+        .select("doc_id", "n_tokens", F.col("cum").alias("cum_tokens"), "n_draws")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "events_chi2_type_dow",
+    oracle=(
+        "WITH cells AS (SELECT event_type, "
+        "(CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow, "
+        "CAST(count(*) AS BIGINT) AS o_count FROM events "
+        "GROUP BY event_type, dow), "
+        "m AS (SELECT event_type, dow, o_count, "
+        "CAST(sum(o_count) OVER (PARTITION BY event_type) AS HUGEINT) AS r, "
+        "CAST(sum(o_count) OVER (PARTITION BY dow) AS HUGEINT) AS c, "
+        "CAST(sum(o_count) OVER () AS HUGEINT) AS n FROM cells) "
+        "SELECT event_type, CAST(dow AS BIGINT) AS dow, o_count, "
+        "CAST((r * c * 1000) // n AS BIGINT) AS e_milli, "
+        "CAST(((o_count * n - r * c) * (o_count * n - r * c) * 1000000) "
+        "// (n * r * c) AS BIGINT) AS chi2_contrib_micro "
+        "FROM m ORDER BY event_type, dow"
+    ),
+)
+def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence census of event_type x day-of-week — the
+    drift/AB-test signal — in EXACT truncated-integer arithmetic: the
+    per-cell contribution is defined as ((O*N - R*C)^2 * 1e6) div (N*R*C)
+    with 128-bit intermediates (DECIMAL(38,0) / HUGEINT), so both engines
+    produce bit-identical values with no floating point anywhere.
+
+    Day-of-week is (epoch_days % 7), not the engines' dayofweek()
+    builtins — Spark numbers Sunday=1, DuckDB Sunday=0, so the portable
+    bucket is pure integer arithmetic on the epoch.
+
+    Scale: raw events collapse to the 35-cell (type, dow) census by one
+    keyed partial aggregation; the three marginal sums are windows over
+    that census table only (tens of rows — waived SinglePartition), the
+    classic "sufficient statistics first" pattern.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    dow = F.expr("(unix_timestamp(ts) div 86400) % 7").cast("bigint")
+    cells = ev.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o_count"))
+    m = (
+        cells.withColumn(
+            "r",
+            F.sum("o_count")
+            .over(Window.partitionBy("event_type"))
+            .cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "c",
+            F.sum("o_count").over(Window.partitionBy("dow")).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "n",
+            F.sum("o_count").over(Window.partitionBy()).cast("decimal(38,0)"),
+        )
+    )
+    return m.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "o_count",
+        F.expr("CAST((r * c * 1000) div n AS BIGINT)").alias("e_milli"),
+        F.expr(
+            "CAST(((o_count * n - r * c) * (o_count * n - r * c) * 1000000) "
+            "div (n * r * c) AS BIGINT)"
+        ).alias("chi2_contrib_micro"),
+    ).orderBy("event_type", "dow")
+
+
+@query(
+    "events_streaming_user_totals",
+    oracle=(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(CAST(roundbankers(value * 1000000, 0) AS BIGINT)) AS BIGINT) "
+        "AS total_value_micro, "
+        "CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) "
+        "AS last_seen_epoch "
+        "FROM events GROUP BY user_id"
+    ),
+)
+def events_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM STATEFUL operator graded end-to-end (C7's
+    ``applyInPandasWithState`` surface — the one streaming shape no SQL
+    builtin covers: arbitrary per-key state with idle-timeout eviction):
+    per-user running totals accumulated in Arrow-batched Python state,
+    update-mode memory sink, availableNow trigger.
+
+    One chunk → one micro-batch → exactly one emitted row per user whose
+    totals must equal the batch aggregate.  The value sum is quantized
+    per ROW to integer micros with banker's rounding — numpy's
+    ``round()`` and DuckDB's ``roundbankers()`` both round the identical
+    IEEE double half-to-even, so the oracle equality is exact, and the
+    state total is independent of how rows split across micro-batches
+    (summing raw doubles in state would not be).
+
+    Scale: state is (3 bigints) x |live users|, bounded by the idle
+    timeout; Arrow transfer batches per group — the 10-100x-over-per-row
+    Python rule (pyspark_guide) applied to the stateful path.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_stage_{base}")
+    _ev.stage_events_as_stream(
+        spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
+    )
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        s2.readStream.schema(_ev.EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    # NoTimeout for the finite replay: with a processing-time timeout
+    # armed the engine schedules empty batches forever to evaluate it
+    # and availableNow never terminates (accumulation is identical; the
+    # eviction path is pinned in tests/test_streaming.py).
+    totals = _ev.running_user_totals(stream, timeout_minutes=None)
+    sink = f"dch_stream_totals_{base}"
+    handle = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("events_streaming_user_totals micro-batch hung")
+    return s2.table(sink).select(
+        "user_id", "n_events", "total_value_micro", "last_seen_epoch"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -6208,6 +6413,9 @@ def orders_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully covered by the local oracle gate.
 _DRIVER_WINDOW_FIRST = [
     # — this session's new queries (never driver-graded) —
+    "docs_token_weighted_sample",
+    "events_chi2_type_dow",
+    "events_streaming_user_totals",
     "events_streaming_dedup_replay",
     "events_streaming_sessions",
     "events_segment_scd2",
@@ -6254,18 +6462,16 @@ _DRIVER_WINDOW_FIRST = [
     "events_streaming_late_data",
     "formats_text_roundtrip",
     "orders_bucketed_coloc_join",
-    "cluster_node_arity_sweep",
     "docs_pack_sequences",
     "docs_lang_top_tokens",
     "docs_source_quota_sample",
     "docs_rag_chunks",
-    # — re-grade: code paths changed this round (ntile integer math,
-    #   error-probe logging); the IVF/shared-checkpoint re-grades that
-    #   previously filled the remaining slots rotated out to make room
-    #   for the six wave-3 queries — all stay covered by the local
-    #   oracle gate and their r3 driver rows —
-    "customer_spend_deciles",
-    "sql_error_probe",
+    # — the remaining re-grades (ntile integer math, error-probe logging,
+    #   IVF memo, shared checkpoints) and the A5/A7 arity sweep rotated
+    #   out to keep the window at 50 while every WAVE-3/4 query gets its
+    #   first driver row; all stay covered by the local oracle gate, and
+    #   the arity sweep's operator surface (A5/A7) already has four
+    #   driver-green rows via the goldens/distribution/ddl queries —
 ]
 
 

@@ -415,7 +415,7 @@ def route_events_to_nodes(
     return writer.start()
 
 
-def running_user_totals(events: DataFrame, timeout_minutes: int = 60):
+def running_user_totals(events: DataFrame, timeout_minutes: int | None = 60):
     """Custom stateful operator: per-user running totals with idle timeout.
 
     ``applyInPandasWithState``: state = (n_events, total_value_micro,
@@ -424,6 +424,13 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60):
     drops its state (bounding state size — the 100 TB requirement for
     any unbounded stream).  Emits one row per user per batch:
     (user_id, n_events, total_value, last_seen_epoch, closed).
+
+    ``timeout_minutes=None`` disables the idle timeout: with a
+    processing-time timeout armed, the engine keeps scheduling empty
+    micro-batches to evaluate it, so an ``availableNow`` replay never
+    terminates — the finite-replay (and oracle-graded) mode runs with
+    NoTimeout and identical accumulation semantics, while the eviction
+    path stays pinned by the timeout-ful streaming test.
 
     Batch-mode equivalent (for oracles/tests): groupBy(user_id).agg(...)
     — the streaming operator's final state must converge to it.
@@ -457,13 +464,19 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60):
             total += int(pdf["value"].mul(1e6).round().astype("int64").sum())
             last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
         state.update((n, total, last))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             [[user_id, n, total, last, False]],
             columns=["user_id", "n_events", "total_value_micro",
                      "last_seen_epoch", "closed"],
         )
 
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if timeout_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return (
         events.groupBy("user_id")
         .applyInPandasWithState(
@@ -471,6 +484,6 @@ def running_user_totals(events: DataFrame, timeout_minutes: int = 60):
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout_conf,
         )
     )

@@ -95,6 +95,15 @@ WAIVERS: dict[str, str] = {
     "events_hll_shard_distinct": (
         "two 1-row sides (exact count x merged sketch estimate) joined"
     ),
+    "docs_token_weighted_sample": (
+        "the nested-loop is the 1-row broadcast token total; the two "
+        "SinglePartition exchanges are the 256-row prefix-sum offsets "
+        "table and that 1-row total (deciles/token-shards shape)"
+    ),
+    "events_chi2_type_dow": (
+        "the three marginal windows order the 35-row (type, dow) census "
+        "only; raw events collapse by keyed partial aggregation first"
+    ),
     "events_cumulative_hll_curve": (
         "the <= prefix-merge nested-loop, the cumulative window, and the "
         "coalesce filter all operate on the DAY-LEVEL rollup (|days| "

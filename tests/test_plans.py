@@ -685,3 +685,22 @@ def test_hll_curve_prefix_merge_runs_on_day_level_sketches(spark, sf_small):
     # partial sketch agg before the exchange on day
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_token_weighted_sample_prefix_sum_no_probe_join(spark, sf_small):
+    """PPS draws must come from the map-side inverse formula over the
+    two-level prefix sum — the only nested-loop is the 1-row token
+    total, never a k x n probe/interval join."""
+    plan = plan_of(QUERIES["docs_token_weighted_sample"](spark, sf_small))
+    assert "rangepartitioning" in plan  # two-level prefix sum
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row total only
+    assert "CartesianProduct" not in plan
+
+
+def test_chi2_census_collapses_before_marginals(spark, sf_small):
+    """Raw events must collapse to the (type, dow) census by keyed
+    partial aggregation before any marginal window touches them."""
+    plan = plan_of(QUERIES["events_chi2_type_dow"](spark, sf_small))
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

@@ -214,3 +214,28 @@ def test_source_quota_is_prefix_of_md5_order(spark, sf_small):
     for src, (n_total, n_kept) in res.items():
         assert n_kept == min(n_total, 100), src
     assert len(kept_ids) == sum(k for _, k in res.values())
+
+
+def test_token_weighted_sample_draw_budget_and_certainty(spark):
+    """Systematic PPS invariants: the k probes are fully allocated
+    (sum of draws == k) and any document heavier than one stride
+    T/k is a certainty selection."""
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["docs_token_weighted_sample"](spark, sf).collect()
+    assert sum(r["n_draws"] for r in out) == 500
+    # certainty inclusion: stride = T/k; every doc with n_tokens >= stride
+    # covers at least one probe
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+    from duckdb_cluster_hash_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).cast("bigint").alias("w")
+    )
+    total = docs.agg(F.sum("w")).head()[0]
+    stride = total // 500
+    heavy = {r["doc_id"] for r in docs.where(F.col("w") > stride).collect()}
+    sampled = {r["doc_id"] for r in out}
+    assert heavy <= sampled
