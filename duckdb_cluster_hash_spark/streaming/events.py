@@ -158,6 +158,26 @@ def dedup_events_stream(events: DataFrame, watermark: str = "30 minutes") -> Dat
     return events.dropDuplicates(["event_id"])
 
 
+import threading
+
+# Staging is once-per-(dir, params) per process and lock-serialized:
+# several catalog queries share one staged replay dir (deliberately —
+# one staging I/O pass serves them all), and two concurrent overwrite
+# writers into the same path race on the _temporary dir (observed as
+# FileNotFoundException under the bench's FAIR pool).
+_STAGE_LOCK = threading.Lock()
+_STAGED: set[tuple] = set()
+
+
+def _stage_once(out_dir: str, params: tuple, write) -> None:
+    key = (os.path.abspath(out_dir),) + params
+    with _STAGE_LOCK:
+        if key in _STAGED:
+            return
+        write()
+        _STAGED.add(key)
+
+
 def stage_events_as_stream(
     spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4,
     single_file_chunks: bool = True,
@@ -171,7 +191,22 @@ def stage_events_as_stream(
     a test keys micro-batches to files via maxFilesPerTrigger); pass
     False when chunk = batch boundary is enough — the write then keeps
     the upstream parallelism instead of funneling through one task.
+
+    Concurrency-safe and idempotent per process (``_stage_once``).
     """
+    _stage_once(
+        out_dir,
+        ("chunks", sf_dir, n_chunks, single_file_chunks),
+        lambda: _stage_events_as_stream_write(
+            spark, sf_dir, out_dir, n_chunks, single_file_chunks
+        ),
+    )
+
+
+def _stage_events_as_stream_write(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int,
+    single_file_chunks: bool,
+) -> None:
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.agg(F.min("event_id"), F.max("event_id")).head()
     lo, hi = bounds[0], bounds[1]
@@ -187,6 +222,18 @@ def stage_events_as_stream(
 
 
 def stage_events_three_phase(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Concurrency-safe wrapper around the three-phase staging write
+    (see :func:`_stage_events_three_phase_write`)."""
+    _stage_once(
+        out_dir,
+        ("three_phase", sf_dir),
+        lambda: _stage_events_three_phase_write(spark, sf_dir, out_dir),
+    )
+
+
+def _stage_events_three_phase_write(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> None:
     """Replay-stage events as THREE single-file deliveries — 70% / 10% /
@@ -250,6 +297,18 @@ def stage_events_three_phase(
 
 
 def stage_events_with_duplicates(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Concurrency-safe wrapper around the duplicate-redelivery staging
+    write (see :func:`_stage_events_with_duplicates_write`)."""
+    _stage_once(
+        out_dir,
+        ("with_duplicates", sf_dir),
+        lambda: _stage_events_with_duplicates_write(spark, sf_dir, out_dir),
+    )
+
+
+def _stage_events_with_duplicates_write(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> None:
     """Replay-stage events as TWO single-file deliveries: delivery 0 is
