@@ -43,6 +43,9 @@ __all__ = [
     "semantic_dedup_pairs",
     "semantic_dedup_summary",
     "scaled_n_cells",
+    "pq_sample_codebook",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -607,3 +610,156 @@ def ivf_topk(
     probe_cells = sorted(range(len(dists)), key=lambda i: dists[i])[:nprobe]
     cand = tagged.where(F.col("_cell").isin(probe_cells)).drop("_v", "_cell")
     return cosine_topk_fast(cand, query_vec, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def pq_sample_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Deterministic PQ codebook: the ``n_codes`` L2-NORMALIZED corpus
+    vectors with the smallest ``md5(id)`` digests, each split into ``m``
+    subvectors — ``codebook[j][c]`` is centroid ``c`` of subspace ``j``.
+
+    A sampled codebook (instead of per-subspace KMeans) keeps the whole
+    construction md5-deterministic — same reproducibility argument as
+    ``lsh_weights``/``ivf_centroid_weights`` — at the cost of looser
+    cells, which the ADC rerank absorbs.  Normalizing both the codebook
+    and the encoded vectors puts everything on the unit sphere, where
+    squared L2 is 2 - 2*cos: ADC ranking then approximates COSINE
+    ranking, matching the exact-top-k grader.
+    """
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    vecs = []
+    for r in rows:
+        v = np.asarray([float(x) for x in r[vec_col]], dtype=np.float64)
+        n = float(np.linalg.norm(v))
+        vecs.append((v / n if n > 0 else v).tolist())
+    dim = len(vecs[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [[v[j * sub:(j + 1) * sub] for v in vecs] for j in range(m)]
+
+
+def _unit_col(vec_col: str) -> Column:
+    norm = F.sqrt(F.aggregate(
+        F.col(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+    ))
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.when(norm > 0, x / norm).otherwise(x),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list,
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """PQ-encode as PURE map-side projections: normalize once, slice the
+    m subvectors once, then per subspace the 16 squared distances are
+    small literal-codebook folds and the code is the argmin — encoding
+    costs one scan, no join and no shuffle anywhere (the 100 TB
+    property).  Ties take the first minimum (``array_position``), so
+    codes are deterministic.
+
+    Staged ``select``s matter: inlining the normalization into all 128
+    distance expressions (a single mega-Column) blows the expression
+    tree up ~100x and stalls Catalyst; here each stage's output is a
+    named column the next stage references.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    staged = emb.select(*keep, vec_col, _unit_col(vec_col).alias("_u")).select(
+        *keep,
+        vec_col,
+        *[F.slice("_u", j * sub + 1, sub).alias(f"_s{j}") for j in range(m)],
+    )
+    codes = []
+    for j in range(m):
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col(f"_s{j}"),
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cent in codebook[j]
+        ])
+        codes.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
+    return staged.select(*keep, vec_col, F.array(*codes).alias("_codes"))
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    codebook: list,
+    query_vec: list[float],
+    k: int = 10,
+    rerank: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k by PQ + ADC: rank all vectors by the asymmetric distance
+    (sum over subspaces of the query-to-centroid lookup table entry for
+    each vector's code), keep the best ``rerank`` candidates via
+    TakeOrderedAndProject, then re-rank exactly by cosine.
+
+    The LUT is m x n_codes doubles computed driver-side from the query;
+    encode+lookup run in one Arrow-vectorized kernel (einsum-style
+    batched distances — the ``cosine_topk_fast`` precedent; the exact
+    JVM-expression encoder :func:`pq_encode` is its rank-identical twin,
+    pinned by test).  At 100 TB the codes are precomputed once (m
+    bytes/vector instead of 4*dim — the compression that lets the index
+    fit in memory) and the probe scans codes only, plus an exact pass
+    over the ``rerank`` surviving full vectors.
+    """
+    m = len(codebook)
+    n_codes = len(codebook[0])
+    sub = len(codebook[0][0])
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    qu = q / qn if qn > 0 else q
+    lut = []
+    for j in range(m):
+        qj = qu[j * sub:(j + 1) * sub]
+        for cent in codebook[j]:
+            d = qj - np.asarray(cent, dtype=np.float64)
+            lut.append(float(d @ d))
+    cb = np.asarray(codebook, dtype=np.float64)  # (m, n_codes, sub)
+    lut_np = np.asarray(lut, dtype=np.float64).reshape(m, n_codes)
+
+    @F.pandas_udf(DoubleType())
+    def _adc(vecs: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        x = np.divide(x, norms, out=x, where=norms > 0)
+        xs = x.reshape(len(x), m, sub)  # (n, m, sub)
+        # (n, m, n_codes) squared distances to every centroid
+        d = ((xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        code = d.argmin(axis=2)  # (n, m); ties -> first index
+        return pd.Series(lut_np[np.arange(m)[None, :], code].sum(axis=1))
+
+    cand = (
+        emb.select(id_col, vec_col)
+        .withColumn("_adc", _adc(F.col(vec_col)))
+        .orderBy(F.asc("_adc"), F.asc(id_col))
+        .limit(rerank)
+        .drop("_adc")
+    )
+    return cosine_topk(cand, query_vec, k, vec_col, id_col, extra_cols=())

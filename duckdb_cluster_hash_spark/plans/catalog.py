@@ -6398,6 +6398,166 @@ def events_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_pq_adc_recall",
+    oracle=(
+        "SELECT 10 AS k, 8 AS m, 32 AS n_codes, 128 AS rerank, "
+        "CAST(1 AS INTEGER) AS recall_ok"
+    ),
+)
+def emb_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (C5's last classic technique after
+    exact/LSH/IVF/SemDeDup/int8): vectors L2-normalized and split into
+    m=8 subspaces, each coded against a 32-entry md5-deterministic
+    sample codebook; the probe ranks by asymmetric distance (per-row
+    lookup-table sum, Arrow-vectorized) and exactly re-ranks the 128
+    survivors.  On the unit sphere squared L2 is 2 - 2*cos, so ADC
+    order approximates the exact cosine grader's order.
+
+    Like the other implementation-specific ANN operators the portable
+    oracle is the RECALL CONTRACT: >= 5 of the exact top-10 recovered
+    (measured 9-10/10 at sf0.001/0.01/0.1 — wide margin).  Scale: codes
+    are m bytes/vector (32x smaller than the float32 row) computed in
+    one map-side pass; the probe scans codes + reranks 128 vectors,
+    never the full-vector corpus.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    cb = _sim.pq_sample_codebook(emb, m=8, n_codes=32)
+    approx = _sim.pq_adc_topk(emb, cb, qvec, k=10, rerank=128)
+    exact = _sim.cosine_topk(emb, qvec, k=10).select("vec_id")
+    return (
+        approx.select("vec_id")
+        .join(exact, "vec_id")
+        .agg(F.count("*").alias("overlap"))
+        .select(
+            F.lit(10).alias("k"),
+            F.lit(8).alias("m"),
+            F.lit(32).alias("n_codes"),
+            F.lit(128).alias("rerank"),
+            (F.col("overlap") >= F.lit(5)).cast("int").alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "formats_partitioned_overwrite",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(CAST(value * (CASE WHEN event_type = 'click' "
+        "THEN 2 ELSE 1 END) AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def formats_partitioned_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (B11's idempotent-backfill surface —
+    the lake operation behind every partition re-run): events land
+    partitioned by event_type; a backfill then rewrites ONLY the
+    ``click`` partition (values doubled) in overwrite mode with
+    ``partitionOverwriteMode=dynamic``.  Equality with the oracle proves
+    both halves: the four untouched partitions survived (static
+    overwrite would have deleted them) and the rewritten one replaced
+    exactly (append would have duplicated it).
+
+    Scale: dynamic overwrite touches only the partitions present in the
+    incoming frame — a day's backfill rewrites a day, never the table;
+    the same mechanism is the streaming sink's exactly-once story
+    (streaming/events.py:route_events_to_nodes).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    out = _os.path.join(_tf.gettempdir(), f"dch_dyn_overwrite_{base}")
+    ev = _t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    backfill = ev.where(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    (
+        backfill.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            _money_sum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_hourly_error_purchase_coverage",
+    oracle=(
+        "WITH e AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
+        "// 3600 AS hour_bucket, CAST(count(*) AS BIGINT) AS n_errors "
+        "FROM events WHERE event_type = 'error' GROUP BY hour_bucket), "
+        "p AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
+        "// 3600 AS hour_bucket, CAST(count(*) AS BIGINT) AS n_purchases "
+        "FROM events WHERE event_type = 'purchase' GROUP BY hour_bucket) "
+        "SELECT coalesce(e.hour_bucket, p.hour_bucket) AS hour_bucket, "
+        "CAST(coalesce(e.n_errors, 0) AS BIGINT) AS n_errors, "
+        "CAST(coalesce(p.n_purchases, 0) AS BIGINT) AS n_purchases, "
+        "CASE WHEN e.hour_bucket IS NULL THEN 'purchase_only' "
+        "WHEN p.hour_bucket IS NULL THEN 'error_only' "
+        "ELSE 'both' END AS presence "
+        "FROM e FULL OUTER JOIN p ON e.hour_bucket = p.hour_bucket "
+        "ORDER BY hour_bucket"
+    ),
+)
+def events_hourly_error_purchase_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER JOIN (the one join type the catalog didn't grade:
+    inner/left/semi/anti/asof/range/interval are covered elsewhere):
+    hourly error counts vs purchase counts, keeping hours where either
+    side is absent — the coverage-comparison shape behind every
+    monitoring dashboard.  Both types are sparse at the hourly grain
+    (~670 of 720 hours at sf0.01), so both one-sided presence classes
+    genuinely occur.
+
+    Scale: both sides collapse to hour-level aggregates by keyed partial
+    aggregation before the join; a full-outer hash join on the hour key
+    shuffles the two tiny rollups, never raw events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hour = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast(
+        "bigint"
+    )
+    errs = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(hour.alias("hour_bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_errors"))
+    )
+    buys = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(hour.alias("hour_bucket"))
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )
+    e, p = errs.alias("e"), buys.alias("p")
+    joined = e.join(
+        p, F.col("e.hour_bucket") == F.col("p.hour_bucket"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce(F.col("e.hour_bucket"), F.col("p.hour_bucket")).alias(
+            "hour_bucket"
+        ),
+        F.coalesce("n_errors", F.lit(0)).cast("bigint").alias("n_errors"),
+        F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+        F.when(F.col("e.hour_bucket").isNull(), "purchase_only")
+        .when(F.col("p.hour_bucket").isNull(), "error_only")
+        .otherwise("both")
+        .alias("presence"),
+    ).orderBy("hour_bucket")
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -6413,6 +6573,9 @@ def events_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fully covered by the local oracle gate.
 _DRIVER_WINDOW_FIRST = [
     # — this session's new queries (never driver-graded) —
+    "emb_pq_adc_recall",
+    "formats_partitioned_overwrite",
+    "events_hourly_error_purchase_coverage",
     "docs_token_weighted_sample",
     "events_chi2_type_dow",
     "events_streaming_user_totals",
@@ -6463,9 +6626,9 @@ _DRIVER_WINDOW_FIRST = [
     "formats_text_roundtrip",
     "orders_bucketed_coloc_join",
     "docs_pack_sequences",
-    "docs_lang_top_tokens",
-    "docs_source_quota_sample",
-    "docs_rag_chunks",
+    # (docs_lang_top_tokens, docs_source_quota_sample and docs_rag_chunks
+    # wait for the r5 rotation — same curation family as pack_sequences,
+    # and the window is full)
     # — the remaining re-grades (ntile integer math, error-probe logging,
     #   IVF memo, shared checkpoints) and the A5/A7 arity sweep rotated
     #   out to keep the window at 50 while every WAVE-3/4 query gets its

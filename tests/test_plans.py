@@ -704,3 +704,17 @@ def test_chi2_census_collapses_before_marginals(spark, sf_small):
     assert plan.count("HashAggregate") >= 2
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_full_outer_coverage_joins_hour_rollups(spark, sf_small):
+    """The full-outer join must consume the two HOUR-LEVEL rollups
+    (partial-agged), never raw events, and plan a hash/merge join —
+    no nested loop, no cartesian."""
+    plan = plan_of(
+        QUERIES["events_hourly_error_purchase_coverage"](spark, sf_small)
+    )
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both sides partial-aggregate before the join
+    assert plan.count("HashAggregate") >= 4

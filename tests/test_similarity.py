@@ -115,3 +115,47 @@ def test_semantic_dedup_pair_budget_scales(emb):
     balanced = n_cells * ((n // n_cells + 1) * (n // n_cells) // 2)
     assert intra_pairs <= 4 * balanced
     assert intra_pairs < all_pairs / 4
+
+
+def test_pq_encode_matches_numpy_reference(emb):
+    """The JVM fold encoder and an independent numpy PQ encoder must
+    assign identical codes (same normalize -> slice -> argmin-first-tie
+    semantics) — the property that makes the Arrow ADC kernel a
+    rank-identical twin of the expression path."""
+    import numpy as np
+
+    cb = sim.pq_sample_codebook(emb, m=8, n_codes=16)
+    got = {
+        r["vec_id"]: list(r["_codes"])
+        for r in sim.pq_encode(emb, cb).select("vec_id", "_codes").collect()
+    }
+    cbn = np.asarray(cb)  # (m, n_codes, sub)
+    rows = emb.select("vec_id", "embedding").collect()
+    for r in rows:
+        v = np.asarray([float(x) for x in r["embedding"]])
+        n = np.linalg.norm(v)
+        if n > 0:
+            v = v / n
+        xs = v.reshape(8, -1)
+        d = ((xs[:, None, :] - cbn) ** 2).sum(axis=2)
+        want = d.argmin(axis=1).tolist()
+        assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_pq_adc_recall_and_exhaustive_subsumption(emb, qvec):
+    """PQ+ADC with the catalog's parameters must beat the recall
+    contract, and with rerank >= corpus size the rerank IS the exact
+    scan — recall exactly 10/10 by construction."""
+    cb = sim.pq_sample_codebook(emb, m=8, n_codes=32)
+    exact = {r["vec_id"] for r in sim.cosine_topk(emb, qvec, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in sim.pq_adc_topk(emb, cb, qvec, k=10, rerank=128).collect()
+    }
+    assert len(approx & exact) >= 5
+    n = emb.count()
+    full = {
+        r["vec_id"]
+        for r in sim.pq_adc_topk(emb, cb, qvec, k=10, rerank=n).collect()
+    }
+    assert full == exact
