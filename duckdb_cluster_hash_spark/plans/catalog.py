@@ -6558,6 +6558,264 @@ def events_hourly_error_purchase_coverage(
     ).orderBy("hour_bucket")
 
 
+def _rrf_oracle_sql() -> str:
+    from duckdb_cluster_hash_spark.functions.text import bm25_topk_sql
+    from duckdb_cluster_hash_spark.oracle_text import cosine_topk_sql
+
+    bm = bm25_topk_sql("documents", "doc_id", "text", _BM25_TERMS, k=50)
+    cos = cosine_topk_sql(0, 50, 64)
+    return (
+        f"WITH kwraw AS ({bm}), "
+        "kw AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS kr FROM kwraw), "
+        f"vraw AS ({cos}), "
+        "vr AS (SELECT vec_id AS doc_id, row_number() OVER "
+        "(ORDER BY cos_sim DESC, vec_id) AS vk FROM vraw), "
+        "f AS (SELECT coalesce(kw.doc_id, vr.doc_id) AS doc_id, "
+        "CAST(coalesce(100000 // (60 + kw.kr), 0) "
+        "+ coalesce(100000 // (60 + vr.vk), 0) AS BIGINT) AS rrf_x100k, "
+        "CAST(CASE WHEN kw.doc_id IS NOT NULL AND vr.doc_id IS NOT NULL "
+        "THEN 2 ELSE 1 END AS INTEGER) AS n_sources "
+        "FROM kw FULL OUTER JOIN vr ON kw.doc_id = vr.doc_id) "
+        "SELECT doc_id, rrf_x100k, n_sources FROM f "
+        "ORDER BY rrf_x100k DESC, doc_id LIMIT 10"
+    )
+
+
+@query("docs_hybrid_rrf_search", oracle=None)  # set below (composed SQL twin)
+def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the RAG-stack shape): integer BM25 keyword
+    top-50 fused with exact-cosine embedding top-50 by reciprocal rank
+    fusion — ``rrf = sum over lists of 100000 div (60 + rank)``, RRF's
+    standard k=60 in scaled integer division, so the fusion is
+    bit-exact cross-engine (100000 div (60+r) is strictly decreasing
+    for r <= 255: every rank in a 50-deep list keeps its own score).
+    doc_id and vec_id are the same key space (TESTDATA), so the two
+    modalities genuinely rank the same corpus.
+
+    Scale: each leg is its own top-k (TakeOrderedAndProject — never a
+    global sort of the corpus); the fusion full-outer-joins two 50-row
+    lists and takes top-10 — driver-scale work after corpus-scale
+    retrieval.  The rank windows order the 50-row lists only (waived
+    SinglePartition).
+    """
+    from pyspark.sql.window import Window
+
+    from duckdb_cluster_hash_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    kw = (
+        bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=50)
+        .select("doc_id", "score")
+        .withColumn(
+            "kr",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+    )
+    vr = (
+        _sim.cosine_topk(emb, qvec, k=50, extra_cols=())
+        .select(F.col("vec_id").alias("doc_id"), "cos_sim")
+        .withColumn(
+            "vk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+            ),
+        )
+    )
+    k, v = kw.alias("k"), vr.alias("v")
+    fused = k.join(v, F.col("k.doc_id") == F.col("v.doc_id"), "full_outer").select(
+        F.coalesce(F.col("k.doc_id"), F.col("v.doc_id")).alias("doc_id"),
+        (
+            F.coalesce(F.expr("100000 div (60 + kr)"), F.lit(0))
+            + F.coalesce(F.expr("100000 div (60 + vk)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_x100k"),
+        F.when(F.col("kr").isNotNull() & F.col("vk").isNotNull(), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("n_sources"),
+    )
+    return fused.orderBy(F.desc("rrf_x100k"), F.asc("doc_id")).limit(10)
+
+
+ORACLES["docs_hybrid_rrf_search"] = _rrf_oracle_sql()
+
+
+@query(
+    "events_streaming_outer_attribution",
+    oracle=(
+        # the effective watermark of a two-leg join is the MIN of the
+        # legs' own event-time maxima minus the delay (each leg tracks
+        # its FILTERED time column) — wm below models exactly that
+        "WITH wmb AS (SELECT least("
+        "(SELECT max(ts) FROM events WHERE event_type = 'click'), "
+        "(SELECT max(ts) FROM events WHERE event_type = 'purchase')) "
+        "- INTERVAL 30 MINUTE AS wm), "
+        "c AS (SELECT event_id AS click_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "p AS (SELECT user_id AS pu, ts AS pts, value FROM events "
+        "WHERE event_type = 'purchase'), "
+        "j AS (SELECT c.click_id, c.user_id, c.ts, p.value FROM c "
+        "JOIN p ON c.user_id = pu AND pts >= c.ts "
+        "AND pts <= c.ts + INTERVAL 30 MINUTE), "
+        "m AS (SELECT click_id, user_id, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS click_epoch, "
+        "CAST(count(*) AS BIGINT) AS n_purchases, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "AS purchased_value FROM j GROUP BY click_id, user_id, click_epoch), "
+        "o AS (SELECT c.click_id, c.user_id, "
+        "CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch, "
+        "CAST(0 AS BIGINT) AS n_purchases, CAST(0.0 AS DOUBLE) "
+        "AS purchased_value FROM c, wmb "
+        "WHERE c.ts + INTERVAL 30 MINUTE < wmb.wm AND NOT EXISTS "
+        "(SELECT 1 FROM p WHERE pu = c.user_id AND pts >= c.ts "
+        "AND pts <= c.ts + INTERVAL 30 MINUTE)) "
+        "SELECT * FROM m UNION ALL SELECT * FROM o ORDER BY click_id"
+    ),
+)
+def events_streaming_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-STREAM LEFT OUTER interval join — the watermark-CLOSURE
+    semantics the inner variant (events_streaming_attribution) cannot
+    show: an unmatched click emits its null-extended row only when the
+    watermark passes click_ts + horizon and join state is evicted;
+    clicks too recent to close are withheld (never emitted by an
+    availableNow replay), which is precisely what the oracle's closed-set
+    filter reproduces.
+
+    Two engine behaviors the oracle encodes (both observed on 4.1 and
+    load-bearing): the effective watermark is min(max click_ts, max
+    purchase_ts) - delay — each leg reports the max of its OWN filtered
+    time column, so the sparser leg holds the watermark back — and the
+    final eviction runs in the trailing NO-DATA micro-batch after the
+    single data batch (one chunk → matched pairs are the complete
+    interval join, nothing is lost to cross-batch eviction).  The 1-ms
+    watermark truncation can only flip a click within 1 ms of the
+    closure boundary — measure-zero on nanosecond-random timestamps.
+
+    Scale: same bounded joint state as the inner variant; outer rows add
+    no state, they are emitted at eviction time.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_stage_{base}")
+    _ev.stage_events_as_stream(
+        spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
+    )
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        s2.readStream.schema(_ev.EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    pairs = _ev.attribute_purchases_to_clicks(stream, join_type="left_outer")
+    sink = f"dch_stream_outer_{base}"
+    handle = (
+        pairs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("events_streaming_outer_attribution hung")
+    return (
+        s2.table(sink)
+        .groupBy("click_id", "user_id", "click_epoch")
+        .agg(
+            F.count("purchase_id").cast("bigint").alias("n_purchases"),
+            F.coalesce(
+                F.round(
+                    F.sum(F.col("purchase_value").cast("decimal(18,4)")), 2
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("purchased_value"),
+        )
+        .orderBy("click_id")
+    )
+
+
+@query(
+    "events_user_feature_vectors",
+    oracle=(
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        + ", ".join(
+            "CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}".format(
+                t=t
+            )
+            for t in ("click", "error", "purchase", "signup", "view")
+        )
+        + ", CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS total_value_micro, "
+        "CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days, "
+        "CAST(floor(epoch(min(ts))) AS BIGINT) AS first_seen_epoch, "
+        "CAST(floor(epoch(max(ts))) AS BIGINT) AS last_seen_epoch, "
+        "CAST(CASE WHEN count(*) > 1 THEN "
+        "(CAST(floor(epoch(max(ts))) AS BIGINT) "
+        "- CAST(floor(epoch(min(ts))) AS BIGINT)) // (count(*) - 1) "
+        "ELSE 0 END AS BIGINT) AS mean_gap_s "
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+)
+def events_user_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store export: one fixed-width integer feature vector per
+    user (per-type counts, micro-quantized spend, activity span/cadence)
+    — the table a training pipeline joins labels onto.  Every feature is
+    integer-exact (floor(x*1e6 + 0.5) micro-rounding, epoch seconds,
+    truncated-div mean gap), so the export is bit-reproducible.
+
+    Scale: one keyed partial aggregation over events — conditional
+    counts compile to a single pass (no per-type scans), and adding a
+    feature adds a column, not a shuffle.
+    """
+    ev = _t(spark, sf_dir, "events")
+    type_counts = [
+        F.count(F.when(F.col("event_type") == t, 1))
+        .cast("bigint")
+        .alias(f"n_{t}")
+        for t in ("click", "error", "purchase", "signup", "view")
+    ]
+    first_e = F.floor(F.unix_timestamp(F.min("ts"))).cast("bigint")
+    last_e = F.floor(F.unix_timestamp(F.max("ts"))).cast("bigint")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            *type_counts,
+            F.sum(F.floor(F.col("value") * 1000000 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("total_value_micro"),
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("bigint")
+            .alias("active_days"),
+            first_e.alias("first_seen_epoch"),
+            last_e.alias("last_seen_epoch"),
+            F.when(
+                F.count("*") > 1,
+                F.expr(
+                    "(CAST(floor(unix_timestamp(max(ts))) AS BIGINT) "
+                    "- CAST(floor(unix_timestamp(min(ts))) AS BIGINT)) "
+                    "div (count(*) - 1)"
+                ),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("mean_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -6573,6 +6831,9 @@ def events_hourly_error_purchase_coverage(
 # fully covered by the local oracle gate.
 _DRIVER_WINDOW_FIRST = [
     # — this session's new queries (never driver-graded) —
+    "docs_hybrid_rrf_search",
+    "events_streaming_outer_attribution",
+    "events_user_feature_vectors",
     "emb_pq_adc_recall",
     "formats_partitioned_overwrite",
     "events_hourly_error_purchase_coverage",
@@ -6617,18 +6878,16 @@ _DRIVER_WINDOW_FIRST = [
     #   driver CORRECTNESS row in some round —
     "docs_dup_span_coverage",
     "docs_media_frame_sample",
-    "emb_lsh_ann_recall",
     "events_hll_shard_distinct",
     "events_node_partitioned_sink",
     "events_salted_dim_join",
-    "events_streaming_hourly",
     "events_streaming_late_data",
     "formats_text_roundtrip",
     "orders_bucketed_coloc_join",
-    "docs_pack_sequences",
-    # (docs_lang_top_tokens, docs_source_quota_sample and docs_rag_chunks
-    # wait for the r5 rotation — same curation family as pack_sequences,
-    # and the window is full)
+    # (waiting for the r5 rotation, window is full: docs_pack_sequences,
+    # docs_lang_top_tokens, docs_source_quota_sample, docs_rag_chunks —
+    # curation family; events_streaming_hourly — C7 already has five
+    # in-window rows; emb_lsh_ann_recall — C5 gets pq + dim_stats rows)
     # — the remaining re-grades (ntile integer math, error-probe logging,
     #   IVF memo, shared checkpoints) and the A5/A7 arity sweep rotated
     #   out to keep the window at 50 while every WAVE-3/4 query gets its

@@ -71,6 +71,7 @@ def attribute_purchases_to_clicks(
     purchases: DataFrame | None = None,
     horizon_minutes: int = 30,
     watermark: str = "30 minutes",
+    join_type: str = "inner",
 ) -> DataFrame:
     """Stream-STREAM interval join: attribute each purchase to the clicks
     that preceded it by at most ``horizon_minutes`` for the same user —
@@ -116,7 +117,15 @@ def attribute_purchases_to_clicks(
             <= F.col("click_ts") + F.expr(f"INTERVAL {int(horizon_minutes)} MINUTES")
         )
     )
-    joined = clicks.join(buys, cond)
+    # join_type="left_outer" is the streaming outer-join surface: matched
+    # pairs emit immediately; an unmatched click emits one null-extended
+    # row when the watermark passes click_ts + horizon and its state is
+    # evicted.  NOTE the watermark each leg reports is the max of ITS OWN
+    # filtered time column, and the query's effective watermark is the
+    # MIN across legs — min(max click_ts, max purchase_ts) - delay —
+    # which is what the catalog oracle models (observed on 4.1: the
+    # trailing no-data micro-batch performs the final eviction).
+    joined = clicks.join(buys, cond, join_type)
     if events.isStreaming:
         return joined.select(
             "click_id",
@@ -132,7 +141,10 @@ def attribute_purchases_to_clicks(
             F.unix_timestamp("click_ts").alias("click_epoch"),
         )
         .agg(
-            F.count("*").alias("n_purchases"),
+            # count the purchase key, not "*": identical under inner join,
+            # and correct (0, not 1) for a left_outer batch twin's
+            # unmatched clicks
+            F.count("purchase_id").alias("n_purchases"),
             F.round(F.sum(F.col("purchase_value").cast("decimal(18,4)")), 2)
             .cast("double")
             .alias("purchased_value"),
@@ -546,3 +558,4 @@ def running_user_totals(events: DataFrame, timeout_minutes: int | None = 60):
             timeoutConf=timeout_conf,
         )
     )
+

@@ -718,3 +718,24 @@ def test_full_outer_coverage_joins_hour_rollups(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
     # both sides partial-aggregate before the join
     assert plan.count("HashAggregate") >= 4
+
+
+def test_hybrid_rrf_both_legs_topk_no_cartesian(spark, sf_small):
+    """Both retrieval legs must plan TakeOrderedAndProject (top-50 each,
+    never a global sort of the corpus) and the fusion join must be a
+    real equi-join over the two 50-row lists."""
+    plan = plan_of(QUERIES["docs_hybrid_rrf_search"](spark, sf_small))
+    assert plan.count("TakeOrderedAndProject") >= 3  # 2 legs + final top-10
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan
+
+
+def test_user_feature_vectors_single_pass(spark, sf_small):
+    """The whole fixed-width feature vector must come from ONE keyed
+    partial aggregation over one scan — adding a feature must never add
+    a scan or a join."""
+    plan = plan_of(QUERIES["events_user_feature_vectors"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan

@@ -404,3 +404,20 @@ def test_stream_dedup_replay_absorbs_both_duplicate_paths(spark, tmp_path):
     assert got.count() == ev.count()
     assert got.select(F.sum("event_id")).head()[0] == \
         ev.select(F.sum("event_id")).head()[0]
+
+
+def test_outer_attribution_batch_twin_counts_matches_not_rows(spark):
+    """The batch twin of the outer interval join must report 0 purchases
+    for an unmatched click (count of the purchase KEY, not of the
+    null-extended row)."""
+    from duckdb_cluster_hash_spark.streaming.events import (
+        attribute_purchases_to_clicks,
+    )
+
+    ev = load_table(spark, SF, "events")
+    out = attribute_purchases_to_clicks(ev, join_type="left_outer")
+    unmatched = out.where(F.col("n_purchases") == 0)
+    inner = attribute_purchases_to_clicks(ev)
+    # left-outer keeps every click; inner keeps only matched ones
+    assert out.count() == ev.where(F.col("event_type") == "click").count()
+    assert out.count() - unmatched.count() == inner.count()
