@@ -6816,6 +6816,80 @@ def events_user_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "events_streaming_routed_sink",
+    oracle=(
+        f"WITH keyed AS (SELECT {_node_sql(_USER_TAG_KEY_SQL)} AS node_id, "
+        "value FROM events) "
+        "SELECT node_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "AS total_value "
+        "FROM keyed GROUP BY node_id ORDER BY node_id"
+    ),
+)
+def events_streaming_routed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's data-placement purpose executed by the STREAMING
+    engine end-to-end (C1 x C7 — previously pytest-only): events stream
+    through ``route_events_to_nodes`` — hash-tagged ``{user:<id>}`` keys,
+    NATIVE cluster_node expression (no Python worker in the stream),
+    ``foreachBatch`` writing parquet partitioned by (batch_id, node_id)
+    with dynamic partition overwrite (idempotent replay) — then the sink
+    DIRECTORY is read back and rolled up per shard.  Equality with the
+    key-routing oracle proves the whole path: tagging, CRC16 slotting,
+    shard mapping, exactly-once partitioned write, partition-discovered
+    read.
+
+    The sink and checkpoint are wiped at entry: a stale checkpoint from
+    an earlier process would treat the re-staged files (new names) as
+    new data and append a duplicate batch — the idempotency the sink
+    provides is per-checkpoint-lineage, so the graded run pins a fresh
+    single-batch lineage.
+
+    Scale: stateless routing (no watermark, no state store); the sink
+    layout IS the cluster data placement — a downstream per-shard
+    consumer reads one node_id=N directory, partition-pruned.
+    """
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_stage_{base}")
+    _ev.stage_events_as_stream(
+        spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
+    )
+    out_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_routed_{base}")
+    ckpt_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_routed_ck_{base}")
+    _sh.rmtree(out_dir, ignore_errors=True)
+    _sh.rmtree(ckpt_dir, ignore_errors=True)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        s2.readStream.schema(_ev.EVENTS_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    handle = _ev.route_events_to_nodes(stream, out_dir, ckpt_dir)
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("events_streaming_routed_sink micro-batch hung")
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("node_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("node_id").cast("int").alias("node_id"),
+                "n_events", "total_value")
+        .orderBy("node_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -6832,6 +6906,7 @@ def events_user_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_FIRST = [
     # — this session's new queries (never driver-graded) —
     "docs_hybrid_rrf_search",
+    "events_streaming_routed_sink",
     "events_streaming_outer_attribution",
     "events_user_feature_vectors",
     "emb_pq_adc_recall",
@@ -6879,15 +6954,16 @@ _DRIVER_WINDOW_FIRST = [
     "docs_dup_span_coverage",
     "docs_media_frame_sample",
     "events_hll_shard_distinct",
-    "events_node_partitioned_sink",
     "events_salted_dim_join",
     "events_streaming_late_data",
     "formats_text_roundtrip",
     "orders_bucketed_coloc_join",
     # (waiting for the r5 rotation, window is full: docs_pack_sequences,
     # docs_lang_top_tokens, docs_source_quota_sample, docs_rag_chunks —
-    # curation family; events_streaming_hourly — C7 already has five
-    # in-window rows; emb_lsh_ann_recall — C5 gets pq + dim_stats rows)
+    # curation family; events_streaming_hourly — C7 already has six
+    # in-window rows; emb_lsh_ann_recall — C5 gets pq + dim_stats rows;
+    # events_node_partitioned_sink — C1's stream path is in-window via
+    # events_streaming_routed_sink)
     # — the remaining re-grades (ntile integer math, error-probe logging,
     #   IVF memo, shared checkpoints) and the A5/A7 arity sweep rotated
     #   out to keep the window at 50 while every WAVE-3/4 query gets its

@@ -50,6 +50,15 @@ INVARIANCE_QUERIES = [
     # three ntile_exact rankings (spark_partition_id x3): the 125-cell
     # census must be a pure function of the tie-broken orders data
     "customer_rfm_segments",
+    # two-level prefix sum drives the PPS draw allocation: every draw
+    # must land on the same document whatever the scan/shuffle layout
+    "docs_token_weighted_sample",
+    # run compression + interval stitching over three window layers: the
+    # (ts, event_id) total order must fully determine every interval
+    "events_segment_scd2",
+    # three marginal window sums over the census: the truncated-integer
+    # chi-square contributions are a pure function of the counts
+    "events_chi2_type_dow",
 ]
 
 ALT_CONFS = {
