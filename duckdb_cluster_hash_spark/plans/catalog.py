@@ -6099,9 +6099,9 @@ def events_cumulative_hll_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(l_discount * 100) AS BIGINT)) AS HUGEINT) AS sxx "
         "FROM lineitem GROUP BY l_returnflag) "
         "SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, "
-        "CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) "
+        "CAST(((n * sxy - sx * sy) * 1000000) // nullif(n * sxx - sx * sx, 0) "
         "AS BIGINT) AS slope_micro, "
-        "CAST(((sy * sxx - sx * sxy) * 1000000) // (n * sxx - sx * sx) "
+        "CAST(((sy * sxx - sx * sxy) * 1000000) // nullif(n * sxx - sx * sx, 0) "
         "AS BIGINT) AS intercept_micro "
         "FROM s ORDER BY l_returnflag"
     ),
@@ -6118,7 +6118,11 @@ def lineitem_discount_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFram
     normal-equation products — (n*sxy)*1e6 exceeds int64 beyond ~1M
     rows/group, and 128-bit headroom covers any realistic shard.  Both
     engines truncate integer division toward zero (file-header rule),
-    so negative slopes stay bit-identical.
+    so negative slopes stay bit-identical.  A degenerate group (all
+    discounts equal → zero denominator) yields NULL on both engines via
+    NULLIF — Spark's div returns NULL on /0 while DuckDB's // raises,
+    so the guard is what keeps the two sides identical under corpus
+    drift.
 
     Scale: one keyed partial aggregation collapses the fact table to
     |groups| sufficient-statistic rows — the map-side-combine regression
@@ -6141,11 +6145,11 @@ def lineitem_discount_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFram
         "l_returnflag",
         F.col("n").cast("bigint").alias("n_rows"),
         F.expr(
-            "CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx) "
+            "CAST(((n * sxy - sx * sy) * 1000000) div nullif(n * sxx - sx * sx, 0) "
             "AS BIGINT)"
         ).alias("slope_micro"),
         F.expr(
-            "CAST(((sy * sxx - sx * sxy) * 1000000) div (n * sxx - sx * sx) "
+            "CAST(((sy * sxx - sx * sxy) * 1000000) div nullif(n * sxx - sx * sx, 0) "
             "AS BIGINT)"
         ).alias("intercept_micro"),
     ).orderBy("l_returnflag")
