@@ -7024,6 +7024,99 @@ def events_incremental_agg_refresh(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _pagerank_oracle_sql(iters: int = 3) -> str:
+    head = (
+        "WITH ob AS (SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b "
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey), "
+        "e AS (SELECT a.b AS src, c.b AS dst FROM ob a "
+        "JOIN ob c ON a.o = c.o AND a.b <> c.b GROUP BY src, dst), "
+        "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src), "
+        "nodes AS (SELECT DISTINCT b FROM ob), "
+        "r0 AS (SELECT b, CAST(1000 AS BIGINT) AS r FROM nodes)"
+    )
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f", r{i} AS (SELECT n.b, CAST(150 + (850 * coalesce(t.s, 0)) "
+            "// 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN "
+            f"(SELECT e.dst AS b, CAST(sum(r{i-1}.r // deg.d) AS BIGINT) AS s "
+            f"FROM e JOIN r{i-1} ON r{i-1}.b = e.src "
+            "JOIN deg ON deg.src = e.src GROUP BY e.dst) t ON t.b = n.b)"
+        )
+    return (
+        head
+        + "".join(steps)
+        + f" SELECT n.b AS p_brand, r{iters}.r AS rank_milli, "
+        "CAST(coalesce(deg.d, 0) AS BIGINT) AS degree "
+        f"FROM nodes n JOIN r{iters} ON r{iters}.b = n.b "
+        "LEFT JOIN deg ON deg.src = n.b "
+        "ORDER BY rank_milli DESC, p_brand"
+    )
+
+
+@query("parts_brand_pagerank", oracle=_pagerank_oracle_sql())
+def parts_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank on the brand co-purchase graph — the second
+    iterative graph algorithm next to label-propagation components, in
+    EXACT truncated-integer arithmetic so every iteration is
+    bit-portable: r_{k+1}(b) = 150 + (850 * sum over in-neighbors of
+    (r_k(u) div deg(u))) div 1000, three unrolled iterations from
+    r_0 = 1000 milli (damping 0.85; the oracle unrolls the same three
+    CTE steps, so equality pins the whole trajectory, not just a fixed
+    point).
+
+    Scale: the rank vector is |nodes| rows — broadcast against the
+    edge list each iteration (Catalyst picks broadcast at this size;
+    at web scale the same loop is edges-partitioned shuffle joins, one
+    per iteration exactly like the components operator); edges build
+    once from the DISTINCT (order, brand) table keyed on the order —
+    basket-bounded, never all-pairs.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    a, c = ob.alias("a"), ob.alias("c")
+    edges = (
+        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") != F.col("c.b")))
+        .select(F.col("a.b").alias("src"), F.col("c.b").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
+    nodes = ob.select("b").distinct()
+    # edges ⋈ deg is loop-invariant: materialize it once so three
+    # iterations reuse one build instead of recomputing the basket join
+    contrib_base = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select("b", F.lit(1000).cast("bigint").alias("r"))
+    for _ in range(3):
+        s = (
+            contrib_base.join(
+                F.broadcast(ranks.withColumnRenamed("b", "src")), "src"
+            )
+            .select("dst", F.expr("r div d").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").cast("bigint").alias("s"))
+        )
+        ranks = nodes.join(s, nodes.b == s.dst, "left").select(
+            "b",
+            (F.lit(150) + F.expr("(850 * coalesce(s, 0)) div 1000"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    return (
+        ranks.join(deg, ranks.b == deg.src, "left")
+        .select(
+            F.col("b").alias("p_brand"),
+            F.col("r").alias("rank_milli"),
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("degree"),
+        )
+        .orderBy(F.desc("rank_milli"), F.asc("p_brand"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
@@ -7043,6 +7136,7 @@ _DRIVER_WINDOW_FIRST = [
     "events_streaming_routed_sink",
     "formats_compaction",
     "events_incremental_agg_refresh",
+    "parts_brand_pagerank",
     "events_streaming_outer_attribution",
     "events_user_feature_vectors",
     "emb_pq_adc_recall",
@@ -7060,7 +7154,6 @@ _DRIVER_WINDOW_FIRST = [
     "docs_bm25_search",
     "events_pii_redaction",
     "events_funnel_conversion",
-    "docs_incremental_dedup",
     "docs_token_heavy_hitters",
     "cluster_resharding_plan",
     "parts_copurchase_affinity",
@@ -7097,7 +7190,8 @@ _DRIVER_WINDOW_FIRST = [
     # families keep other in-window rows): docs_pack_sequences,
     # docs_lang_top_tokens, docs_source_quota_sample, docs_rag_chunks,
     # docs_bigram_collocations, events_retention_cohorts,
-    # orders_reorder_intervals, emb_dim_stats, events_daily_engagement
+    # orders_reorder_intervals, emb_dim_stats, events_daily_engagement,
+    # docs_incremental_dedup
     # — the remaining re-grades (ntile integer math, error-probe logging,
     #   IVF memo, shared checkpoints) and the A5/A7 arity sweep rotated
     #   out to keep the window at 50 while every WAVE-3/4 query gets its

@@ -739,3 +739,16 @@ def test_user_feature_vectors_single_pass(spark, sf_small):
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_broadcasts_rank_vector_no_cartesian(spark, sf_small):
+    """Each PageRank iteration must join the |nodes|-row rank vector to
+    the edge list by key (broadcast at this size) — never a cartesian —
+    and the loop-invariant edge⋈degree build must not be recomputed
+    per iteration (localCheckpoint pins it)."""
+    plan = plan_of(QUERIES["parts_brand_pagerank"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the basket self-join appears in the checkpoint build, not 3x in
+    # the iteration subtrees
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
