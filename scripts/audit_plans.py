@@ -57,6 +57,11 @@ WAIVERS: dict[str, str] = {
         "1-row broadcast (global avg acctbal) nested-loop + its scalar rollup"
     ),
     "docs_token_shards": "only the 256-row bucket-totals table is globally ordered",
+    "events_zorder_layout": (
+        "final scalar rollup x2: each layout collapses its <=256-row "
+        "per-bucket zone-map table to one summary row; the per-bucket "
+        "aggregates themselves partial-agg map-side"
+    ),
     "docs_spearman_chars_tokens": (
         "two 64-row offsets tables of the independent rankings + the 1-row "
         "scalar rollup (deciles shape x2)"

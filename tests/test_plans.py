@@ -752,3 +752,88 @@ def test_pagerank_broadcasts_rank_vector_no_cartesian(spark, sf_small):
     # the basket self-join appears in the checkpoint build, not 3x in
     # the iteration subtrees
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan" in plan
+
+
+def test_set_similarity_prefix_join_no_global_rank(spark, sf_small):
+    """The PPJoin candidate generator must equi-join on the prefix
+    token with doc_id inequality as a post-filter — no cartesian — and
+    the rarest-first order must NOT materialize a dense global rank
+    (a global row_number would be a vocab-wide single-partition
+    exchange; the tuple (df, tok) orders the per-doc window directly)."""
+    plan = plan_of(QUERIES["docs_set_similarity_join"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan  # vocab df table broadcasts
+    assert "BatchEvalPython" not in plan  # intersect/jaccard all JVM-side
+
+
+def test_triangles_wedge_join_canonical_no_cartesian(spark, sf_small):
+    """Triangle enumeration must be two equi-joins (wedge build + close
+    probe) over the canonical u<v edge list — no cartesian; the closing
+    probe broadcasts the brand-bounded edge list."""
+    plan = plan_of(QUERIES["parts_brand_triangles"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_merge_on_read_single_key_window(spark, sf_small):
+    """MoR reconciliation must be ONE window over the primary key
+    (max-version row wins) on the unioned base+delta — never a join of
+    base against delta per operation type."""
+    plan = plan_of(QUERIES["formats_merge_on_read"](spark, sf_small))
+    assert plan.count("Window [") == 1
+    # rank-limit pushdown: losers are pruned map-side (Partial) before
+    # the key shuffle — the plan property that keeps reconciliation
+    # one-survivor-per-key on the wire
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_next_token_model_broadcasts_into_eval(spark, sf_small):
+    """The trained prefix->argmax table is vocab-bounded and must
+    broadcast into the eval join; bigram generation must stay an
+    equi-join within doc_id (position +1), never a cartesian."""
+    plan = plan_of(QUERIES["docs_next_token_accuracy"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_zorder_morton_key_is_map_side(spark, sf_small):
+    """The Morton key must be a pure projection (no Python, no join);
+    the only shuffles are the two per-bucket rollups."""
+    plan = plan_of(QUERIES["events_zorder_layout"](spark, sf_small))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") <= 2  # one per layout branch
+
+
+def test_matryoshka_prefix_scan_then_full_rerank(spark, sf_small):
+    """The truncated-prefix scan must plan TakeOrderedAndProject (local
+    top-64 per partition, no global sort) and the full-dim re-rank must
+    only touch the 64 candidates via an equi-join."""
+    plan = plan_of(QUERIES["emb_matryoshka_recall"](spark, sf_small))
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_morton_interleave_matches_python_reference():
+    """The div/mod interleave expression (shared verbatim with the
+    DuckDB oracle) must equal the bit-twiddling reference for every
+    8-bit (x, y) corner and a lattice sweep."""
+    from duckdb_cluster_hash_spark.plans.catalog import _interleave_expr
+
+    expr = _interleave_expr("x", "y", 8, "//")
+
+    def ref(x: int, y: int) -> int:
+        z = 0
+        for i in range(8):
+            z |= ((x >> i) & 1) << (2 * i + 1)
+            z |= ((y >> i) & 1) << (2 * i)
+        return z
+
+    pts = [(x, y) for x in (0, 1, 128, 255) for y in (0, 1, 128, 255)]
+    pts += [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 23)]
+    for x, y in pts:
+        got = eval(expr, {"x": x, "y": y})
+        assert got == ref(x, y), (x, y, got, ref(x, y))
