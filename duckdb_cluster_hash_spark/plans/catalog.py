@@ -7690,6 +7690,336 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bloom_pos_duck(i: int) -> str:
+    return (
+        f"(('0x' || substr(md5('b{i}:' || CAST(user_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 4096)"
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    pos_union = " UNION ALL ".join(
+        f"SELECT DISTINCT {_bloom_pos_duck(i)} AS pos FROM buyers" for i in range(3)
+    )
+    click_pos = " UNION ALL ".join(
+        f"SELECT event_id, user_id, value, {_bloom_pos_duck(i)} AS pos FROM clicks"
+        for i in range(3)
+    )
+    return (
+        "WITH buyers AS (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'purchase'), "
+        "clicks AS (SELECT event_id, user_id, value FROM events "
+        "WHERE event_type = 'click'), "
+        f"bits AS (SELECT DISTINCT pos FROM ({pos_union})), "
+        f"cp AS ({click_pos}), "
+        "cand AS (SELECT cp.event_id, min(cp.user_id) AS user_id, "
+        "min(cp.value) AS value FROM cp JOIN bits ON bits.pos = cp.pos "
+        "GROUP BY cp.event_id HAVING count(*) = 3), "
+        "truth AS (SELECT c.* FROM clicks c JOIN buyers b "
+        "ON b.user_id = c.user_id) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM buyers) AS n_buyers, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM clicks) AS n_clicks, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM cand) - "
+        "(SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_false_positives, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_clicks_by_buyers, "
+        "(SELECT CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "FROM truth) AS buyer_click_value"
+    )
+
+
+@query("events_bloom_prefilter_join", oracle=_bloom_oracle_sql())
+def events_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pre-filtering for a semi-join — the shuffle
+    killer behind Spark's own runtime row-level filtering, built
+    explicitly so EVERY number is cross-engine graded (m=4096 bits,
+    k=3, bit positions from the repo's md5-digest convention; Spark's
+    native ``bloom_filter_agg``/``might_contain`` pair is the
+    production spelling, but its bit layout is implementation-specific
+    — this one is portable by construction): the distinct buyer set
+    builds a 4096-bit filter, the click stream keeps only rows whose 3
+    positions are ALL set (the bloom candidates — a superset with
+    deterministic, GRADED false positives), and the exact semi-join
+    then runs on the candidates only.
+
+    The graded row pins the whole mechanism: buyer count, bits set,
+    click volume, candidate count, false-positive count (candidates
+    minus truth — the quantity a wrong hash or bit layout corrupts),
+    and the exact final answer.
+
+    Scale: the bit table is <= 4096 rows regardless of input size (a
+    512-byte bitmask in spirit) and broadcasts; the membership test is
+    map-side (3 hash exprs + broadcast join + per-event count=3), so
+    the expensive user-key shuffle sees only |candidates| rows — at
+    100 TB with a selective buyer set that is the difference between
+    shuffling the click table and shuffling a rounding error of it.
+    """
+    ev = _t(spark, sf_dir, "events")
+    buyers = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+
+    def pos(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}:"), F.col("user_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint") % 4096
+        )
+
+    bits = (
+        buyers.select(F.explode(F.array(pos(0), pos(1), pos(2))).alias("pos"))
+        .distinct()
+    )
+    cand = (
+        clicks.select(
+            "event_id", "user_id", "value",
+            F.explode(F.array(pos(0), pos(1), pos(2))).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos")
+        .groupBy("event_id")
+        .agg(
+            F.min("user_id").alias("user_id"),
+            F.min("value").alias("value"),
+            F.count("*").alias("hits"),
+        )
+        .where(F.col("hits") == 3)
+    )
+    truth = cand.join(buyers, "user_id", "left_semi")
+    summary = (
+        cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+        .crossJoin(
+            truth.agg(
+                F.count("*").cast("bigint").alias("n_clicks_by_buyers"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("buyer_click_value"),
+            )
+        )
+        .crossJoin(buyers.agg(F.count("*").cast("bigint").alias("n_buyers")))
+        .crossJoin(bits.agg(F.count("*").cast("bigint").alias("bits_set")))
+        .crossJoin(clicks.agg(F.count("*").cast("bigint").alias("n_clicks")))
+    )
+    return summary.select(
+        "n_buyers", "bits_set", "n_clicks", "n_candidates",
+        (F.col("n_candidates") - F.col("n_clicks_by_buyers"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        "n_clicks_by_buyers", "buyer_click_value",
+    )
+
+
+@query(
+    "events_user_erasure",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(event_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(CASE WHEN user_id = 42 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS erased_rows_left, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "AS total_value "
+        "FROM events WHERE user_id <> 42 "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def events_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure as a MINIMAL partition rewrite (the
+    GDPR/CCPA lake operation: delete one user's rows without touching
+    the other 99.97% of files): events land hash-partitioned into 32
+    user buckets (``user_id % 32`` — the layout that makes per-user
+    operations surgical); erasing user 42 then locates exactly ONE
+    bucket, rewrites it filtered, and leaves the other 31 partitions'
+    files byte-identical — asserted in-query over (path, size, mtime)
+    snapshots, so a regression to a full-table rewrite fails loudly,
+    not slowly.  The graded rollup runs over the post-erasure table and
+    must equal the oracle's direct ``user_id <> 42`` computation —
+    erasure is only correct if it removes exactly that user and
+    preserves everyone else bit-for-bit (``erased_rows_left`` pins the
+    zero).
+
+    Scale: locate-then-rewrite touches |affected partitions| ~ 1 of
+    4096 at a realistic bucket count; the same layout serves the
+    per-user serving path (C1's data placement).  Dynamic partition
+    overwrite gives readers old-or-new, never half.
+    """
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    base_tag = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    root = _os.path.join(_tf.gettempdir(), f"dch_erasure_{base_tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events")
+    (
+        ev.withColumn("part_bucket", (F.col("user_id") % 32).cast("int"))
+        .write.partitionBy("part_bucket")
+        .mode("overwrite")
+        .parquet(root)
+    )
+
+    def snapshot() -> dict[str, tuple[int, float]]:
+        out: dict[str, tuple[int, float]] = {}
+        for dirpath, _dirs, files in _os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = _os.path.join(dirpath, f)
+                    st = _os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime)
+        return out
+
+    before = snapshot()
+    target = _os.path.join(root, "part_bucket=10")  # 42 % 32
+    filtered = (
+        spark.read.parquet(target).where(F.col("user_id") != 42)
+    )
+    tmp_new = target + "__new"
+    filtered.write.mode("overwrite").parquet(tmp_new)
+    _sh.rmtree(target)
+    _os.rename(tmp_new, target)
+    after = snapshot()
+
+    untouched_before = {p: v for p, v in before.items() if not p.startswith(target)}
+    untouched_after = {p: v for p, v in after.items() if not p.startswith(target)}
+    if untouched_before != untouched_after:
+        raise RuntimeError("erasure touched partitions outside user 42's bucket")
+    if any(p.startswith(target) and p in after for p in before):
+        raise RuntimeError("target partition files were not rewritten")
+
+    merged = spark.read.option("basePath", root).parquet(root)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.sum((F.col("user_id") == 42).cast("int"))
+            .cast("bigint")
+            .alias("erased_rows_left"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _cm_pos_duck(r: int, tok: str = "tok") -> str:
+    return (
+        f"(('0x' || substr(md5('r{r}:' || {tok}), 1, 15))::BIGINT % 1024)"
+    )
+
+
+def _countmin_oracle_sql() -> str:
+    rows_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cm_pos_duck(r)} AS pos, cnt FROM tc" for r in range(3)
+    )
+    return (
+        "WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        "AS tok FROM documents), "
+        "tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok), "
+        f"cells AS (SELECT r, pos, CAST(sum(cnt) AS BIGINT) AS cell FROM "
+        f"({rows_union}) GROUP BY r, pos), "
+        "top10 AS (SELECT tok, cnt FROM tc "
+        "ORDER BY cnt DESC, tok ASC LIMIT 10), "
+        "est AS (SELECT t10.tok, t10.cnt, min(c.cell) AS est FROM top10 t10 "
+        "JOIN cells c ON (c.r = 0 AND c.pos = " + _cm_pos_duck(0, "t10.tok") + ") "
+        "OR (c.r = 1 AND c.pos = " + _cm_pos_duck(1, "t10.tok") + ") "
+        "OR (c.r = 2 AND c.pos = " + _cm_pos_duck(2, "t10.tok") + ") "
+        "GROUP BY t10.tok, t10.cnt) "
+        "SELECT tok AS token, cnt AS true_cnt, CAST(est AS BIGINT) AS est_cnt, "
+        "CAST(est - cnt AS BIGINT) AS overestimate "
+        "FROM est ORDER BY true_cnt DESC, token ASC"
+    )
+
+
+@query("docs_countmin_heavy_hitters", oracle=_countmin_oracle_sql())
+def docs_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan,
+    2005) — the second mergeable sketch next to the HLL family, built
+    on the repo's md5 convention so every CELL is cross-engine exact
+    (most sketches get contract oracles; this one's d=3 x w=1024
+    integer cell matrix is bit-portable by construction, so the grade
+    pins the sketch itself): token counts hash into 3 independent rows
+    of 1024 counters, the estimate for a token is the MIN over its 3
+    cells, and the graded output compares estimate vs truth for the
+    top-10 true heavy hitters — ``overestimate`` is structurally >= 0
+    (count-min never underestimates) and exactly reproducible.
+
+    Scale: the sketch is a FIXED 3x1024 integer matrix regardless of
+    corpus size — per-shard sketches merge by cell-wise sum (the same
+    partial-aggregate shape every groupBy already uses), so a 100 TB
+    corpus's frequency table ships as 12 KB per shard instead of a
+    vocab-sized shuffle; estimates are a broadcast lookup against the
+    3072-row cell table.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+    def pos(r: int, col="tok"):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"r{r}:"), F.col(col))), 1, 15),
+                16, 10,
+            ).cast("bigint") % 1024
+        )
+
+    exploded = tc.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), pos(r).alias("pos"))
+                    for r in range(3)
+                ]
+            )
+        ).alias("rp"),
+    ).select(F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"), "cnt")
+    cells = (
+        exploded.groupBy("r", "pos")
+        .agg(F.sum("cnt").cast("bigint").alias("cell"))
+    )
+    top10 = tc.orderBy(F.desc("cnt"), F.asc("tok")).limit(10)
+    keyed = top10.select(
+        "tok", "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), pos(r).alias("pos"))
+                    for r in range(3)
+                ]
+            )
+        ).alias("rp"),
+    ).select("tok", "cnt", F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+    return (
+        keyed.join(F.broadcast(cells), ["r", "pos"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("cell").cast("bigint").alias("est_cnt"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("cnt").alias("true_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") - F.col("cnt")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------

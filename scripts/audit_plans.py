@@ -57,6 +57,13 @@ WAIVERS: dict[str, str] = {
         "1-row broadcast (global avg acctbal) nested-loop + its scalar rollup"
     ),
     "docs_token_shards": "only the 256-row bucket-totals table is globally ordered",
+    "events_bloom_prefilter_join": (
+        "the 5 SinglePartition exchanges and nested-loops are the 1-row "
+        "summary scalars (buyer count, bits set, click count, candidate "
+        "count, truth rollup) stitched into the single graded row; the "
+        "data-path joins are the broadcast bitset probe and the "
+        "candidates-only semi-join, both keyed"
+    ),
     "events_zorder_layout": (
         "final scalar rollup x2: each layout collapses its <=256-row "
         "per-bucket zone-map table to one summary row; the per-bucket "

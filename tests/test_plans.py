@@ -837,3 +837,38 @@ def test_morton_interleave_matches_python_reference():
     for x, y in pts:
         got = eval(expr, {"x": x, "y": y})
         assert got == ref(x, y), (x, y, got, ref(x, y))
+
+
+def test_bloom_prefilter_probe_is_broadcast_and_semi(spark, sf_small):
+    """The bitset probe must broadcast the <=4096-row bit table into a
+    map-side join, and the exact verification must be a LeftSemi on the
+    candidates — the click table must never shuffle on user_id before
+    the bloom pass."""
+    plan = plan_of(QUERIES["events_bloom_prefilter_join"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_erasure_filter_pushed_into_target_partition_scan(spark, sf_small):
+    """The erase filter must reach the parquet scan of the ONE affected
+    bucket (PushedFilters on user_id) — the rewrite plan reads a single
+    partition, not the table."""
+    plan = plan_of(QUERIES["events_user_erasure"](spark, sf_small))
+    # the returned rollup reads the post-erasure table; the surgical
+    # part is asserted in-query (untouched partitions byte-identical),
+    # here we pin that the rollup itself stays a single pruned scan +
+    # one keyed aggregate
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_countmin_cells_broadcast_top10_local(spark, sf_small):
+    """The 3x1024 cell table must broadcast into the estimate lookup
+    and the top-10 true heavy hitters must plan TakeOrderedAndProject
+    (local top-k per partition, no global sort of the vocab)."""
+    plan = plan_of(QUERIES["docs_countmin_heavy_hitters"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
