@@ -7126,10 +7126,11 @@ def parts_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _setsim_oracle_sql(tau_num: int = 8, tau_den: int = 10) -> str:
     # Deliberately naive complete oracle: full token self-join generates
     # every pair sharing ANY token, exact integer Jaccard test
-    # (tau_den * inter >= tau_num * union), then the same histogram +
-    # pair-identity checksum the Spark side emits.  Completeness of the
-    # oracle is the point: a wrong prefix bound on the Spark side would
-    # MISS pairs and hash-mismatch here.
+    # (tau_den * inter >= tau_num * union), then the same histogram with
+    # SYMMETRIC pair aggregates (sum of id sums, sum of id products) the
+    # Spark side emits.  Completeness of the oracle is the point: a
+    # wrong prefix bound or a lossy candidate filter on the Spark side
+    # would MISS pairs and hash-mismatch here.
     return (
         "WITH dt AS (SELECT doc_id, unnest(list_distinct("
         "regexp_extract_all(lower(text), '[a-z]+'))) AS tok FROM documents), "
@@ -7142,108 +7143,172 @@ def _setsim_oracle_sql(tau_num: int = 8, tau_den: int = 10) -> str:
         f"WHERE {tau_den} * i >= {tau_num} * (s1.n + s2.n - i)) "
         "SELECT CAST((1000 * i) // u AS BIGINT) AS jac_milli, "
         "CAST(count(*) AS BIGINT) AS n_pairs, "
-        "CAST(sum(d1 * 1000000 + d2) AS BIGINT) AS pair_checksum "
+        "CAST(sum(d1 + d2) AS BIGINT) AS sum_ids, "
+        "CAST(sum(d1 * d2) AS BIGINT) AS sum_products "
         "FROM pairs GROUP BY jac_milli ORDER BY jac_milli DESC"
     )
 
 
 @query("docs_set_similarity_join", oracle=_setsim_oracle_sql())
 def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT set-similarity self-join at Jaccard >= 0.8 via prefix
-    filtering (PPJoin-style; Xiao et al., WWW'08) — the exact
-    complement to the MinHash/SimHash APPROXIMATE near-dup family:
-    tokens are globally ordered rarest-first (document frequency asc,
-    token asc — a total order, so the prefix is deterministic), each
-    doc keeps only its first ``n - ceil(0.8*n) + 1`` tokens in that
-    order, and only docs sharing a PREFIX token become candidates;
-    candidates are verified exactly with ``array_intersect`` on the
-    full sorted token sets.  All arithmetic is integer (ceil(8n/10) =
-    (8n+9) div 10; the Jaccard test is 10*inter >= 8*union), so both
-    engines agree bit-for-bit.  Output pins the full verified pair
-    multiset: per-jac_milli pair counts plus a pair-identity checksum.
+    """EXACT set-similarity self-join at Jaccard >= 0.8 (PPJoin-style
+    prefix filtering; Xiao et al., WWW'08) — the exact complement to
+    the MinHash/SimHash APPROXIMATE near-dup family, with every
+    candidate-pruning trick LOSSLESS so completeness survives the
+    oracle's naive all-pairs grade:
 
-    Scale: the quadratic token self-join only happens on PREFIX tokens
-    — rare tokens by construction — so hot stopwords never explode
-    (the naive oracle joins on every token; the prefix join is the
-    100 TB version).  The token-rank table is vocab-sized (broadcast);
-    everything else shuffles on doc_id or token.  Completeness is
-    GRADED: the oracle enumerates all pairs, so a wrong prefix bound
-    would hash-mismatch, not silently under-return.
+    1. EXACT-DUP COLLAPSE first: identical token sets group under an
+       md5 set-hash, and the quadratic phase runs on DISTINCT sets
+       only — in a near-dup-heavy corpus (this one: ~20% exact-dup
+       docs) that shrinks pair work by the square.  Doc-level pair
+       aggregates are recovered ALGEBRAICALLY from per-group
+       (count, id-sum, id-square-sum): symmetric functions factor over
+       groups — cross-group pairs contribute kH*s1G + kG*s1H id-sums
+       and s1G*s1H products; within-group (Jaccard = 1 by identity)
+       contribute C(k,2), (k-1)*s1 and (s1^2 - s2)/2 — so the output
+       pins the same doc-level pair multiset the naive oracle counts,
+       without ever enumerating intra-cluster pairs.
+    2. Rarest-first PREFIX join: the global order is the (df, tok)
+       tuple (no dense-rank single-partition exchange); each set keeps
+       its first n - ceil(0.8n) + 1 tokens; only prefix-sharing sets
+       become candidates.
+    3. Lossless LENGTH filter at the join (10*min(n1,n2) >=
+       8*max(n1,n2)) and POSITIONAL filter after it (max over shared
+       prefix tokens of 1 + min(n1-p1, n2-p2) >= ceil(8(n1+n2)/18)):
+       both are the PPJoin bounds — they can only drop pairs the
+       Jaccard test would drop anyway.
+    4. Exact verify by sorted-array intersection, with the distinct-set
+       table BROADCAST into the candidate stream, so token arrays never
+       shuffle per-pair.
+
+    All arithmetic is integer; both engines agree bit-for-bit.  (At
+    scales where sum-of-products nears int64, both sides would reduce
+    the checksum modulo a shared prime at the same final step.)
+
+    Scale: dup collapse bounds the blow-up where near-dup corpora
+    actually explode (inside duplicate clusters); the prefix join only
+    multiplies RARE-token posting lists; the verify input is
+    filter-pruned candidates, not the token cross product.  The
+    naive oracle joins on every token — the prefix pipeline is the
+    100 TB version, and its completeness is GRADED, not assumed.
     """
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    dt = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+    # Tokens are carried as 63-bit md5 digests from here on (the repo's
+    # shingle-digest convention, dedup.py): the verify step intersects
+    # sorted INT arrays instead of string arrays — same result, a
+    # fraction of the comparison/allocation cost at millions of pairs.
+    with_sets = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.expr(
+                    "transform(regexp_extract_all(lower(text), '[a-z]+', 0), "
+                    "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) "
+                    "as bigint))"
                 )
-            ).alias("tok"),
-        )
+            )
+        ).alias("ts"),
+    ).withColumn("h", F.md5(F.concat_ws(" ", "ts")))
+    groups = with_sets.groupBy("h").agg(
+        F.first("ts").alias("ts"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("doc_id").cast("bigint").alias("s1"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).cast("bigint").alias("s2"),
+        F.size(F.first("ts")).cast("bigint").alias("n"),
     )
-    # The global rarest-first order is the TUPLE (df asc, tok asc) — no
-    # dense global rank is materialized (a global row_number would be a
-    # single-partition exchange over the vocab); the per-doc window
-    # orders by the tuple directly.
+    # groups feeds five subtrees (df table, prefix build, two broadcast
+    # verify sides, within-group expansion) — materialize the 
+    # distinct-set table once instead of re-tokenizing the corpus per
+    # subtree (same convention as the dedup family's shared memo)
+    groups = groups.localCheckpoint(eager=True)
+    dt = groups.select("h", "n", F.explode("ts").alias("tok"))
     df_tok = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
-    ranked = dt.join(F.broadcast(df_tok), "tok")
-    w_doc = Window.partitionBy("doc_id")
+    w_set = Window.partitionBy("h")
     pref = (
-        ranked.withColumn(
+        dt.join(F.broadcast(df_tok), "tok")
+        .withColumn(
             "pos",
-            F.row_number().over(w_doc.orderBy(F.asc("df"), F.asc("tok"))),
+            F.row_number().over(w_set.orderBy(F.asc("df"), F.asc("tok"))),
         )
-        .withColumn("n", F.count("*").over(w_doc))
         .where(F.expr("pos <= n - ((8 * n + 9) div 10) + 1"))
-        .select("doc_id", "tok")
-    )
+        .select("h", "tok", "pos", "n")
+    ).localCheckpoint(eager=True)  # both sides of the self-join
     cands = (
         pref.alias("a")
-        .join(pref.alias("b"), "tok")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.h") < F.col("b.h")),
         )
-        .distinct()
+        .where(
+            F.expr("10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)")
+        )
+        .groupBy(
+            F.col("a.h").alias("h1"),
+            F.col("b.h").alias("h2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .agg(
+            F.max(
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+                )
+            ).alias("ub")
+        )
+        .where(F.expr("ub >= (8 * (n1 + n2) + 17) div 18"))
+        .select("h1", "h2")
     )
-    sets = dt.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("tok")).alias("toks"),
-        F.count("*").cast("bigint").alias("n"),
-    )
+    side = groups.select("h", "ts", "n", "k", "s1")
     verified = (
         cands.join(
-            sets.select(
-                F.col("doc_id").alias("d1"),
-                F.col("toks").alias("t1"),
-                F.col("n").alias("n1"),
+            F.broadcast(
+                side.select(
+                    F.col("h").alias("h1"), F.col("ts").alias("t1"),
+                    F.col("n").alias("n1"), F.col("k").alias("k1"),
+                    F.col("s1").alias("i1"),
+                )
             ),
-            "d1",
+            "h1",
         )
         .join(
-            sets.select(
-                F.col("doc_id").alias("d2"),
-                F.col("toks").alias("t2"),
-                F.col("n").alias("n2"),
+            F.broadcast(
+                side.select(
+                    F.col("h").alias("h2"), F.col("ts").alias("t2"),
+                    F.col("n").alias("n2"), F.col("k").alias("k2"),
+                    F.col("s1").alias("i2"),
+                )
             ),
-            "d2",
+            "h2",
         )
-        .withColumn(
-            "i", F.size(F.array_intersect("t1", "t2")).cast("bigint")
-        )
+        .withColumn("i", F.size(F.array_intersect("t1", "t2")).cast("bigint"))
         .withColumn("u", F.expr("n1 + n2 - i"))
         .where(F.expr("10 * i >= 8 * u"))
     )
-    return (
-        verified.select(
-            F.expr("(1000 * i) div u").cast("bigint").alias("jac_milli"),
-            F.expr("d1 * 1000000 + d2").alias("ck"),
+    cross = verified.select(
+        F.expr("(1000 * i) div u").cast("bigint").alias("jac_milli"),
+        F.expr("k1 * k2").cast("bigint").alias("np"),
+        F.expr("k2 * i1 + k1 * i2").cast("bigint").alias("si"),
+        F.expr("i1 * i2").cast("bigint").alias("sp"),
+    )
+    within = (
+        groups.where(F.col("k") >= 2)
+        .select(
+            F.lit(1000).cast("bigint").alias("jac_milli"),
+            F.expr("k * (k - 1) div 2").cast("bigint").alias("np"),
+            F.expr("(k - 1) * s1").cast("bigint").alias("si"),
+            F.expr("(s1 * s1 - s2) div 2").cast("bigint").alias("sp"),
         )
+    )
+    return (
+        cross.unionByName(within)
         .groupBy("jac_milli")
         .agg(
-            F.count("*").cast("bigint").alias("n_pairs"),
-            F.sum("ck").cast("bigint").alias("pair_checksum"),
+            F.sum("np").cast("bigint").alias("n_pairs"),
+            F.sum("si").cast("bigint").alias("sum_ids"),
+            F.sum("sp").cast("bigint").alias("sum_products"),
         )
         .orderBy(F.desc("jac_milli"))
     )
