@@ -59,6 +59,18 @@ INVARIANCE_QUERIES = [
     # three marginal window sums over the census: the truncated-integer
     # chi-square contributions are a pure function of the counts
     "events_chi2_type_dow",
+    # dup-collapse + prefix self-join + checkpointed distinct-set table:
+    # the pair aggregates must be a pure function of the token sets
+    # (F.first("ts") is safe only because h determines ts exactly)
+    "docs_set_similarity_join",
+    # per-set row_number over the (df, tok) tuple: a total order, so the
+    # prefix choice must not move with scan splits
+    "docs_countmin_heavy_hitters",
+    # bloom bit positions are md5-determined; candidate and
+    # false-positive counts must be layout-independent
+    "events_bloom_prefilter_join",
+    # max-version reconciliation window tie-broken by distinct versions
+    "formats_merge_on_read",
 ]
 
 ALT_CONFS = {
