@@ -64,6 +64,18 @@ WAIVERS: dict[str, str] = {
         "data-path joins are the broadcast bitset probe and the "
         "candidates-only semi-join, both keyed"
     ),
+    "parts_skyline_price_size": (
+        "the single-partition step is the running-max sweep over the "
+        "per-price domain table (price-grid-bounded, NOT data-bounded); "
+        "the corpus itself only sees a map-side collapse and a broadcast "
+        "equi-join back"
+    ),
+    "tpch_fk_orphan_audit": (
+        "the 28 SinglePartition exchanges / nested-loops are the 7x4 "
+        "1-row count scalars stitched into the 7-row report; every "
+        "data-path check is a keyed anti-join (dims broadcast, the one "
+        "fact-fact pair shuffles once)"
+    ),
     "events_zorder_layout": (
         "final scalar rollup x2: each layout collapses its <=256-row "
         "per-bucket zone-map table to one summary row; the per-bucket "

@@ -872,3 +872,32 @@ def test_countmin_cells_broadcast_top10_local(spark, sf_small):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_skyline_no_quadratic_dominance_join(spark, sf_small):
+    """The skyline must come from the per-price domain collapse + one
+    running-max sweep — never the oracle's quadratic NOT-EXISTS
+    self-join; member recovery is a broadcast equi-join."""
+    plan = plan_of(QUERIES["parts_skyline_price_size"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") <= 2  # one running-max sweep
+
+
+def test_merkle_folds_are_keyed_aggregates(spark, sf_small):
+    """Both Merkle levels must be keyed hash aggregates (leaf key, then
+    bucket key) with JVM-side md5 folds — no Python, no join, no
+    global sort of row digests."""
+    plan = plan_of(QUERIES["events_merkle_bucket_digests"](spark, sf_small))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_fk_audit_anti_joins_broadcast_dims(spark, sf_small):
+    """Every FK check must be a keyed anti-join; dimension parents
+    broadcast.  No cartesian on any data path."""
+    plan = plan_of(QUERIES["tpch_fk_orphan_audit"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
