@@ -8295,6 +8295,152 @@ def tpch_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("fk_name")
 
 
+# One SQL text, two engines: every construct below sits in the portable
+# intersection of Spark SQL and DuckDB SQL (CTEs, inner join, window
+# row_number, CASE, DECIMAL cents grid, BIGINT casts, ||-free strings).
+_PORTABLE_SQL_TEXT = (
+    "WITH spend AS ("
+    "  SELECT o.o_custkey AS ck, "
+    "         CAST(count(*) AS BIGINT) AS n_orders, "
+    "         CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 "
+    "AS BIGINT)) AS BIGINT) AS cents "
+    "  FROM orders o GROUP BY o.o_custkey), "
+    "ranked AS ("
+    "  SELECT c.c_mktsegment AS segment, s.ck, s.n_orders, s.cents, "
+    "         row_number() OVER (PARTITION BY c.c_mktsegment "
+    "ORDER BY s.cents DESC, s.ck ASC) AS rn "
+    "  FROM spend s JOIN customer c ON c.c_custkey = s.ck) "
+    "SELECT segment, ck AS custkey, n_orders, cents, "
+    "       CASE WHEN rn <= 3 THEN 'top3' ELSE 'rest' END AS tier "
+    "FROM ranked WHERE rn <= 5 ORDER BY segment, rn"
+)
+
+
+@query("sql_portable_text_probe", oracle=_PORTABLE_SQL_TEXT)
+def sql_portable_text_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text parity probe — the B-surface contract stated in its
+    strongest form: ONE verbatim ANSI string (CTEs, aggregate CTE ->
+    windowed ranking -> CASE tiering, DECIMAL cents money) is executed
+    by ``spark.sql`` here and handed to DuckDB UNCHANGED as its own
+    oracle, so the grade pins dialect-intersection compatibility — a
+    user of the reference's SQL surface can run this exact text on the
+    Spark engine and get byte-identical results (the other catalog
+    queries grade semantics through two implementations; this one
+    grades the shared SYNTAX too).
+
+    Scale: Catalyst plans the text like any DataFrame build — the CTE
+    aggregate partial-aggs map-side, the join broadcasts the customer
+    dimension, and the per-segment top-5 window runs on segment
+    partitions (WindowGroupLimit prunes losers map-side).
+    """
+    for t in ("orders", "customer"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PORTABLE_SQL_TEXT)
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle=(
+        # rule-based truth: the oracle classifies by the mutation rule
+        # directly, never running a diff — the Spark side must recover
+        # the same classes with generic full-outer hash-diff machinery
+        "WITH b AS (SELECT o_orderkey, "
+        "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT "
+        "% 10) AS bk FROM orders) "
+        "SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM b WHERE bk = 1 "
+        "UNION ALL "
+        "SELECT 'insert', CAST(count(*) AS BIGINT), "
+        "CAST(sum(o_orderkey + 10000000) AS BIGINT) FROM b WHERE bk = 2 "
+        "UNION ALL "
+        "SELECT 'unchanged', CAST(count(*) AS BIGINT), "
+        "CAST(sum(o_orderkey) AS BIGINT) FROM b WHERE bk NOT IN (0, 1) "
+        "UNION ALL "
+        "SELECT 'update', CAST(count(*) AS BIGINT), "
+        "CAST(sum(o_orderkey) AS BIGINT) FROM b WHERE bk = 0 "
+        "ORDER BY op"
+    ),
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing — the CDC GENERATOR (inverse of
+    formats_merge_on_read's consumer): given two table snapshots with
+    no change log, recover the insert/update/delete/unchanged delta by
+    a full-outer join on the primary key comparing content hashes —
+    the sync primitive when the upstream can't emit CDC (nightly dump
+    replication, backfill drift detection).  The new snapshot derives
+    from a deterministic md5-bucket rule (bucket 0 mutated, bucket 1
+    dropped, bucket 2 cloned to a shifted key), and the ORACLE
+    classifies by that rule directly — so the grade pins that the
+    generic differ recovers exactly the rule-based truth, class by
+    class, key-sum by key-sum.
+
+    Scale: one key-shuffled full-outer join with 16-byte content
+    digests on the wire (never row payloads); unchanged rows — the
+    overwhelming majority in real syncs — are detected by digest
+    equality and collapse map-side into counts.  The diff output is
+    |changes|-sized, which is what makes dump-to-CDC affordable.
+    """
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 10
+    )
+    tagged = orders.withColumn("bk", bucket)
+    new_snap = (
+        tagged.where(F.col("bk") != 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("bk") == 0, F.lit("1-URGENT"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+            F.when(
+                F.col("bk") == 0, F.col("price") + F.lit(1).cast("decimal(18,2)")
+            )
+            .otherwise(F.col("price"))
+            .alias("price"),
+        )
+        .unionByName(
+            tagged.where(F.col("bk") == 2).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderstatus", "o_orderpriority", "price",
+            )
+        )
+    )
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.md5(
+                F.concat_ws(
+                    "|", "o_orderstatus", "o_orderpriority",
+                    (F.col("price") * 100).cast("bigint").cast("string"),
+                )
+            ).alias(f"h_{side}"),
+        )
+
+    diff = hashed(orders, "old").join(hashed(new_snap, "new"), "k", "full_outer")
+    classified = diff.select(
+        "k",
+        F.when(F.col("h_old").isNull(), F.lit("insert"))
+        .when(F.col("h_new").isNull(), F.lit("delete"))
+        .when(F.col("h_old") == F.col("h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+    )
+    return (
+        classified.groupBy("op")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("op")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------

@@ -901,3 +901,28 @@ def test_fk_audit_anti_joins_broadcast_dims(spark, sf_small):
     plan = plan_of(QUERIES["tpch_fk_orphan_audit"](spark, sf_small))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_portable_sql_text_plans_like_dataframe(spark, sf_small):
+    """The verbatim SQL text must get the same physical treatment the
+    DataFrame queries get: broadcast customer dim, map-side
+    WindowGroupLimit pruning for the per-segment top-5."""
+    plan = plan_of(QUERIES["sql_portable_text_probe"](spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_ships_digests_not_payloads(spark, sf_small):
+    """The full-outer diff join must carry only (key, md5) columns —
+    a ReadSchema that still includes payload columns on the join wire
+    would 10x the shuffle at scale (payloads feed the hash projection,
+    never the exchange)."""
+    df = QUERIES["orders_snapshot_diff"](spark, sf_small)
+    plan = plan_of(df)
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    # the exchange rows are hashed before shuffling: no struct of
+    # payload columns appears in any Exchange's output schema
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exch and all("o_orderstatus" not in l for l in exch)
