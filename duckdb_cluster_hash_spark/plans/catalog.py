@@ -8441,6 +8441,150 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_binary_hamming_recall",
+    oracle=(
+        "SELECT 10 AS k, 64 AS dim, 1 AS bits_per_dim, 128 AS rerank, "
+        "CAST(1 AS INTEGER) AS recall_ok"
+    ),
+)
+def emb_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit binary quantization ANN — the extreme end of the repo's
+    quantization spectrum (float32 -> int8 -> PQ bytes -> ONE BIT per
+    dimension): each 64-dim vector collapses to a single BIGINT whose
+    bit i is the sign of dimension i (mean-centered per dimension so
+    the bits split informatively), candidates rank by Hamming distance
+    — ``bit_count(xor(code, query_code))``, a single POPCNT-class
+    instruction inside whole-stage codegen — and the top-128 survivors
+    re-rank by exact cosine.  Recall contract >= 5 of the exact top-10
+    (like every implementation-specific ANN operator).
+
+    Scale: 256x compression (64 floats -> 8 bytes) means the candidate
+    scan reads ~4 GB per 100 TB of raw vectors — cache-resident at
+    cluster scale — and the integer-xor distance never leaves the JVM;
+    per-dimension means come from one map-side aggregate.  This is the
+    binary-quantization layout vector stores ship as their cheapest
+    tier (same shape: code scan -> shortlist -> exact re-rank).
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = 64
+    means_row = emb.select(
+        F.array(
+            *[F.avg(F.col("embedding")[i]).alias(f"m{i}") for i in range(dim)]
+        ).alias("mu")
+    ).head()["mu"]
+
+    def word_col(vec_col: str, lo: int):
+        # 32 dims per BIGINT word: bit shifts stay far from the sign bit
+        terms = None
+        for i in range(lo, lo + 32):
+            bit = F.when(
+                F.col(vec_col)[i].cast("double") > F.lit(float(means_row[i])),
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")) * F.lit(1 << (i - lo)).cast(
+                "bigint"
+            )
+            terms = bit if terms is None else terms + bit
+        return terms
+
+    coded = emb.select(
+        "vec_id", "label", "embedding",
+        word_col("embedding", 0).alias("w0"),
+        word_col("embedding", 32).alias("w1"),
+    )
+    qrow = coded.where(F.col("vec_id") == 0).head()
+    qvec = [float(x) for x in qrow["embedding"]]
+    q0, q1 = int(qrow["w0"]), int(qrow["w1"])
+    cands = (
+        coded.select(
+            "vec_id",
+            (
+                F.bit_count(F.expr(f"w0 ^ {q0}"))
+                + F.bit_count(F.expr(f"w1 ^ {q1}"))
+            ).alias("hd"),
+        )
+        .orderBy(F.asc("hd"), F.asc("vec_id"))
+        .limit(128)
+    )
+    reranked = (
+        _sim.cosine_topk(emb.join(cands.select("vec_id"), "vec_id"), qvec, k=10)
+        .select("vec_id")
+    )
+    exact = _sim.cosine_topk(emb, qvec, k=10).select("vec_id")
+    return (
+        reranked.join(exact, "vec_id")
+        .agg(F.count("*").alias("overlap"))
+        .select(
+            F.lit(10).alias("k"),
+            F.lit(64).alias("dim"),
+            F.lit(1).alias("bits_per_dim"),
+            F.lit(128).alias("rerank"),
+            (F.col("overlap") >= F.lit(5)).cast("int").alias("recall_ok"),
+        )
+    )
+
+
+@query(
+    "events_k_anonymity_audit",
+    oracle=(
+        "WITH q AS (SELECT event_type, "
+        "CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS BIGINT) "
+        "AS dow, CAST(floor(value) AS BIGINT) // 100 AS vband, user_id "
+        "FROM events), "
+        "g AS (SELECT event_type, dow, vband, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(count(*) AS BIGINT) AS n_rows FROM q "
+        "GROUP BY event_type, dow, vband) "
+        "SELECT CAST(5 AS BIGINT) AS k, "
+        "CAST(count(*) AS BIGINT) AS n_groups, "
+        "CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_violating_groups, "
+        "CAST(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END) AS BIGINT) "
+        "AS n_users_at_risk, "
+        "CAST(sum(CASE WHEN n_users < 5 THEN n_rows ELSE 0 END) AS BIGINT) "
+        "AS n_rows_to_suppress FROM g"
+    ),
+)
+def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    gate next to PII redaction (a release is k-anonymous iff every
+    quasi-identifier combination covers >= k distinct users; groups
+    below k re-identify people by linkage): the QI here is (event_type,
+    day-of-week, value band), counted per group, with the k=5 policy
+    verdict rolled up — violating groups, users at risk inside them,
+    and the row count a suppression pass would redact.  Day-of-week by
+    the epoch-div rule (engine-portable), value bands on an integer
+    grid.
+
+    Scale: one keyed aggregate over the QI tuple (distinct-user partial
+    aggs collapse map-side per the (QI, user) pair), one scalar rollup
+    of the group table — group cardinality is QI-domain-bounded, so the
+    audit's memory is independent of the event volume.
+    """
+    q = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) div 86400) % 7").cast("bigint").alias("dow"),
+        F.expr("cast(floor(value) as bigint) div 100").alias("vband"),
+        "user_id",
+    )
+    g = q.groupBy("event_type", "dow", "vband").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    return g.agg(
+        F.lit(5).cast("bigint").alias("k"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum((F.col("n_users") < 5).cast("int")).cast("bigint")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("n_users") < 5, F.col("n_users")).otherwise(0))
+        .cast("bigint")
+        .alias("n_users_at_risk"),
+        F.sum(F.when(F.col("n_users") < 5, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_to_suppress"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------

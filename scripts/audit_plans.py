@@ -64,6 +64,11 @@ WAIVERS: dict[str, str] = {
         "data-path joins are the broadcast bitset probe and the "
         "candidates-only semi-join, both keyed"
     ),
+    "events_k_anonymity_audit": (
+        "final scalar rollup of the QI-domain-bounded group table "
+        "(policy verdict row); the group aggregate itself partial-aggs "
+        "map-side"
+    ),
     "parts_skyline_price_size": (
         "the single-partition step is the running-max sweep over the "
         "per-price domain table (price-grid-bounded, NOT data-bounded); "

@@ -926,3 +926,22 @@ def test_snapshot_diff_ships_digests_not_payloads(spark, sf_small):
     # payload columns appears in any Exchange's output schema
     exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert exch and all("o_orderstatus" not in l for l in exch)
+
+
+def test_binary_hamming_scan_is_integer_codegen(spark, sf_small):
+    """The Hamming candidate scan must be integer xor + bit_count inside
+    whole-stage codegen (no Python) with TakeOrderedAndProject for the
+    shortlist; exact cosine touches only the 128 survivors."""
+    plan = plan_of(QUERIES["emb_binary_hamming_recall"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_k_anonymity_single_keyed_aggregate(spark, sf_small):
+    """The audit must be one keyed aggregate over the QI tuple plus a
+    scalar rollup — no join, no window, one scan."""
+    plan = plan_of(QUERIES["events_k_anonymity_audit"](spark, sf_small))
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
