@@ -8599,6 +8599,18 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # continuity.  The long-stable r1/r2-green remainder rotates behind — still
 # fully covered by the local oracle gate.
 _DRIVER_WINDOW_FIRST = [
+    # — wave-7 operator-family flagships (never driver-graded; each opens
+    #   a NEW family: exact set-similarity join, triangles, merge-on-read,
+    #   z-order layout, bloom runtime filter, count-min sketch, GDPR
+    #   erasure, privacy audit) —
+    "docs_set_similarity_join",
+    "parts_brand_triangles",
+    "formats_merge_on_read",
+    "events_zorder_layout",
+    "events_bloom_prefilter_join",
+    "docs_countmin_heavy_hitters",
+    "events_user_erasure",
+    "events_k_anonymity_audit",
     # — this session's new queries (never driver-graded) —
     "docs_hybrid_rrf_search",
     "events_streaming_routed_sink",
@@ -8613,23 +8625,15 @@ _DRIVER_WINDOW_FIRST = [
     "docs_token_weighted_sample",
     "events_chi2_type_dow",
     "events_streaming_user_totals",
-    "events_streaming_dedup_replay",
-    "events_streaming_sessions",
     "events_segment_scd2",
-    "events_cumulative_hll_curve",
     "lineitem_discount_quantity_ols",
     "orders_cube_status_priority",
-    "docs_bm25_search",
     "events_pii_redaction",
     "events_funnel_conversion",
-    "docs_token_heavy_hitters",
-    "cluster_resharding_plan",
     "parts_copurchase_affinity",
     "events_volume_anomaly_mad",
     "supplier_pareto_abc",
     "lineitem_price_approx_median_contract",
-    "part_size_percent_rank",
-    "events_streaming_attribution",
     "formats_schema_evolution",
     "docs_bpe_first_merges",
     "events_user_similarity_topk",
@@ -8654,7 +8658,16 @@ _DRIVER_WINDOW_FIRST = [
     "formats_text_roundtrip",
     "orders_bucketed_coloc_join",
     # All nine r3 never-driver-graded queries (VERDICT item 1) are kept
-    # in-window above.  Waiting for the r5 rotation (their operator
+    # in-window above.  Eight wave-4 family-siblings rotated out to make
+    # room for the eight wave-7 family flagships above (each displaced
+    # query's operator family keeps at least one in-window row: hybrid
+    # RRF carries BM25, hll_shard_distinct the HLL family,
+    # resharding_key_impact the reshard family, rfm/pareto/spearman the
+    # rankings, countmin the heavy hitters, and routed-sink/
+    # outer-attribution/user-totals + the two verdict rows the
+    # streaming family).  Waiting for the r5 rotation (those eight, the
+    # rest of wave 7 — next_token, matryoshka, binary-hamming, skyline,
+    # merkle, fk-audit, sql-portable-probe, snapshot-diff — and (their operator
     # families keep other in-window rows): docs_pack_sequences,
     # docs_lang_top_tokens, docs_source_quota_sample, docs_rag_chunks,
     # docs_bigram_collocations, events_retention_cohorts,
