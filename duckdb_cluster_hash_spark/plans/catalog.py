@@ -8585,6 +8585,134 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineitem_trimmed_price_stats",
+    oracle=(
+        "WITH r AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) "
+        "* 100 AS BIGINT) AS cents, "
+        "row_number() OVER (ORDER BY CAST(CAST(l_extendedprice AS "
+        "DECIMAL(18,2)) * 100 AS BIGINT), l_orderkey, l_linenumber) AS rn, "
+        "count(*) OVER () AS n FROM lineitem), "
+        "mid AS (SELECT cents, n FROM r "
+        "WHERE rn > n // 20 AND rn <= n - n // 20) "
+        "SELECT CAST(min(n) AS BIGINT) AS n_total, "
+        "CAST(min(n) // 20 AS BIGINT) AS n_trimmed_each_side, "
+        "CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum(cents) AS BIGINT) AS trimmed_cents_sum, "
+        "CAST((1000 * sum(cents)) // count(*) AS BIGINT) "
+        "AS trimmed_mean_millicents FROM mid"
+    ),
+)
+def lineitem_trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5%-trimmed mean of extended price — the robust-family
+    member between the median/MAD detector and plain averages (outlier
+    amputation by exact RANK, not by a value threshold someone guessed):
+    prices rank globally on the cents grid with a (orderkey, linenumber)
+    tie-break (a total order, so the trim boundary is deterministic),
+    the bottom and top n div 20 rows drop, and the surviving mass
+    reports an exact integer milli-cents mean.
+
+    Scale: the global rank uses the repo's range-partition + local sort
+    + broadcast-offsets construction (ranking.global_row_number — the
+    only globally-ordered data is the 256-row offsets table); the trim
+    filter and the sum are map-side after that.  The oracle's
+    single-window rank is the semantics; the ranged construction is the
+    100 TB plan, and their equality is exactly what the layout-
+    invariance matrix checks for the other ranked queries.
+    """
+    from duckdb_cluster_hash_spark.operators.ranking import global_row_number
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+        "l_orderkey", "l_linenumber",
+    )
+    ranked = global_row_number(
+        li, [F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    )
+    n = ranked.agg(F.count("*").cast("bigint").alias("n")).head()["n"]
+    trim = int(n) // 20
+    mid = ranked.where((F.col("rn") > trim) & (F.col("rn") <= int(n) - trim))
+    return mid.agg(
+        F.lit(int(n)).cast("bigint").alias("n_total"),
+        F.lit(trim).cast("bigint").alias("n_trimmed_each_side"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("cents").cast("bigint").alias("trimmed_cents_sum"),
+        F.expr(f"(1000 * sum(cents)) div count(*)")
+        .cast("bigint")
+        .alias("trimmed_mean_millicents"),
+    )
+
+
+@query(
+    "events_sequence_edit_distance",
+    oracle=(
+        "WITH r AS (SELECT user_id, substr(event_type, 1, 1) AS c, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn FROM events), "
+        "seqs AS (SELECT user_id, string_agg(c, '' ORDER BY rn) AS seq "
+        "FROM r WHERE rn <= 8 GROUP BY user_id), "
+        "d AS (SELECT user_id, CAST(levenshtein(seq, 'cvpcvpcv') AS BIGINT) "
+        "AS dist FROM seqs) "
+        "SELECT dist, CAST(count(*) AS BIGINT) AS n_users, "
+        "CAST(sum(user_id) AS BIGINT) AS user_id_sum "
+        "FROM d GROUP BY dist ORDER BY dist"
+    ),
+)
+def events_sequence_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence alignment: each user's first 8 events (by the
+    (ts, event_id) total order) collapse to a type-initial string, and
+    its Levenshtein distance to the canonical engagement loop
+    'cvpcvpcv' (click-view-purchase x2+) buckets users by how far their
+    actual journey deviates — the sequence-similarity family's exact
+    member (the Markov matrix grades one-step transitions; this grades
+    whole-trajectory shape, insertions and drops included).  Distance
+    is integer, the prefix cap makes it O(64) per user, and both
+    engines run their native ``levenshtein``.
+
+    Scale: sequences build from ONE keyed window capped at 8 rows
+    (WindowGroupLimit prunes deeper history map-side before the
+    shuffle); the distance is a scalar expression per user, and the
+    histogram is a keyed aggregate — no joins, no all-pairs alignment.
+    """
+    from pyspark.sql import Window
+
+    r = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("c"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.asc("ts"), F.asc("event_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 8)
+    )
+    seqs = r.groupBy("user_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(rn, c))), x -> x.c)"),
+            "",
+        ).alias("seq")
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.levenshtein("seq", F.lit("cvpcvpcv")).cast("bigint").alias("dist"),
+        )
+        .groupBy("dist")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("user_id_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------

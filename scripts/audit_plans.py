@@ -69,6 +69,11 @@ WAIVERS: dict[str, str] = {
         "(policy verdict row); the group aggregate itself partial-aggs "
         "map-side"
     ),
+    "lineitem_trimmed_price_stats": (
+        "the 256-row offsets table of global_row_number plus the 1-row "
+        "final rollup (deciles shape); the corpus ranks via "
+        "rangepartitioning + local sorts"
+    ),
     "parts_skyline_price_size": (
         "the single-partition step is the running-max sweep over the "
         "per-price domain table (price-grid-bounded, NOT data-bounded); "

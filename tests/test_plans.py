@@ -945,3 +945,21 @@ def test_k_anonymity_single_keyed_aggregate(spark, sf_small):
     assert "Join" not in plan
     assert plan.count("Scan parquet") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_trimmed_stats_rank_via_range_partitioning(spark, sf_small):
+    """The global price rank must come from rangepartitioning + local
+    sorts (the distributed construction), never a corpus-wide
+    SinglePartition window sort."""
+    plan = plan_of(QUERIES["lineitem_trimmed_price_stats"](spark, sf_small))
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan  # 256-row offsets broadcast
+
+
+def test_sequence_distance_caps_history_map_side(spark, sf_small):
+    """The per-user 8-event cap must push into WindowGroupLimit so deep
+    histories prune before the shuffle; no joins anywhere."""
+    plan = plan_of(QUERIES["events_sequence_edit_distance"](spark, sf_small))
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
