@@ -8713,6 +8713,142 @@ def events_sequence_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Fixed integer model weights for the batch-scoring query (a trained
+# linear model frozen to a milli-scaled integer grid — the quantized
+# form models actually deploy with).
+_CHURN_WEIGHTS = {
+    "n_click": -40, "n_error": 180, "n_purchase": -320,
+    "n_signup": -60, "n_view": -25,
+}
+_CHURN_BIAS = 1500
+_CHURN_THRESHOLD = 0
+
+
+def _churn_oracle_sql() -> str:
+    terms = " + ".join(
+        f"({w}) * CAST(count(CASE WHEN event_type = '{t[2:]}' THEN 1 END) "
+        "AS BIGINT)"
+        for t, w in _CHURN_WEIGHTS.items()
+    )
+    return (
+        f"WITH scored AS (SELECT user_id, {_CHURN_BIAS} + {terms} AS logit "
+        "FROM events GROUP BY user_id) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+        f"CAST(sum(CASE WHEN logit > {_CHURN_THRESHOLD} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_flagged, "
+        f"CAST(sum(CASE WHEN logit > {_CHURN_THRESHOLD} THEN user_id ELSE 0 "
+        "END) AS BIGINT) AS flagged_id_sum, "
+        "CAST(sum(logit) AS BIGINT) AS logit_sum, "
+        "CAST(min(logit) AS BIGINT) AS min_logit, "
+        "CAST(max(logit) AS BIGINT) AS max_logit FROM scored"
+    )
+
+
+@query("events_churn_batch_scoring", oracle=_churn_oracle_sql())
+def events_churn_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference — the serving-side counterpart of the
+    feature-store export (events_user_feature_vectors): a frozen linear
+    churn model on the milli-integer grid (the quantized form deployed
+    models actually ship) scores every user in one pass — integer
+    logit = bias + w·features, flag = logit > 0 — and the graded row
+    pins the score DISTRIBUTION (population, flags, flagged-id sum,
+    logit sum and range), so a single wrong weight, feature, or
+    overflow moves the hash.
+
+    Scale: scoring is a keyed partial aggregate + a scalar expression —
+    no shuffle beyond the per-user rollup, no Python, and adding a
+    feature adds a term, not a pass.  This is the nightly 'score the
+    user base' job at 100 TB: one map-side-combined aggregation and a
+    threshold.
+    """
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t[2:], 1))
+            .cast("bigint")
+            .alias(t)
+            for t in _CHURN_WEIGHTS
+        ]
+    )
+    logit = F.lit(_CHURN_BIAS).cast("bigint")
+    for t, w in _CHURN_WEIGHTS.items():
+        logit = logit + F.lit(w).cast("bigint") * F.col(t)
+    scored = feats.select("user_id", logit.alias("logit"))
+    flagged = F.col("logit") > _CHURN_THRESHOLD
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum(F.when(flagged, F.col("user_id")).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_id_sum"),
+        F.sum("logit").cast("bigint").alias("logit_sum"),
+        F.min("logit").cast("bigint").alias("min_logit"),
+        F.max("logit").cast("bigint").alias("max_logit"),
+    )
+
+
+@query(
+    "events_keyset_pagination",
+    oracle=(
+        "WITH page AS (SELECT event_id, user_id, event_type, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM events "
+        "WHERE (CAST(floor(epoch(ts)) AS BIGINT), event_id) > "
+        "(SELECT (CAST(floor(epoch(ts)) AS BIGINT), event_id) FROM events "
+        "ORDER BY ts, event_id LIMIT 1 OFFSET 199) "
+        "ORDER BY ts_epoch, event_id LIMIT 100) "
+        "SELECT * FROM page ORDER BY ts_epoch, event_id"
+    ),
+)
+def events_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the serving pattern that makes deep
+    pagination O(page) instead of O(offset): the cursor is the LAST KEY
+    of the previous page (here: the 200th event in (ts, event_id)
+    order, fetched by a one-row probe), and the next page is ``WHERE
+    key > cursor ORDER BY key LIMIT 100`` — a pushed-down range filter
+    + per-partition top-k, never a global skip-scan.  The (ts,
+    event_id) key is total, so pages are deterministic; timestamps
+    surface as epoch BIGINTs per the repo's cross-engine rule.
+
+    Scale: OFFSET pagination at 100 TB reads and discards the offset
+    every page; the keyset filter reaches the parquet scan (min/max
+    row-group pruning on ts) and TakeOrderedAndProject keeps only 100
+    rows per partition.  The one-row cursor probe is itself a
+    TakeOrdered — the same plan a serving layer would cache.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+    )
+    cursor = (
+        ev.orderBy(F.asc("ts_epoch"), F.asc("event_id"))
+        .limit(200)
+        .orderBy(F.desc("ts_epoch"), F.desc("event_id"))
+        .limit(1)
+        .head()
+    )
+    c_ts, c_id = int(cursor["ts_epoch"]), int(cursor["event_id"])
+    raw = _t(spark, sf_dir, "events")
+    return (
+        raw
+        # conservative RAW-column bound (epoch(ts) >= c_ts implies
+        # ts >= second-start) — this is the predicate that reaches the
+        # parquet scan for row-group min/max pruning; the exact keyset
+        # condition below finishes the job on the epoch grid
+        .where(F.col("ts") >= F.timestamp_seconds(F.lit(c_ts)))
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        )
+        .where(
+            (F.col("ts_epoch") > c_ts)
+            | ((F.col("ts_epoch") == c_ts) & (F.col("event_id") > c_id))
+        )
+        .orderBy(F.asc("ts_epoch"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "ts_epoch")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------

@@ -64,6 +64,11 @@ WAIVERS: dict[str, str] = {
         "data-path joins are the broadcast bitset probe and the "
         "candidates-only semi-join, both keyed"
     ),
+    "events_churn_batch_scoring": (
+        "final scalar rollup of the per-user scored table (score "
+        "distribution verdict row); scoring itself is one keyed "
+        "map-side-combined aggregate"
+    ),
     "events_k_anonymity_audit": (
         "final scalar rollup of the QI-domain-bounded group table "
         "(policy verdict row); the group aggregate itself partial-aggs "

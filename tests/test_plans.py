@@ -963,3 +963,21 @@ def test_sequence_distance_caps_history_map_side(spark, sf_small):
     assert "WindowGroupLimit" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_churn_scoring_single_pass_no_python(spark, sf_small):
+    """Scoring must be one keyed aggregate + scalar expressions — one
+    scan, no join, no Python."""
+    plan = plan_of(QUERIES["events_churn_batch_scoring"](spark, sf_small))
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_keyset_page_filter_pushed_and_topk(spark, sf_small):
+    """The cursor range filter must reach the scan (pushed filter on
+    ts/event_id) and the page must plan TakeOrderedAndProject — never a
+    global sort + offset skip."""
+    plan = plan_of(QUERIES["events_keyset_pagination"](spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(ts" in plan  # conservative bound pushed
