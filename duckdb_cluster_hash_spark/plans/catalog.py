@@ -8849,6 +8849,75 @@ def events_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "orders_bucket_pruned_lookup",
+    oracle=(
+        "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, "
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "AS total_price "
+        "FROM orders WHERE o_custkey = 42 GROUP BY o_custkey"
+    ),
+)
+def orders_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup — the read-side payoff of bucketed
+    layout beyond shuffle-free joins (orders_bucketed_coloc_join covers
+    the join; this covers the SERVING path): orders persist bucketed by
+    ``o_custkey`` into 8 buckets, and a single-customer rollup then
+    scans exactly ONE bucket's files — asserted in-query from the
+    executed plan's ``SelectedBucketsCount: 1 out of 8``, so a layout
+    regression that silently falls back to a full scan fails loudly
+    (the aggregation keys on the bucket column, which also keeps the
+    bucketed scan enabled under autoBucketedScan and avoids the
+    shuffle).  The rollup over the pruned scan must equal the oracle's
+    direct computation on the raw table.
+
+    Scale: bucket pruning turns a point query on a 100 TB fact table
+    into a 1/N-bucket read with zero shuffle — the same layout serving
+    both the co-located join and the lookup is exactly why bucketing
+    is chosen over ad-hoc layouts.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    base_tag = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    tbl = f"bkt_lookup_orders_{base_tag}"
+    loc = _os.path.join(_tf.gettempdir(), f"dch_{tbl}")
+    # own the location explicitly (same pattern as the coloc join): a
+    # fresh session cannot DROP a previous process's managed directory
+    if not spark.catalog.tableExists(tbl) or not _os.path.isdir(loc):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        _shutil.rmtree(loc, ignore_errors=True)
+        (
+            _t(spark, sf_dir, "orders")
+            .write.bucketBy(8, "o_custkey")
+            .sortBy("o_custkey")
+            .option("path", loc)
+            .saveAsTable(tbl)
+        )
+    out = (
+        spark.table(tbl)
+        .where(F.col("o_custkey") == 42)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "SelectedBucketsCount: 1 out of 8" not in plan:
+        raise RuntimeError(
+            "bucket pruning regressed: point lookup did not prune to 1/8 buckets"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------

@@ -981,3 +981,12 @@ def test_keyset_page_filter_pushed_and_topk(spark, sf_small):
     plan = plan_of(QUERIES["events_keyset_pagination"](spark, sf_small))
     assert "TakeOrderedAndProject" in plan
     assert "GreaterThanOrEqual(ts" in plan  # conservative bound pushed
+
+
+def test_bucket_pruned_lookup_scans_one_bucket(spark, sf_small):
+    """The point rollup must keep the bucketed scan (agg keyed on the
+    bucket column) AND prune to a single bucket; the in-query assert
+    guards execution, this pins the plan artifact."""
+    plan = plan_of(QUERIES["orders_bucket_pruned_lookup"](spark, sf_small))
+    assert "SelectedBucketsCount: 1 out of 8" in plan
+    assert "Exchange hashpartitioning" not in plan  # bucketing kills the shuffle
