@@ -7235,6 +7235,11 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr("pos <= n - ((8 * n + 9) div 10) + 1"))
         .select("h", "tok", "pos", "n")
     ).localCheckpoint(eager=True)  # both sides of the self-join
+    # Lossless row-level positional filter: a qualifying pair must have
+    # AT LEAST ONE shared prefix token whose overlap upper bound
+    # 1 + min(n1-p1, n2-p2) reaches alpha = ceil(8(n1+n2)/18) — that row
+    # survives the filter, so dropping the others before the distinct is
+    # free (narrower exchange rows, no max aggregate needed).
     cands = (
         pref.alias("a")
         .join(
@@ -7243,23 +7248,13 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(
             F.expr("10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)")
+            & F.expr(
+                "1 + least(a.n - a.pos, b.n - b.pos) >= "
+                "(8 * (a.n + b.n) + 17) div 18"
+            )
         )
-        .groupBy(
-            F.col("a.h").alias("h1"),
-            F.col("b.h").alias("h2"),
-            F.col("a.n").alias("n1"),
-            F.col("b.n").alias("n2"),
-        )
-        .agg(
-            F.max(
-                F.lit(1)
-                + F.least(
-                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
-                )
-            ).alias("ub")
-        )
-        .where(F.expr("ub >= (8 * (n1 + n2) + 17) div 18"))
-        .select("h1", "h2")
+        .select(F.col("a.h").alias("h1"), F.col("b.h").alias("h2"))
+        .distinct()
     )
     side = groups.select("h", "ts", "n", "k", "s1")
     verified = (
