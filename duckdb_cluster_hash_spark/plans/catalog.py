@@ -8913,6 +8913,131 @@ def orders_bucket_pruned_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "orders_set_operations",
+    oracle=(
+        "WITH a AS (SELECT o_custkey AS k FROM orders "
+        "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')), "
+        "b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F') "
+        "SELECT "
+        "(SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a INTERSECT ALL "
+        "SELECT k FROM b)) AS n_intersect_all, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a EXCEPT ALL "
+        "SELECT k FROM b)) AS n_except_all, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a INTERSECT "
+        "SELECT k FROM b)) AS n_intersect_distinct, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a EXCEPT "
+        "SELECT k FROM b)) AS n_except_distinct, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM (SELECT k FROM a UNION "
+        "SELECT k FROM b)) AS n_union_distinct"
+    ),
+)
+def orders_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set-operation semantics — the B-surface corner no
+    other query grades: INTERSECT ALL / EXCEPT ALL are MULTISET
+    operations (occurrence counts: min for intersect, truncated
+    difference for except) and differ from their DISTINCT forms
+    whenever keys repeat, which customer keys here do.  The Spark side
+    uses ``intersectAll``/``exceptAll``/``intersect``/``exceptAll``'s
+    distinct cousins on the DataFrame API; the oracle spells the same
+    five operations in portable SQL — equality pins that both engines
+    implement bag semantics identically (a classic cross-engine
+    divergence trap).
+
+    Scale: every set op is a keyed shuffle with map-side partial
+    counting (Spark plans intersect/except as aggregates over tagged
+    unions) — no operation here materializes more than the two keyed
+    inputs.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("k"))
+    b = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias(name))
+
+    return (
+        cnt(a.intersectAll(b), "n_intersect_all")
+        .crossJoin(cnt(a.exceptAll(b), "n_except_all"))
+        .crossJoin(cnt(a.intersect(b), "n_intersect_distinct"))
+        .crossJoin(cnt(a.subtract(b), "n_except_distinct"))
+        .crossJoin(cnt(a.union(b).distinct(), "n_union_distinct"))
+    )
+
+
+@query(
+    "sql_null_semantics_probe",
+    oracle=(
+        "WITH t AS (SELECT o_orderkey AS k, "
+        "NULLIF(o_orderstatus, 'P') AS s, "
+        "NULLIF(CAST(o_totalprice AS DECIMAL(18,2)), "
+        "CAST(o_totalprice AS DECIMAL(18,2))) AS always_null "
+        "FROM orders) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(s) AS BIGINT) AS n_nonnull_s, "
+        "CAST(sum(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_null_s, "
+        "CAST(sum(CASE WHEN s = 'P' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_eq_p, "
+        "CAST(sum(CASE WHEN s IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_nullsafe_eq_null, "
+        "CAST(sum(CASE WHEN s IN ('F', 'O') THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_in_list, "
+        "CAST(sum(CASE WHEN s NOT IN ('F', 'O') THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_not_in_list, "
+        "CAST(count(always_null) AS BIGINT) AS n_count_always_null, "
+        "CAST(count(DISTINCT s) AS BIGINT) AS n_distinct_s "
+        "FROM t"
+    ),
+)
+def sql_null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity probe — the NULL corners where engines
+    historically diverge, graded as one row of counts: COUNT(col) vs
+    COUNT(*) (NULL skipping), ``= NULL`` never matching inside CASE,
+    null-safe equality (Spark ``<=>`` vs the oracle's ``IS NOT
+    DISTINCT FROM``), the NOT IN trap (a NULL operand makes the
+    predicate UNKNOWN, so NULL rows count in NEITHER the IN nor the
+    NOT IN bucket — the sum of the two columns deliberately undershoots
+    n_rows), an always-NULL expression under COUNT, and COUNT(DISTINCT)
+    ignoring NULLs.  NULLs derive from the data via NULLIF so the probe
+    rides real rows, not literals.
+
+    Scale: one map-side pass — every probe is a conditional counter in
+    a single partial aggregate; nothing shuffles but nine counters.
+    """
+    t = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("nullif(o_orderstatus, 'P')").alias("s"),
+        F.expr(
+            "nullif(cast(o_totalprice as decimal(18,2)), "
+            "cast(o_totalprice as decimal(18,2)))"
+        ).alias("always_null"),
+    )
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("s").cast("bigint").alias("n_nonnull_s"),
+        F.sum(F.col("s").isNull().cast("int")).cast("bigint").alias("n_null_s"),
+        F.sum(F.when(F.col("s") == "P", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_eq_p"),
+        F.sum(F.col("s").eqNullSafe(F.lit(None).cast("string")).cast("int"))
+        .cast("bigint")
+        .alias("n_nullsafe_eq_null"),
+        F.sum(F.when(F.col("s").isin("F", "O"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_list"),
+        F.sum(F.when(~F.col("s").isin("F", "O"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_not_in_list"),
+        F.count("always_null").cast("bigint").alias("n_count_always_null"),
+        F.countDistinct("s").cast("bigint").alias("n_distinct_s"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------

@@ -69,6 +69,15 @@ WAIVERS: dict[str, str] = {
         "distribution verdict row); scoring itself is one keyed "
         "map-side-combined aggregate"
     ),
+    "orders_set_operations": (
+        "the nested-loops / SinglePartition exchanges stitch five 1-row "
+        "set-operation counts into the single graded row; each set op "
+        "itself is a keyed shuffle with map-side partial counting"
+    ),
+    "sql_null_semantics_probe": (
+        "single scalar rollup: nine conditional counters in one map-side "
+        "partial aggregate"
+    ),
     "events_k_anonymity_audit": (
         "final scalar rollup of the QI-domain-bounded group table "
         "(policy verdict row); the group aggregate itself partial-aggs "
