@@ -71,6 +71,14 @@ INVARIANCE_QUERIES = [
     "events_bloom_prefilter_join",
     # max-version reconciliation window tie-broken by distinct versions
     "formats_merge_on_read",
+    # global_row_number (spark_partition_id + range partition) decides
+    # the trim boundary: the kept mass must be a pure function of the
+    # (cents, orderkey, linenumber) total order
+    "lineitem_trimmed_price_stats",
+    # full-outer digest diff: op classes must not move with scan splits
+    "orders_snapshot_diff",
+    # per-user first-8 window on the (ts, event_id) total order
+    "events_sequence_edit_distance",
 ]
 
 ALT_CONFS = {
