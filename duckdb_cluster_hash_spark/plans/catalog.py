@@ -9038,6 +9038,65 @@ def sql_null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_string_functions_probe",
+    oracle=(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars, "
+        "CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes, "
+        "CAST(sum(position('e' IN text)) AS BIGINT) AS sum_first_e, "
+        "CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) "
+        "AS sum_nonspace_chars, "
+        "CAST(sum(('0x' || substr(md5(substr(text, 5, 20)), 1, 12))::BIGINT "
+        "% 1000000007) AS BIGINT) AS substr_digest_sum, "
+        "CAST(sum(('0x' || substr(md5(reverse(substr(text, 1, 16))), 1, 12))"
+        "::BIGINT % 1000000007) AS BIGINT) AS reverse_digest_sum "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+)
+def docs_string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity probe over the multilingual corpus — the
+    character-semantics corners where engines diverge, graded per
+    language: ``length`` must count CODEPOINTS (multibyte text makes
+    chars != bytes — sum_bytes vs sum_chars pins both), ``substr`` must
+    be 1-based and codepoint-indexed (digest sums catch any off-by-one
+    or byte-indexed slicing), ``position``/``instr`` 1-based with 0 for
+    absent, ``replace`` literal, and ``reverse`` codepoint-wise (its
+    digest would scramble under byte-wise reversal of multibyte text).
+    Case functions are deliberately ABSENT: JVM uppercases 'straße' to
+    'STRASSE' while DuckDB yields 'STRAẞE' — a documented engine
+    divergence this catalog avoids rather than grades.
+
+    Scale: one map-side pass — every probe is a scalar expression
+    inside whole-stage codegen feeding a per-language partial
+    aggregate; only 5 rows of counters shuffle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    digest = lambda col: (
+        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+        % 1000000007
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            F.sum(F.octet_length("text")).cast("bigint").alias("sum_bytes"),
+            F.sum(F.expr("instr(text, 'e')")).cast("bigint").alias("sum_first_e"),
+            F.sum(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("bigint")
+            .alias("sum_nonspace_chars"),
+            F.sum(digest(F.substring("text", 5, 20)))
+            .cast("bigint")
+            .alias("substr_digest_sum"),
+            F.sum(digest(F.reverse(F.substring("text", 1, 16))))
+            .cast("bigint")
+            .alias("reverse_digest_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
