@@ -764,7 +764,12 @@ def test_set_similarity_prefix_join_no_global_rank(spark, sf_small):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
-    assert "BroadcastHashJoin" in plan  # vocab df table broadcasts
+    # A BroadcastHashJoin is present at sf_small, but it is the
+    # PLANNER's choice (AQE/stats auto-broadcast below the threshold) —
+    # the explicit vocab-table hint is hidden behind the prefix
+    # localCheckpoint, so this is a stats-dependent observation at
+    # small SF, consistent with the zero-hints assertion below.
+    assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan  # intersect/jaccard all JVM-side
     # The verify stage must NOT force-broadcast the token-array side:
     # the two h1/h2 verify joins leave the strategy to the planner so
