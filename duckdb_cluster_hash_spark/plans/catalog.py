@@ -5268,6 +5268,125 @@ def docs_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_training_oracle_sql(k: int = 16) -> str:
+    """Unrolled-CTE DuckDB oracle for the full BPE training loop — one
+    (pair-count, argmax, merge-apply) CTE triple per iteration, same
+    convention as ``_pagerank_oracle_sql``: equality pins the WHOLE
+    merge trajectory, not just the final table.  ``MATERIALIZED`` is
+    load-bearing: each ``v{i}`` is referenced twice (pair count + next
+    merge), and DuckDB's default CTE inlining would otherwise expand
+    the chain exponentially (2^k corpus scans).
+    """
+    sql = (
+        "WITH wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f "
+        "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        "AS w FROM documents) WHERE len(w) >= 2 GROUP BY w), "
+        "v0 AS MATERIALIZED (SELECT '  ' || "
+        "regexp_replace(w, '(.)', '\\1  ', 'g') AS s, f FROM wf)"
+    )
+    for i in range(1, k + 1):
+        sql += (
+            f", x{i} AS (SELECT t, f, "
+            "unnest(generate_series(1, len(t) - 1)) AS i "
+            f"FROM (SELECT string_split(trim(s), '  ') AS t, f FROM v{i-1}) "
+            "WHERE len(t) >= 2)"
+            f", p{i} AS (SELECT t[i] AS lhs, t[i+1] AS rhs, "
+            f"CAST(sum(f) AS BIGINT) AS n FROM x{i} GROUP BY lhs, rhs)"
+            f", b{i} AS MATERIALIZED (SELECT lhs, rhs, n FROM p{i} "
+            "ORDER BY n DESC, lhs, rhs LIMIT 1)"
+            f", v{i} AS MATERIALIZED (SELECT "
+            "replace(s, ' ' || lhs || '  ' || rhs || ' ', "
+            f"' ' || lhs || rhs || ' ') AS s, f FROM v{i-1} CROSS JOIN b{i})"
+        )
+    sql += " SELECT * FROM (" + " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS it, lhs, rhs, lhs || rhs AS merged, "
+        f"n FROM b{i}"
+        for i in range(1, k + 1)
+    ) + ") ORDER BY it"
+    return sql
+
+
+@query("docs_bpe_training_loop", oracle=_bpe_training_oracle_sql())
+def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer training loop (Sennrich et al. 2016) —
+    16 iterated merges over the corpus word-frequency dictionary, each
+    iteration counting weighted adjacent symbol pairs, picking the
+    argmax (ties: lexicographic on the pair), and applying the merge
+    back to every word before the next count.  Extends
+    ``docs_bpe_first_merges`` (the single-iteration building block) to
+    the real trainer every tokenizer-bound pipeline runs.
+
+    Greedy merge application is expressed as a plain string
+    ``replace``: words are carried as double-space-separated symbol
+    strings (``"  h  e  y  "``) and merging (a, b) replaces
+    ``" a  b "`` with ``" ab "``.  Because each match consumes only the
+    INNER space of each flanking double separator, adjacent
+    occurrences keep their boundary space and left-to-right
+    non-overlapping ``replace`` is EXACTLY the greedy BPE scan — the
+    single-space encoding diverges on runs like ``a a a a`` (merges
+    1&3 instead of 1&2, 3&4), which is why the doubled separator is
+    load-bearing.  Property-tested against an independent reference
+    merger on both engines (tests/test_text.py) and the oracle pins
+    the full 16-step trajectory via unrolled CTEs.
+
+    Scale (how distributed BPE trainers actually work): the corpus is
+    touched ONCE — the loop state is the distinct-word frequency table
+    (vocab-bounded, millions of rows at 100 TB, never documents); each
+    iteration is one map-side pair explode + one keyed partial
+    aggregation over a domain bounded by |symbols|^2, an argmax via
+    TakeOrderedAndProject (the only collect: 1 row x 16), and a
+    map-side string replace.  The vocab is localCheckpoint'd per
+    iteration so lineage stays O(1) across merges, same discipline as
+    ``parts_brand_pagerank``.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    vocab = wf.select(
+        F.expr("concat('  ', regexp_replace(w, '(.)', '$1  '))").alias("s"),
+        "f",
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(1, 17):
+        toks = vocab.select(
+            F.expr("split(trim(s), '  ')").alias("t"), "f"
+        ).where(F.size("t") >= 2)
+        pairs = toks.select(
+            F.expr(
+                "explode(transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS lhs, "
+                "element_at(t, i + 1) AS rhs)))"
+            ).alias("p"),
+            "f",
+        )
+        pc = pairs.groupBy(
+            F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+        ).agg(F.sum("f").cast("bigint").alias("n"))
+        best = pc.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1).collect()
+        if not best:  # corpus fully merged before k iterations — both
+            break  # engines emit the same shorter trajectory
+        lhs, rhs, n = best[0].lhs, best[0].rhs, int(best[0].n)
+        merges.append((it, lhs, rhs, lhs + rhs, n))
+        # symbols are [a-z]+ only, so the literal replace needs no escaping
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+            ).alias("s"),
+            "f",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "it bigint, lhs string, rhs string, merged string, n bigint"
+    ).orderBy("it")
+
+
 @query(
     "events_user_similarity_topk",
     oracle=(
@@ -9165,7 +9284,10 @@ _DRIVER_WINDOW_FIRST = [
     # — kept in-window one more round (verdict item #2) so the r5
     #   de-broadcast of the verify stage re-lands a driver row —
     "docs_set_similarity_join",
-    # — 14 continuity flagships, one per operator family, all previously
+    # — NEW this round (verdict item #3): the full iterated BPE
+    #   training loop —
+    "docs_bpe_training_loop",
+    # — 13 continuity flagships, one per operator family, all previously
     #   driver-green; they keep a fresh stamp on the core surfaces while
     #   the long-stable remainder rotates behind (still covered by the
     #   local 183/183 oracle gate) —
@@ -9182,7 +9304,6 @@ _DRIVER_WINDOW_FIRST = [
     "parts_brand_pagerank",            # graph family
     "formats_merge_on_read",           # lake-ops family
     "events_user_erasure",             # privacy family
-    "events_pii_redaction",            # PII family
 ]
 
 
