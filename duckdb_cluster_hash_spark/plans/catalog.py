@@ -5306,6 +5306,50 @@ def _bpe_training_oracle_sql(k: int = 16) -> str:
     return sql
 
 
+def bpe_encode_word(w: str) -> str:
+    """Double-space symbol encoding of a word (``"hey"`` ->
+    ``"  h  e  y  "``) — the Python twin of the SQL
+    ``concat('  ', regexp_replace(w, '(.)', '$1  '))`` used by the
+    training loop, exported so tests can pin the encoding itself."""
+    return "  " + "".join(c + "  " for c in w)
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """One BPE training iteration's weighted pair-count subtree over the
+    double-space-encoded vocab ``(s, f)``: split back to symbols,
+    explode adjacent pairs map-side (transform over sequence — no join,
+    no Python), and partially aggregate ``sum(f)`` per (lhs, rhs).
+    Module-level so tests/test_plans.py can gate the per-iteration plan
+    (the query's returned DataFrame is a driver-side createDataFrame,
+    which hides this subtree from blanket plan sweeps)."""
+    toks = vocab.select(
+        F.expr("split(trim(s), '  ')").alias("t"), "f"
+    ).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.expr(
+            "explode(transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS lhs, "
+            "element_at(t, i + 1) AS rhs)))"
+        ).alias("p"),
+        "f",
+    )
+    return pairs.groupBy(
+        F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+    ).agg(F.sum("f").cast("bigint").alias("n"))
+
+
+def bpe_merge_apply(vocab: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Apply one merge (lhs, rhs) to the encoded vocab via the
+    double-space ``replace`` — map-side, no shuffle.  Symbols are
+    ``[a-z]+`` only, so the literal replace needs no escaping."""
+    return vocab.select(
+        F.replace(
+            F.col("s"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+        ).alias("s"),
+        "f",
+    )
+
+
 @query("docs_bpe_training_loop", oracle=_bpe_training_oracle_sql())
 def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL BPE tokenizer training loop (Sennrich et al. 2016) —
@@ -5326,8 +5370,13 @@ def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-space encoding diverges on runs like ``a a a a`` (merges
     1&3 instead of 1&2, 3&4), which is why the doubled separator is
     load-bearing.  Property-tested against an independent reference
-    merger on both engines (tests/test_text.py) and the oracle pins
-    the full 16-step trajectory via unrolled CTEs.
+    merger (tests/test_text.py::test_bpe_encoding_is_greedy_merge,
+    hypothesis-generated words incl. runs), with the engines'
+    ``replace`` pinned to Python ``str.replace`` semantics on both
+    Spark and DuckDB (…replace_semantics_match_engines) and the whole
+    trainer cross-checked against an independent Python BPE trainer
+    (…training_loop_matches_reference_trainer); the oracle pins the
+    full 16-step trajectory via unrolled CTEs.
 
     Scale (how distributed BPE trainers actually work): the corpus is
     touched ONCE — the loop state is the distinct-word frequency table
@@ -5356,32 +5405,13 @@ def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for it in range(1, 17):
-        toks = vocab.select(
-            F.expr("split(trim(s), '  ')").alias("t"), "f"
-        ).where(F.size("t") >= 2)
-        pairs = toks.select(
-            F.expr(
-                "explode(transform(sequence(1, size(t) - 1), "
-                "i -> struct(element_at(t, i) AS lhs, "
-                "element_at(t, i + 1) AS rhs)))"
-            ).alias("p"),
-            "f",
-        )
-        pc = pairs.groupBy(
-            F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
-        ).agg(F.sum("f").cast("bigint").alias("n"))
+        pc = bpe_pair_counts(vocab)
         best = pc.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1).collect()
         if not best:  # corpus fully merged before k iterations — both
             break  # engines emit the same shorter trajectory
         lhs, rhs, n = best[0].lhs, best[0].rhs, int(best[0].n)
         merges.append((it, lhs, rhs, lhs + rhs, n))
-        # symbols are [a-z]+ only, so the literal replace needs no escaping
-        vocab = vocab.select(
-            F.replace(
-                F.col("s"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
-            ).alias("s"),
-            "f",
-        ).localCheckpoint(eager=True)
+        vocab = bpe_merge_apply(vocab, lhs, rhs).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "it bigint, lhs string, rhs string, merged string, n bigint"
     ).orderBy("it")
@@ -9289,8 +9319,8 @@ _DRIVER_WINDOW_FIRST = [
     "docs_bpe_training_loop",
     # — 13 continuity flagships, one per operator family, all previously
     #   driver-green; they keep a fresh stamp on the core surfaces while
-    #   the long-stable remainder rotates behind (still covered by the
-    #   local 183/183 oracle gate) —
+    #   the long-stable remainder rotates behind (still covered in full
+    #   by the local check_oracle gate) —
     "cluster_scalar_goldens",          # A1-A6 core hash goldens
     "ddl_readme_flow",                 # A7/B3/B4 README 2-arg flow
     "cluster_node_distribution",       # A5/C2 shard table + distribution

@@ -79,6 +79,10 @@ INVARIANCE_QUERIES = [
     "orders_snapshot_diff",
     # per-user first-8 window on the (ts, event_id) total order
     "events_sequence_edit_distance",
+    # 16 sequential argmax collects, each over a shuffled pair count:
+    # the whole merge trajectory (incl. lexicographic tie-breaks) must
+    # be a pure function of the corpus, never of scan/shuffle layout
+    "docs_bpe_training_loop",
 ]
 
 ALT_CONFS = {

@@ -570,6 +570,44 @@ def test_bpe_pairs_map_side_no_join_topk(spark, sf_small):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bpe_training_iteration_subtree_plan(spark, sf_small):
+    """docs_bpe_training_loop returns a driver-side createDataFrame, so
+    blanket plan sweeps see only a LocalTableScan; this gate plans the
+    actual per-iteration subtree (encoded vocab -> bpe_pair_counts ->
+    argmax) the loop runs 16 times: pair explode is map-side (no join,
+    no Python), the weighted count partially aggregates before its
+    exchange, and the argmax is TakeOrderedAndProject, never a global
+    sort."""
+    from duckdb_cluster_hash_spark.plans.catalog import _t, bpe_pair_counts
+
+    docs = _t(spark, sf_small, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    vocab = wf.select(
+        F.expr("concat('  ', regexp_replace(w, '(.)', '$1  '))").alias("s"), "f"
+    )
+    step = (
+        bpe_pair_counts(vocab)
+        .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+        .limit(1)
+    )
+    plan = plan_of(step)
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # two aggregations (word freq, pair count), each partial+final
+    assert plan.count("HashAggregate") >= 4
+
+
 def test_user_similarity_broadcasts_anchor_no_densification(spark, sf_small):
     """The cross term joins on shared days with a broadcast anchor —
     no full-outer densification, no cartesian; top-10 is

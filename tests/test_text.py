@@ -274,3 +274,163 @@ def test_pii_regexes_cross_engine_semantics(spark):
     # and no PII survives redaction on the hit rows
     assert "<EMAIL>" in got[4].r and "<IP>" in got[4].r
     assert "@" not in got[4].r
+
+
+# ---------------------------------------------------------------------------
+# BPE training loop — the doubled-separator replace encoding
+# (docs_bpe_training_loop's correctness core; see its docstring)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from duckdb_cluster_hash_spark.plans.catalog import (  # noqa: E402
+    bpe_encode_word,
+    bpe_merge_apply,
+    bpe_pair_counts,
+)
+
+
+def _greedy_merge(syms: list[str], lhs: str, rhs: str) -> list[str]:
+    """Independent reference merger: one greedy left-to-right,
+    non-overlapping merge pass over a symbol list — the textbook BPE
+    merge step (Sennrich et al. 2016), written with none of the
+    engine's string-encoding machinery."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _decode(s: str) -> list[str]:
+    return s.strip().split("  ") if s.strip() else []
+
+
+_words = st.lists(
+    # tiny alphabet on purpose: maximizes runs like "aaaa"/"abab", the
+    # exact cases where a single-space encoding diverges from greedy
+    st.text(alphabet="ab", min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_words, st.integers(min_value=1, max_value=6))
+def test_bpe_encoding_is_greedy_merge(words, n_merges):
+    """Property: encode -> chained str.replace -> decode is EXACTLY the
+    greedy merger, for any word set and any merge sequence drawn from
+    the pairs actually present (merged symbols included, so multi-char
+    merges-of-merges are exercised too)."""
+    enc = {w: bpe_encode_word(w) for w in words}
+    ref = {w: list(w) for w in words}
+    for _ in range(n_merges):
+        # deterministically pick the lexicographically-largest adjacent
+        # pair still present (any rule works for the property; this one
+        # needs no randomness source beyond hypothesis' inputs)
+        pairs = sorted(
+            {
+                (s[i], s[i + 1])
+                for s in ref.values()
+                for i in range(len(s) - 1)
+            }
+        )
+        if not pairs:
+            break
+        lhs, rhs = pairs[-1]
+        for w in words:
+            enc[w] = enc[w].replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} ")
+            ref[w] = _greedy_merge(ref[w], lhs, rhs)
+    for w in words:
+        assert _decode(enc[w]) == ref[w], (w, enc[w], ref[w])
+
+
+def test_bpe_replace_semantics_match_engines(spark):
+    """The property test above runs on Python str.replace; this pins
+    Spark F.replace and DuckDB replace() to the same left-to-right
+    non-overlapping semantics on the adversarial cases (runs, merged
+    symbols, adjacent occurrences)."""
+    import duckdb
+
+    cases = [
+        ("aaaa", "a", "a"),
+        ("aaa", "a", "a"),
+        ("abab", "a", "b"),
+        ("aab", "a", "a"),
+        ("aaaaaa", "aa", "a"),  # merge of an already-merged symbol
+        ("abaab", "ab", "a"),
+        ("baaab", "a", "a"),
+    ]
+    rows = []
+    for word, lhs, rhs in cases:
+        s = bpe_encode_word(word)
+        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+        rows.append((s, pat, rep, s.replace(pat, rep)))
+    df = spark.createDataFrame(rows, "s string, pat string, rep string, want string")
+    got = df.select(
+        "want", F.replace("s", "pat", "rep").alias("spark_got"), "s", "pat", "rep"
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        assert r.spark_got == r.want, (r.s, r.pat, r.spark_got, r.want)
+        duck = con.execute("SELECT replace(?, ?, ?)", [r.s, r.pat, r.rep]).fetchone()[0]
+        assert duck == r.want, (r.s, r.pat, duck, r.want)
+
+
+def test_bpe_training_loop_matches_reference_trainer(spark):
+    """Full-trajectory cross-check of the engine's iterated trainer
+    (bpe_pair_counts + argmax + bpe_merge_apply, the exact loop body of
+    docs_bpe_training_loop) against an independent pure-Python BPE
+    trainer over a corpus engineered with runs and ties."""
+    corpus = {
+        # word -> frequency; runs + shared prefixes force interesting merges
+        "aaaa": 3,
+        "aaab": 2,
+        "abab": 4,
+        "banana": 2,
+        "bandana": 1,
+        "aa": 5,
+    }
+
+    def ref_trainer(wf, k):
+        syms = {w: list(w) for w in wf}
+        out = []
+        for it in range(1, k + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for w, f in wf.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            # argmax, ties lexicographic on (lhs, rhs) — same rule as the query
+            (lhs, rhs), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((it, lhs, rhs, n))
+            for w in wf:
+                syms[w] = _greedy_merge(syms[w], lhs, rhs)
+        return out
+
+    k = 8
+    expected = ref_trainer(corpus, k)
+    vocab = spark.createDataFrame(
+        [(bpe_encode_word(w), f) for w, f in corpus.items()], "s string, f bigint"
+    )
+    got = []
+    for it in range(1, k + 1):
+        best = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, n = best[0].lhs, best[0].rhs, int(best[0].n)
+        got.append((it, lhs, rhs, n))
+        vocab = bpe_merge_apply(vocab, lhs, rhs)
+    assert got == expected
