@@ -62,6 +62,39 @@ def main() -> int:
         ambient_load1 = round(os.getloadavg()[0], 1)
     except OSError:
         ambient_load1 = None
+    # CALM GATE (discipline by code): three consecutive driver artifacts
+    # were snapshotted during neighbor storms (r4-r6, ambient load 11-14)
+    # and recorded 40%+ phantom regressions; the memo asking for a calm
+    # window was ignored twice, so the gate now lives here.  If the
+    # 1-minute load exceeds SPARK_GRAFT_BENCH_CALM_GATE (default 4),
+    # wait for calm — re-sampling every 30s up to
+    # SPARK_GRAFT_BENCH_CALM_WAIT seconds (default 600) — and if the
+    # storm outlasts the wait, run anyway but stamp the artifact
+    # "noisy": true so no reader can mistake the number for an engine
+    # regression.  Progress goes to stderr; stdout stays the one line.
+    calm_gate = float(os.environ.get("SPARK_GRAFT_BENCH_CALM_GATE", "4"))
+    calm_wait = float(os.environ.get("SPARK_GRAFT_BENCH_CALM_WAIT", "600"))
+    calm_waited = 0.0
+    while (
+        ambient_load1 is not None
+        and ambient_load1 > calm_gate
+        and calm_waited < calm_wait
+    ):
+        print(
+            f"calm-gate: ambient load {ambient_load1} > {calm_gate}, "
+            f"waiting ({calm_waited:.0f}/{calm_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        calm_waited += 30
+        ambient_load1 = round(os.getloadavg()[0], 1)
+    noisy = ambient_load1 is not None and ambient_load1 > calm_gate
+    if noisy:
+        print(
+            f"calm-gate: storm outlasted {calm_wait:.0f}s wait "
+            f"(load {ambient_load1}); artifact will be stamped noisy",
+            file=sys.stderr,
+        )
     probe_ms_pre = _cpu_probe_ms()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -163,6 +196,17 @@ def main() -> int:
             timings[name] = dt
     wall = round(time.time() - t_suite, 3)
 
+    # The dedup/similarity families memoize localCheckpoint'd shingle /
+    # signature tables keyed by corpus (operators/dedup.py); in a
+    # long-lived session those blocks outlive the suite.  The pool has
+    # drained (no running consumers), so the maintenance hook's
+    # concurrency contract holds — reclaim executor storage now and
+    # record how much there was to reclaim.
+    from duckdb_cluster_hash_spark.operators.dedup import clear_shared_cache
+
+    freed_memo_entries = clear_shared_cache()
+    print(f"freed {freed_memo_entries} memoized checkpoint entries", file=sys.stderr)
+
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -182,6 +226,7 @@ def main() -> int:
         "sf": sf_val,
         "workers": workers,
         "ambient_load1": ambient_load1,
+        "noisy": noisy,  # calm-gate verdict; see header comment
         "probe_ms_pre": probe_ms_pre,
         "probe_ms_post": _cpu_probe_ms(),
         "n_queries": len(timings),
@@ -189,7 +234,12 @@ def main() -> int:
         "queries": top,  # 5 slowest only; full map in BENCH_LOCAL.json
     }
 
-    detail = dict(result, queries=timings)
+    detail = dict(
+        result,
+        queries=timings,
+        calm_waited_sec=calm_waited,
+        freed_memo_entries=freed_memo_entries,
+    )
     if prevs:
         try:
             detail["prev_round"] = os.path.basename(prevs[-1])

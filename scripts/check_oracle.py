@@ -122,8 +122,29 @@ def main(names):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     selected = names or list(qs)
+    # Group by family prefix (stable within a family) so the dedup
+    # memo's localCheckpoint blocks are reclaimed as soon as the last
+    # consumer family finishes, instead of living for the whole run —
+    # the memo exists to share shingle/signature tables ACROSS the
+    # dedup/similarity queries, so clearing per-query would defeat it
+    # while clearing per-family keeps peak executor storage bounded.
+    from duckdb_cluster_hash_spark.operators.dedup import clear_shared_cache
+
+    fam = lambda n: n.split("_", 1)[0]  # noqa: E731
+    if not names:  # explicit subsets keep user order
+        order = {f: i for i, f in enumerate(dict.fromkeys(map(fam, selected)))}
+        selected = sorted(selected, key=lambda n: order[fam(n)])
+    freed_total = 0
     failures = 0
+    prev_family = None
     for name in selected:
+        if prev_family is not None and fam(name) != prev_family:
+            freed = clear_shared_cache()
+            if freed:
+                print(f"-- cleared {freed} memoized checkpoint entries "
+                      f"after family '{prev_family}'")
+            freed_total += freed
+        prev_family = fam(name)
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
@@ -168,7 +189,9 @@ def main(names):
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"OK   {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
-    print(f"\n{len(selected) - failures}/{len(selected)} passed")
+    freed_total += clear_shared_cache()
+    print(f"\n{len(selected) - failures}/{len(selected)} passed "
+          f"({freed_total} memoized checkpoint entries reclaimed)")
     return 1 if failures else 0
 
 
