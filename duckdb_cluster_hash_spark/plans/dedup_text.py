@@ -1,0 +1,444 @@
+"""Tier C — dedup / near-dup / similarity over documents: exact, MinHash
+LSH, SimHash, winnowing, set-similarity join, components.
+
+Split out of the original plans/catalog.py; the registry, driver
+window, and rotation stay in catalog.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from duckdb_cluster_hash_spark.functions.clusterhash import (
+    cluster_node_col,
+    cluster_slot_col,
+    node_of_slot_col,
+    node_udf_col,
+    register_all,
+    slot_udf_col,
+)
+from duckdb_cluster_hash_spark.oracle import node_of_slot_sql, node_sql, slot_sql
+from duckdb_cluster_hash_spark.sources.tables import load_table
+from duckdb_cluster_hash_spark import oracle_text as _ot
+from duckdb_cluster_hash_spark.operators import dedup as _dd
+from duckdb_cluster_hash_spark.operators import similarity as _sim
+from duckdb_cluster_hash_spark.functions import text as _tx
+from duckdb_cluster_hash_spark.operators import multimodal as _mm
+from duckdb_cluster_hash_spark.streaming import events as _ev
+from duckdb_cluster_hash_spark.oracle import node_sql as _node_sql
+from duckdb_cluster_hash_spark.operators import joins as _joins
+from duckdb_cluster_hash_spark.operators import skew as _sk
+from duckdb_cluster_hash_spark.functions.text import (  # noqa: E402
+    bigram_lift_top_sql,
+    bm25_topk_sql,
+)
+
+from duckdb_cluster_hash_spark.plans._registry import ORACLES, QUERIES, _money_sum, _t, query  # noqa: F401
+
+
+@query(
+    "docs_exact_dedup",
+    oracle=(
+        "WITH h AS (SELECT md5(text) AS th FROM documents), "
+        "g AS (SELECT th, count(*) AS cnt FROM h GROUP BY th) "
+        "SELECT CAST(sum(cnt) AS BIGINT) AS total_docs, "
+        "count(*) AS distinct_docs, "
+        "count(*) FILTER (WHERE cnt > 1) AS dup_groups, "
+        "COALESCE(CAST(sum(cnt - 1) FILTER (WHERE cnt > 1) AS BIGINT), 0) AS dup_docs "
+        "FROM g"
+    ),
+)
+def docs_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup profile (C3): md5-hash groups over document text."""
+    docs = _t(spark, sf_dir, "documents")
+    groups = docs.groupBy(F.md5("text").alias("th")).agg(F.count("*").alias("cnt"))
+    return groups.agg(
+        F.sum("cnt").alias("total_docs"),
+        F.count("*").alias("distinct_docs"),
+        F.count(F.when(F.col("cnt") > 1, 1)).alias("dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") - 1)), F.lit(0)
+        ).alias("dup_docs"),
+    )
+
+
+@query("docs_dedup_representatives", oracle=_ot.dedup_representatives_sql())
+def docs_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (C3): one keeper id per distinct text, digest-keyed."""
+    return _dd.dedup_representatives(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@query("docs_ngram_jaccard_pairs", oracle=_ot.ngram_jaccard_pairs_sql(3, 0.2))
+def docs_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup (C4 baseline): word-3-gram Jaccard >= 0.2 via the
+    inverted-index self-join (the oracle cross-joins; we never do)."""
+    return _dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.2
+    )
+
+
+@query(
+    "docs_minhash_neardup_pairs",
+    oracle=_ot.minhash_neardup_pairs_sql(3, 16, 8, 2, 0.2),
+)
+def docs_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (C4 scale path): 16 hashes, 8 bands x 2 rows,
+    candidates verified with exact Jaccard on candidates only."""
+    return _dd.minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        n=3,
+        k=16,
+        bands=8,
+        rows=2,
+        threshold=0.2,
+    )
+
+
+@query("docs_simhash_signatures", oracle=_ot.simhash_signatures_sql())
+def docs_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (C4): 64-bit majority-vote fingerprint per document.
+    Shares the materialized signature table with the near-dup pairs
+    query (dedup._shared_checkpoint) — one explode + 64-sum pass per
+    corpus per session."""
+    return _dd.simhash64_shared(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query("docs_simhash_neardup_pairs", oracle=_ot.simhash_neardup_pairs_sql(2))
+def docs_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at Hamming distance <= 2, via pigeonhole
+    block banding (block-equality join, 100% recall).  The oracle stays
+    brute-force all-pairs — a genuine cross-check that the banded plan
+    reproduces the exact result set."""
+    return _dd.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=2
+    )
+
+
+@query("docs_fingerprints", oracle=_ot.rolling_hash_sql())
+def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprint per document (C6)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _tx.rolling_hash_pudf()(F.col("text")).alias("fingerprint")
+    )
+
+
+@query("docs_winnow_fingerprints", oracle=_ot.winnow_fingerprints_sql(3, 4))
+def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (C6): distinct sliding-window minima of
+    3-gram hashes, window 4 — the local fingerprinting scheme."""
+    return _dd.winnow_fingerprints(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, window=4
+    )
+
+
+@query("docs_neardup_components", oracle=_ot.neardup_components_sql(3, 16, 8, 2, 0.2))
+def docs_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering (C4 end-game): MinHash pairs -> connected
+    components via iterative min-label propagation; component id = min
+    doc id (the oracle computes the same closure with a recursive CTE)."""
+    pairs = _dd.minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=8, rows=2, threshold=0.2,
+    )
+    return _dd.neardup_components(pairs)
+
+
+@query("docs_chunk_dedup_histogram", oracle=_ot.chunk_dedup_histogram_sql(8))
+def docs_chunk_dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup census (the paragraph-dedup analog, dolma /
+    RefinedWeb-style): md5 digests of non-overlapping 8-word chunks,
+    histogram of how many documents share each chunk.
+
+    Scale: the shuffle carries 32-byte digests (never chunk text); two
+    keyed aggregations sized by distinct-chunk count, then a histogram
+    over a handful of rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.chunk_dedup_histogram(docs, "doc_id", "text", 8)
+
+
+@query("docs_dup_span_coverage", oracle=_ot.duplicated_span_coverage_sql(8))
+def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span coverage (Lee et al. 2022 exact
+    substring dedup signal): per document, the share of sequential
+    8-gram positions whose 8-gram appears in >= 1 other document —
+    position-aware, unlike set-based Jaccard, so it measures how much
+    of the document's SURFACE is literally shared boilerplate.
+
+    Scale: positions shuffle as md5 digests; shared grams come from one
+    keyed aggregation with an early HAVING; membership joins back
+    left-semi.  Basis points keep the ratio integer cross-engine.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.duplicated_span_coverage(docs, "doc_id", "text", n=8)
+
+
+@query(
+    "docs_incremental_dedup",
+    oracle=(
+        "WITH base AS (SELECT md5(text) AS digest FROM documents "
+        "WHERE doc_id % 2 = 0), "
+        "inc AS (SELECT doc_id, source, md5(text) AS digest FROM documents "
+        "WHERE doc_id % 2 = 1), "
+        "w AS (SELECT source, digest, "
+        "row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rk, "
+        "CASE WHEN digest IN (SELECT digest FROM base) THEN 1 ELSE 0 END "
+        "AS in_base FROM inc) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_incoming, "
+        "CAST(sum(CASE WHEN in_base = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_dup_vs_base, "
+        "CAST(sum(CASE WHEN in_base = 0 AND rk > 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_dup_within, "
+        "CAST(sum(CASE WHEN in_base = 0 AND rk = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_new_unique "
+        "FROM w GROUP BY source ORDER BY source"
+    ),
+)
+def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: a new batch (odd doc_ids) deduplicates
+    against the already-ingested base corpus (even doc_ids) AND within
+    itself, reporting per-source how much of the batch is (a) already in
+    the base, (b) self-duplicate inside the batch, (c) genuinely new —
+    the accept/reject accounting every rolling crawl ingestion keeps.
+
+    Scale: both sides shuffle 32-byte md5 digests, never text; the
+    vs-base membership is a LEFT SEMI-shaped join keyed on the digest
+    (at 100 TB the base digest set is a bucketed table, making this a
+    co-located join); within-batch dedup is one rank window over the
+    digest key — same shuffle, no second pass.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("digest")
+    )
+    inc = docs.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    from pyspark.sql.window import Window
+
+    hit = base.distinct().withColumn("in_base", F.lit(1))
+    w = (
+        inc.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("digest").orderBy("doc_id")
+            ),
+        )
+        .join(hit, "digest", "left")
+        .withColumn("in_base", F.coalesce("in_base", F.lit(0)))
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.sum((F.col("in_base") == 1).cast("bigint")).alias(
+                "n_dup_vs_base"
+            ),
+            F.sum(
+                ((F.col("in_base") == 0) & (F.col("rk") > 1)).cast("bigint")
+            ).alias("n_dup_within"),
+            F.sum(
+                ((F.col("in_base") == 0) & (F.col("rk") == 1)).cast("bigint")
+            ).alias("n_new_unique"),
+        )
+        .orderBy("source")
+    )
+
+
+def _setsim_oracle_sql(tau_num: int = 8, tau_den: int = 10) -> str:
+    # Deliberately naive complete oracle: full token self-join generates
+    # every pair sharing ANY token, exact integer Jaccard test
+    # (tau_den * inter >= tau_num * union), then the same histogram with
+    # SYMMETRIC pair aggregates (sum of id sums, sum of id products) the
+    # Spark side emits.  Completeness of the oracle is the point: a
+    # wrong prefix bound or a lossy candidate filter on the Spark side
+    # would MISS pairs and hash-mismatch here.
+    return (
+        "WITH dt AS (SELECT doc_id, unnest(list_distinct("
+        "regexp_extract_all(lower(text), '[a-z]+'))) AS tok FROM documents), "
+        "sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM dt GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, "
+        "CAST(count(*) AS BIGINT) AS i FROM dt a JOIN dt b "
+        "ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY d1, d2), "
+        "pairs AS (SELECT d1, d2, i, s1.n + s2.n - i AS u FROM inter "
+        "JOIN sz s1 ON s1.doc_id = inter.d1 JOIN sz s2 ON s2.doc_id = inter.d2 "
+        f"WHERE {tau_den} * i >= {tau_num} * (s1.n + s2.n - i)) "
+        "SELECT CAST((1000 * i) // u AS BIGINT) AS jac_milli, "
+        "CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(sum(d1 + d2) AS BIGINT) AS sum_ids, "
+        "CAST(sum(d1 * d2) AS BIGINT) AS sum_products "
+        "FROM pairs GROUP BY jac_milli ORDER BY jac_milli DESC"
+    )
+
+
+@query("docs_set_similarity_join", oracle=_setsim_oracle_sql())
+def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= 0.8 (PPJoin-style
+    prefix filtering; Xiao et al., WWW'08) — the exact complement to
+    the MinHash/SimHash APPROXIMATE near-dup family, with every
+    candidate-pruning trick LOSSLESS so completeness survives the
+    oracle's naive all-pairs grade:
+
+    1. EXACT-DUP COLLAPSE first: identical token sets group under an
+       md5 set-hash, and the quadratic phase runs on DISTINCT sets
+       only — in a near-dup-heavy corpus (this one: ~20% exact-dup
+       docs) that shrinks pair work by the square.  Doc-level pair
+       aggregates are recovered ALGEBRAICALLY from per-group
+       (count, id-sum, id-square-sum): symmetric functions factor over
+       groups — cross-group pairs contribute kH*s1G + kG*s1H id-sums
+       and s1G*s1H products; within-group (Jaccard = 1 by identity)
+       contribute C(k,2), (k-1)*s1 and (s1^2 - s2)/2 — so the output
+       pins the same doc-level pair multiset the naive oracle counts,
+       without ever enumerating intra-cluster pairs.
+    2. Rarest-first PREFIX join: the global order is the (df, tok)
+       tuple (no dense-rank single-partition exchange); each set keeps
+       its first n - ceil(0.8n) + 1 tokens; only prefix-sharing sets
+       become candidates.
+    3. Lossless LENGTH filter at the join (10*min(n1,n2) >=
+       8*max(n1,n2)) and POSITIONAL filter after it (max over shared
+       prefix tokens of 1 + min(n1-p1, n2-p2) >= ceil(8(n1+n2)/18)):
+       both are the PPJoin bounds — they can only drop pairs the
+       Jaccard test would drop anyway.
+    4. Exact verify by sorted-array intersection: candidates shuffle
+       back to the distinct-set table with two KEYED joins on the set
+       hash.  On each join's build side a group's token array is
+       shuffled once per group (hash-partitioned on h1 / h2); the
+       intermediate h1-join output does carry t1 arrays into the h2
+       exchange, i.e. t1 arrays ride that one exchange per CANDIDATE —
+       bounded by the filter-pruned candidate count, not the pair
+       cross product.  No forced broadcast pins the full token-array
+       table in executor memory (at 100 TB the distinct-set table is
+       GBs of arrays; AQE may still choose a broadcast at runtime when
+       the measured size is small, which is the right call at small
+       SF).  If candidate counts ever dominate, the scalar PPJoin
+       stats could be joined first and arrays fetched in a final
+       positional pass.
+
+    All arithmetic is integer; both engines agree bit-for-bit.  (At
+    scales where sum-of-products nears int64, both sides would reduce
+    the checksum modulo a shared prime at the same final step.)
+
+    Scale: dup collapse bounds the blow-up where near-dup corpora
+    actually explode (inside duplicate clusters); the prefix join only
+    multiplies RARE-token posting lists; the verify input is
+    filter-pruned candidates, not the token cross product.  The
+    naive oracle joins on every token — the prefix pipeline is the
+    100 TB version, and its completeness is GRADED, not assumed.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # Tokens are carried as 63-bit md5 digests from here on (the repo's
+    # shingle-digest convention, dedup.py): the verify step intersects
+    # sorted INT arrays instead of string arrays — same result, a
+    # fraction of the comparison/allocation cost at millions of pairs.
+    with_sets = docs.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.expr(
+                    "transform(regexp_extract_all(lower(text), '[a-z]+', 0), "
+                    "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) "
+                    "as bigint))"
+                )
+            )
+        ).alias("ts"),
+    ).withColumn("h", F.md5(F.concat_ws(" ", "ts")))
+    groups = with_sets.groupBy("h").agg(
+        F.first("ts").alias("ts"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("doc_id").cast("bigint").alias("s1"),
+        F.sum(F.col("doc_id") * F.col("doc_id")).cast("bigint").alias("s2"),
+        F.size(F.first("ts")).cast("bigint").alias("n"),
+    )
+    # groups feeds five subtrees (df table, prefix build, two keyed
+    # verify sides, within-group expansion) — materialize the
+    # distinct-set table once instead of re-tokenizing the corpus per
+    # subtree (same convention as the dedup family's shared memo)
+    groups = groups.localCheckpoint(eager=True)
+    dt = groups.select("h", "n", F.explode("ts").alias("tok"))
+    df_tok = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    w_set = Window.partitionBy("h")
+    pref = (
+        dt.join(F.broadcast(df_tok), "tok")
+        .withColumn(
+            "pos",
+            F.row_number().over(w_set.orderBy(F.asc("df"), F.asc("tok"))),
+        )
+        .where(F.expr("pos <= n - ((8 * n + 9) div 10) + 1"))
+        .select("h", "tok", "pos", "n")
+    ).localCheckpoint(eager=True)  # both sides of the self-join
+    # Lossless row-level positional filter: a qualifying pair must have
+    # AT LEAST ONE shared prefix token whose overlap upper bound
+    # 1 + min(n1-p1, n2-p2) reaches alpha = ceil(8(n1+n2)/18) — that row
+    # survives the filter, so dropping the others before the distinct is
+    # free (narrower exchange rows, no max aggregate needed).
+    cands = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.h") < F.col("b.h")),
+        )
+        .where(
+            F.expr("10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)")
+            & F.expr(
+                "1 + least(a.n - a.pos, b.n - b.pos) >= "
+                "(8 * (a.n + b.n) + 17) div 18"
+            )
+        )
+        .select(F.col("a.h").alias("h1"), F.col("b.h").alias("h2"))
+        .distinct()
+    )
+    side = groups.select("h", "ts", "n", "k", "s1")
+    verified = (
+        cands.join(
+            side.select(
+                F.col("h").alias("h1"), F.col("ts").alias("t1"),
+                F.col("n").alias("n1"), F.col("k").alias("k1"),
+                F.col("s1").alias("i1"),
+            ),
+            "h1",
+        )
+        .join(
+            side.select(
+                F.col("h").alias("h2"), F.col("ts").alias("t2"),
+                F.col("n").alias("n2"), F.col("k").alias("k2"),
+                F.col("s1").alias("i2"),
+            ),
+            "h2",
+        )
+        .withColumn("i", F.size(F.array_intersect("t1", "t2")).cast("bigint"))
+        .withColumn("u", F.expr("n1 + n2 - i"))
+        .where(F.expr("10 * i >= 8 * u"))
+    )
+    cross = verified.select(
+        F.expr("(1000 * i) div u").cast("bigint").alias("jac_milli"),
+        F.expr("k1 * k2").cast("bigint").alias("np"),
+        F.expr("k2 * i1 + k1 * i2").cast("bigint").alias("si"),
+        F.expr("i1 * i2").cast("bigint").alias("sp"),
+    )
+    within = (
+        groups.where(F.col("k") >= 2)
+        .select(
+            F.lit(1000).cast("bigint").alias("jac_milli"),
+            F.expr("k * (k - 1) div 2").cast("bigint").alias("np"),
+            F.expr("(k - 1) * s1").cast("bigint").alias("si"),
+            F.expr("(s1 * s1 - s2) div 2").cast("bigint").alias("sp"),
+        )
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("jac_milli")
+        .agg(
+            F.sum("np").cast("bigint").alias("n_pairs"),
+            F.sum("si").cast("bigint").alias("sum_ids"),
+            F.sum("sp").cast("bigint").alias("sum_products"),
+        )
+        .orderBy(F.desc("jac_milli"))
+    )

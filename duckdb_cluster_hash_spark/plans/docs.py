@@ -1,0 +1,1745 @@
+"""Tier C — documents: text analysis, curation/sampling, tokenizer
+training, retrieval, PII.
+
+Split out of the original plans/catalog.py; the registry, driver
+window, and rotation stay in catalog.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from duckdb_cluster_hash_spark.functions.clusterhash import (
+    cluster_node_col,
+    cluster_slot_col,
+    node_of_slot_col,
+    node_udf_col,
+    register_all,
+    slot_udf_col,
+)
+from duckdb_cluster_hash_spark.oracle import node_of_slot_sql, node_sql, slot_sql
+from duckdb_cluster_hash_spark.sources.tables import load_table
+from duckdb_cluster_hash_spark import oracle_text as _ot
+from duckdb_cluster_hash_spark.operators import dedup as _dd
+from duckdb_cluster_hash_spark.operators import similarity as _sim
+from duckdb_cluster_hash_spark.functions import text as _tx
+from duckdb_cluster_hash_spark.operators import multimodal as _mm
+from duckdb_cluster_hash_spark.streaming import events as _ev
+from duckdb_cluster_hash_spark.oracle import node_sql as _node_sql
+from duckdb_cluster_hash_spark.operators import joins as _joins
+from duckdb_cluster_hash_spark.operators import skew as _sk
+from duckdb_cluster_hash_spark.functions.text import (  # noqa: E402
+    bigram_lift_top_sql,
+    bm25_topk_sql,
+)
+
+from duckdb_cluster_hash_spark.plans._registry import ORACLES, QUERIES, _money_sum, _t, query  # noqa: F401
+
+
+@query(
+    "docs_stats_by_lang",
+    oracle=(
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+        "CAST(sum(length(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) AS sum_tokens "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+)
+def docs_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-corpus profile (C6): per-language doc/char/token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum(tokens).alias("sum_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query("docs_lang_id_counts", oracle=_ot.lang_id_counts_sql())
+def docs_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (C6): script ranges + stopword voting;
+    distribution of predicted languages.  The doc-id repartition spreads
+    the regex-heavy scoring across the cluster instead of running it on
+    the scan's (possibly single-file) task layout."""
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    return (
+        docs.select(_tx.language_id_col(F.col("text")).alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("predicted_lang")
+    )
+
+
+@query("docs_quality_scores", oracle=_ot.quality_scores_sql())
+def docs_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + combined [0,1] score (C6)."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = _tx.quality_features(docs, "text")
+    return feats.select(
+        "doc_id",
+        "n_chars_q",
+        "n_tokens",
+        "mean_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+        "stop_ratio",
+        "repetition_ratio",
+        _tx.quality_score_col().alias("quality"),
+    )
+
+
+@query("docs_token_stats_by_source", oracle=_ot.token_stats_by_source_sql())
+def docs_token_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts rolled up by source (C6)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(_tx.ws_token_count(F.col("text"))).alias("ws_tokens"),
+            F.sum(_tx.bpe_ish_token_count(F.col("text"))).alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_media_metadata",
+    oracle=(
+        "SELECT doc_id, 'image/fake' AS media_type, "
+        "(16 + octet_length(encode(text)))::BIGINT AS byte_len, "
+        "(16 + doc_id % 64)::INTEGER AS width, "
+        "(16 + (doc_id * 7) % 48)::INTEGER AS height, "
+        "(1 + doc_id % 8)::INTEGER AS n_frames, "
+        "((16 + doc_id % 64) * 1000) // (16 + (doc_id * 7) % 48) AS aspect_milli "
+        "FROM documents"
+    ),
+)
+def docs_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize binary media, decode headers via
+    Arrow-batched mapInPandas; the oracle recomputes the header math."""
+    docs = _t(spark, sf_dir, "documents")
+    return _mm.media_metadata(_mm.attach_fake_media(docs))
+
+
+@query(
+    "docs_ilike_filter",
+    oracle=(
+        "SELECT source, count(*) AS n_docs FROM documents "
+        "WHERE source ILIKE 'SRC1%' AND text ILIKE '%the%' "
+        "GROUP BY source ORDER BY source"
+    ),
+)
+def docs_ilike_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILIKE pattern predicate (B13, quack.test:21-23 shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("source").ilike("SRC1%") & F.col("text").ilike("%the%"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_token_top20",
+    oracle=(
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
+        "FROM documents) "
+        "SELECT w, CAST(count(*) AS BIGINT) AS n FROM w "
+        "GROUP BY w ORDER BY n DESC, w LIMIT 20"
+    ),
+)
+def docs_token_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-k (C6): the Zipf head every
+    training-data report starts with.  ORDER BY + LIMIT plans as
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(20)
+    )
+
+
+@query(
+    "docs_lang_top_tokens",
+    oracle=(
+        "WITH w AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS w FROM documents), "
+        "c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS n FROM w "
+        "GROUP BY lang, w), "
+        "r AS (SELECT lang, w, n, row_number() OVER "
+        "(PARTITION BY lang ORDER BY n DESC, w) AS rk FROM c) "
+        "SELECT lang, w, n, rk::INTEGER AS rk FROM r WHERE rk <= 5 "
+        "ORDER BY lang, rk"
+    ),
+)
+def docs_lang_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP top-k (C6): the 5 most frequent tokens per language —
+    the grouped variant of docs_token_top20 and the pattern every
+    per-source/per-language corpus report needs.  Deterministic
+    tie-break (count desc, token asc) keeps both engines identical.
+
+    Scale: the rank window partitions by lang over the ALREADY
+    AGGREGATED (lang, token) counts — the window input is the distinct
+    vocabulary per language, not the corpus, so no global sort and no
+    skewed window over raw tokens.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    counts = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("w"))
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .where(F.col("rk") <= 5)
+        .orderBy("lang", "rk")
+    )
+
+
+@query(
+    "docs_source_quota_sample",
+    oracle=(
+        "WITH ranked AS (SELECT source, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tokens, "
+        "row_number() OVER (PARTITION BY source "
+        "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM documents) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_total, "
+        "CAST(sum(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+        "CAST(sum(CASE WHEN rk <= 100 THEN tokens ELSE 0 END) AS BIGINT) "
+        "AS kept_tokens "
+        "FROM ranked GROUP BY source ORDER BY source"
+    ),
+)
+def docs_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source QUOTA capping (the mixture-building twin
+    of rate-based stratified sampling): each source keeps its first 100
+    documents in md5 order — a fixed budget per source regardless of
+    source size, the rule used to stop one crawl dump from dominating a
+    mixture.  md5 order makes the kept set a uniform, reproducible
+    sample; doc_id breaks (impossible) digest ties for total order.
+
+    Scale: one shuffle on source, per-source local sort for the rank
+    window, map-side conditional aggregation — the quota never
+    materializes a separate kept table or second pass.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+
+    ranked = docs.select(
+        "source",
+        ws_token_count(F.col("text")).cast("bigint").alias("tokens"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+            )
+        )
+        .alias("rk"),
+    )
+    kept = F.col("rk") <= 100
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("tokens")).otherwise(F.lit(0))).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_rag_chunks",
+    oracle=(
+        "WITH t AS (SELECT source, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tokens "
+        "FROM documents), "
+        "c AS (SELECT source, tokens, CASE WHEN tokens <= 128 THEN 1 "
+        "ELSE 1 + (tokens - 128 + 95) // 96 END AS n_chunks FROM t) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(tokens) AS BIGINT) AS total_tokens, "
+        "CAST(sum(n_chunks) AS BIGINT) AS total_chunks, "
+        "CAST(max(n_chunks) AS BIGINT) AS max_chunks "
+        "FROM c GROUP BY source ORDER BY source"
+    ),
+)
+def docs_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document sliding-window chunking (the RAG-ingestion twin of
+    cross-document packing): 128-token chunks with 32-token overlap
+    (stride 96), so a T-token document yields 1 chunk if T <= 128, else
+    1 + ceil((T-128)/96).  Integer div end-to-end; per-source rollup of
+    doc/token/chunk totals and the largest per-doc chunk count.
+
+    Scale: chunk counts are a pure map-side projection (no explode — the
+    chunk TEXT itself is only materialized downstream when embedding,
+    and then as a map-side explode); the only shuffle is the final
+    per-source aggregate.
+    """
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", ws_token_count(F.col("text")).cast("bigint").alias("tokens")
+    )
+    n_chunks = F.when(F.col("tokens") <= 128, F.lit(1)).otherwise(
+        F.lit(1) + F.expr("(tokens - 128 + 95) div 96")
+    )
+    return (
+        t.withColumn("n_chunks", n_chunks)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.sum("n_chunks").alias("total_chunks"),
+            F.max("n_chunks").alias("max_chunks"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("docs_corpus_curation", oracle=_ot.corpus_curation_sql(min_quality=0.65))
+def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation report (C3+C6 composite):
+    exact-dup detection, quality scoring, and language ID fused into one
+    keep/drop decision per document, aggregated per (lang, decision).
+
+    Scale: ONE pass over the corpus — the md5-digest window is the only
+    shuffle (same key a digest groupBy would use, and only (doc_id,
+    digest, small ints) cross the wire conceptually; text-derived
+    features are computed scan-side before the exchange).  Quality and
+    lang-ID are pure codegen Column chains (no Python).  The decision
+    ladder mirrors a production pipeline: dedup wins over quality so
+    re-ingested copies never double-count against quality stats.
+    """
+    from pyspark.sql.window import Window
+
+    from duckdb_cluster_hash_spark.functions.text import (
+        language_id_col,
+        quality_features,
+        quality_score_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = quality_features(docs, "text")
+    scored = feats.select(
+        "doc_id",
+        "n_tokens",
+        quality_score_col().alias("quality"),
+        language_id_col(F.col("text")).alias("lang_id"),
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text"))))
+        .alias("rep"),
+    )
+    decided = scored.select(
+        "lang_id",
+        "n_tokens",
+        F.when(F.col("doc_id") != F.col("rep"), "duplicate")
+        .when(F.col("quality") < 0.65, "low_quality")
+        .otherwise("kept")
+        .alias("decision"),
+    )
+    return (
+        decided.groupBy("lang_id", "decision")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+        )
+        .orderBy("lang_id", "decision")
+    )
+
+
+@query(
+    "docs_stratified_sample",
+    oracle=(
+        "WITH b AS (SELECT lang, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS bucket, "
+        "CASE WHEN lang = 'en' THEN 250 ELSE 600 END AS rate_permille "
+        "FROM documents) "
+        "SELECT lang, rate_permille, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(*) FILTER (bucket < rate_permille) AS BIGINT) AS n_kept "
+        "FROM b GROUP BY lang, rate_permille ORDER BY lang"
+    ),
+)
+def docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus rebalancing (downsample the
+    dominant language to 25%, keep 60% of the rest) via the md5-permille
+    rule — the reproducible sampler a training pipeline needs (same rows
+    every run, independent of partitioning; ``df.sample`` is neither).
+
+    Scale: the keep/drop decision is a map-side CASE + hash filter with
+    zero shuffles; only this report's tiny per-language rollup
+    aggregates.  The kept-count hash pins the exact sampled row set.
+    """
+    from duckdb_cluster_hash_spark.operators.sampling import (
+        sample_bucket_col,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(250)).otherwise(F.lit(600))
+    kept = stratified_sample(docs, "lang", "doc_id", {"en": 250}, 600)
+    totals = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    kept_counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        totals.join(kept_counts, "lang", "left")
+        .select(
+            "lang",
+            F.when(F.col("lang") == "en", F.lit(250)).otherwise(F.lit(600)).alias(
+                "rate_permille"
+            ),
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "docs_token_shards",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS INTEGER) AS n_tokens, "
+        "md5(doc_id::VARCHAR) AS h FROM documents), "
+        "c AS (SELECT n_tokens, CAST(sum(n_tokens) OVER "
+        "(ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "- n_tokens AS BIGINT) AS cum FROM t) "
+        "SELECT cum // 5000 AS shard, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS shard_tokens "
+        "FROM c GROUP BY shard ORDER BY shard"
+    ),
+)
+def docs_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding: pack the corpus, in deterministic md5
+    order, into ~5000-token training shards.
+
+    The oracle computes the running sum with ONE global window — fine at
+    sf0.01, a single-partition sort at 100 TB.  The Spark side is the
+    scalable two-level prefix sum (256 parallel bucket windows + a
+    broadcast 256-row offset table, operators/sampling.py): identical
+    shard ids, no global sort of the corpus anywhere.
+    """
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+    from duckdb_cluster_hash_spark.operators.sampling import token_shards
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).alias("n_tokens")
+    )
+    shards = token_shards(docs, "doc_id", "n_tokens", budget=5000)
+    return (
+        shards.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "docs_pack_sequences",
+    oracle=(
+        "WITH toks AS (SELECT "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 8 AS shard, "
+        "md5(doc_id::VARCHAR) AS okey, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS tokens "
+        "FROM documents), "
+        "packed AS (SELECT shard, tokens, "
+        "COALESCE(sum(tokens) OVER (PARTITION BY shard ORDER BY okey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before "
+        "FROM toks) "
+        "SELECT shard::INTEGER AS shard, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(tokens) AS BIGINT) AS total_tokens, "
+        "CAST((sum(tokens) + 511) // 512 AS BIGINT) AS n_sequences, "
+        "CAST(sum(CASE WHEN tokens > 0 AND cum_before // 512 <> "
+        "(cum_before + tokens - 1) // 512 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_straddlers "
+        "FROM packed GROUP BY shard ORDER BY shard"
+    ),
+)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (the GPT-style concatenate-and-chunk
+    step): documents are concatenated in deterministic md5 order within
+    8 md5 shards and cut into fixed 512-token sequences; a document
+    whose span crosses a cut is a STRADDLER (it will be split across two
+    training sequences).  Per shard: doc/token totals, sequence count
+    ceil(total/512), and the straddler count.
+
+    The straddler count is a function of the exact packing ORDER (the
+    per-shard ordered prefix sum), so equality with the oracle pins the
+    whole concatenation layout, not just totals.  Integer div throughout
+    — no doubles anywhere.
+
+    Scale: ONE hash shuffle on shard, then per-shard local sort +
+    running sum (window partitioned by shard — never a global sort); at
+    100 TB shard count is the parallelism knob and each shard packs
+    independently, which is exactly how training-data pipelines shard
+    their tokenizer output.
+    """
+    from pyspark.sql.window import Window
+
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+
+    seq_len = 512
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % 8
+        ).cast("int").alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        ws_token_count(F.col("text")).cast("bigint").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    )
+    straddles = (F.col("tokens") > 0) & (
+        F.expr(f"cum_before div {seq_len}")
+        != F.expr(f"(cum_before + tokens - 1) div {seq_len}")
+    )
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("total_tokens"),
+            F.expr(f"(sum(tokens) + {seq_len - 1}) div {seq_len}").alias(
+                "n_sequences"
+            ),
+            F.sum(straddles.cast("bigint")).alias("n_straddlers"),
+        )
+        .orderBy("shard")
+    )
+
+
+@query(
+    "docs_media_byte_features",
+    oracle=(
+        "WITH cs AS (SELECT doc_id, "
+        "[unicode(c) FOR c IN regexp_extract_all(text, '.')] AS b FROM documents) "
+        "SELECT doc_id, CAST(len(b) AS BIGINT) AS payload_len, "
+        "CAST(len(list_distinct(b)) AS INTEGER) AS distinct_bytes, "
+        "CAST(coalesce(list_sum(b), 0) AS BIGINT) AS byte_sum, "
+        "CAST(coalesce(list_min(b), -1) AS INTEGER) AS byte_min, "
+        "CAST(coalesce(list_max(b), -1) AS INTEGER) AS byte_max "
+        "FROM cs ORDER BY doc_id"
+    ),
+)
+def docs_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free multimodal feature extraction: byte histograms of each
+    media payload via Arrow-batched numpy (operators/multimodal.py
+    media_byte_features) — the screen a real pipeline runs before decode.
+
+    The fake payload is the document's UTF-8 text and the corpus is
+    ASCII, so the DuckDB oracle reproduces every integer from code
+    points.  Scale: pure map-side mapInPandas, no shuffle; metadata-only
+    readers never touch the payload column (parquet column pruning).
+    """
+    from duckdb_cluster_hash_spark.operators.multimodal import (
+        attach_fake_media,
+        media_byte_features,
+    )
+
+    docs = attach_fake_media(_t(spark, sf_dir, "documents"))
+    return media_byte_features(docs).orderBy("doc_id")
+
+
+@query(
+    "docs_eval_contamination",
+    oracle=(
+        f"WITH {_ot.shingles_cte(3)}, "
+        "eval_sh AS (SELECT DISTINCT unnest(sh) AS sh FROM shingled "
+        "WHERE doc_id % 97 = 0), "
+        "corp AS (SELECT doc_id, unnest(sh) AS sh FROM shingled "
+        "WHERE doc_id % 97 <> 0), "
+        "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+        "CAST(sum(CASE WHEN sh IN (SELECT sh FROM eval_sh) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_hit FROM corp GROUP BY doc_id) "
+        "SELECT doc_id, n_shingles, n_hit, "
+        "CAST((10000 * n_hit) // n_shingles AS BIGINT) AS overlap_bp "
+        "FROM agg WHERE (10000 * n_hit) // n_shingles >= 500 ORDER BY doc_id"
+    ),
+)
+def docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination screen: for every training document, the
+    fraction of its word 3-grams that also appear anywhere in a held-out
+    eval set (here the deterministic ``doc_id % 97 == 0`` slice) — the
+    n-gram-overlap contamination check every serious pretraining pipeline
+    runs before training (the reference has no analog; driver Tier C).
+
+    Scale: the eval side is tiny by construction (benchmarks are KBs, the
+    corpus is TBs), so its distinct-shingle set is BROADCAST and the
+    corpus side is a map-side hash probe — the only shuffle is the per-doc
+    count aggregation, which AQE-coalesces.  No corpus-vs-corpus join
+    exists anywhere in the plan.  The overlap ratio is integer basis
+    points via floor division (cross-engine exact, no float rounding).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    eval_sh = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(_dd.word_ngrams(F.col("text"), 3)).alias("sh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corp = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .repartition(F.col("doc_id"))
+        .select("doc_id", F.explode(_dd.word_ngrams(F.col("text"), 3)).alias("sh"))
+    )
+    agg = (
+        corp.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        agg.select(
+            "doc_id",
+            "n_shingles",
+            "n_hit",
+            F.floor((F.lit(10000) * F.col("n_hit")) / F.col("n_shingles"))
+            .cast("long")
+            .alias("overlap_bp"),
+        )
+        .where(F.col("overlap_bp") >= 500)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_train_val_test_split",
+    oracle=(
+        "WITH d AS (SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 "
+        "AS bucket FROM documents), "
+        "s AS (SELECT CASE WHEN bucket < 98 THEN 'train' WHEN bucket = 98 THEN 'val' "
+        "ELSE 'test' END AS split, "
+        "len(string_split(text, ' ')) AS n_tokens, n_chars FROM d) "
+        "SELECT split, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars "
+        "FROM s GROUP BY split ORDER BY split"
+    ),
+)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by md5(doc_id)
+    bucket — the standard content-addressed split that stays stable as
+    the corpus grows (a new document never reshuffles existing
+    assignments, unlike ntile/random splits).  md5 is the one hash both
+    engines share bit-identically.
+
+    Scale: pure per-row projection + one partial-aggregated groupBy over
+    3 groups; no joins, no windows, no skew (md5 is uniform).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 98, "train").when(bucket == 98, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+@query("docs_repetition_quality", oracle=_ot.repetition_quality_sql())
+def docs_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc
+    top-token share and duplicate-2-gram fraction in integer basis
+    points — the screens that reject boilerplate/spam before training.
+
+    Scale: two (doc_id, token)-keyed aggregations with map-side combine;
+    the doc_id⋈doc_id join of the two aggregate branches is
+    co-partitioned by the groupBy shuffles.  No cross-document joins.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.repetition_stats(docs, "doc_id", "text").orderBy("doc_id")
+
+
+@query("docs_tfidf_top_terms", oracle=_ot.tfidf_top_terms_sql(3, "source"))
+def docs_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic terms per source by integer TF-IDF
+    ((tf * n_docs) // df — exact arithmetic, no log, so both engines
+    rank identically; ties break on the term).
+
+    Scale: tf and df are partial-aggregated counts; tf⋈df joins on the
+    term key (hash join — vocabulary grows with the corpus, so no
+    broadcast); the rank window runs over |groups|·|vocab| aggregated
+    rows.  The corpus row count comes from parquet metadata (count-star
+    pushdown), not a data scan.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _tx.tfidf_top_terms(docs, "doc_id", "text", "source", 3).orderBy(
+        "grp", "rank"
+    )
+
+
+@query(
+    "docs_mixture_epochs",
+    oracle=(
+        "WITH rated AS (SELECT doc_id, source, "
+        "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS bucket, "
+        "CASE WHEN source = 'src0' THEN 2500 WHEN source = 'src1' THEN 1300 "
+        "WHEN source = 'src2' THEN 300 ELSE 1000 END AS millis FROM documents), "
+        "copies AS (SELECT doc_id, source, millis // 1000 "
+        "+ CASE WHEN bucket < millis % 1000 THEN 1 ELSE 0 END AS n_copies "
+        "FROM rated), "
+        "expanded AS (SELECT doc_id, source, unnest(range(n_copies)) AS copy_idx "
+        "FROM copies WHERE n_copies > 0) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(max(copy_idx) AS BIGINT) AS max_copy_idx "
+        "FROM expanded GROUP BY source ORDER BY source"
+    ),
+)
+def docs_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture upsampling (the other half of docs_stratified_sample):
+    replicate src0 2.5 epochs, src1 1.3, downweight src2 to 0.3, leave
+    the rest at 1.0 — fractional epochs resolved per-document by the
+    deterministic md5-permille bucket, so both engines expand the
+    identical multiset.
+
+    Scale: pure map-side — rate lookup is a CASE chain, replication is
+    explode(sequence()) on the scan; no shuffle, no join.  Only this
+    report's per-source rollup aggregates.
+    """
+    from duckdb_cluster_hash_spark.operators.sampling import mixture_epochs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    out = mixture_epochs(
+        docs, "source", "doc_id", {"src0": 2500, "src1": 1300, "src2": 300}, 1000
+    )
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("copy_idx").cast("bigint").alias("max_copy_idx"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_media_frame_sample",
+    oracle=(
+        "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS L, "
+        "(1 + doc_id % 8) AS n FROM documents) "
+        "SELECT doc_id, CAST((n + 1) // 2 AS BIGINT) AS n_frames_sampled, "
+        "CAST(list_sum([GREATEST((L - i + n - 1) // n, 0) "
+        "FOR i IN range(0, n, 2)]) AS BIGINT) AS frame_bytes_total "
+        "FROM m ORDER BY doc_id"
+    ),
+)
+def docs_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over (fake) video media: explode every 2nd frame of
+    each document's media payload to (doc_id, frame_idx, frame_bytes)
+    via vectorized mapInPandas (multimodal.sample_frames), then roll up
+    per-doc sampled-frame counts and byte totals.
+
+    The fake container interleaves n_frames round-robin over the payload
+    (frame i = payload[i::n]), so the oracle recomputes each sampled
+    frame's length as ceil((L - i)/n) from the header arithmetic alone —
+    grading both the explode shape and the slicing.  Scale: map-side
+    explode (no shuffle until the rollup); a real codec slots into the
+    same mapInPandas seam with the identical output contract.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    frames = _mm.sample_frames(_mm.attach_fake_media(docs), every_k=2)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_frames_sampled"),
+            F.sum(F.length("frame_bytes")).alias("frame_bytes_total"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+
+
+@query(
+    "docs_bm25_search",
+    oracle=None,  # set below — built by the operator's own SQL twin
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword search over the corpus: integer-BM25 top-10 for the query
+    ``spark hash window`` (C6 + the retrieval half of a RAG pipeline).
+    See functions.text.bm25_topk for the engine-portable integer scoring.
+
+    Scale: tokens are filtered to the query vocabulary inside the token
+    array before explode (per-query hits, not corpus tokens, hit the
+    shuffle); the per-term df table is <= |query| rows and broadcast;
+    top-k plans as TakeOrderedAndProject.
+    """
+    from duckdb_cluster_hash_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=10)
+
+
+ORACLES["docs_bm25_search"] = bm25_topk_sql(
+    "documents", "doc_id", "text", _BM25_TERMS, k=10
+)
+
+
+@query("docs_bigram_collocations", oracle=None)
+def docs_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word-bigram collocations by integer lift (PMI's argument
+    in milli-units) with a min-count floor — the phrase-mining /
+    tokenizer-vocabulary signal every corpus report wants (C6).
+
+    Scale: bigram pairs come map-side off each token array (no
+    self-join); unigram joins are keyed equi-joins with the
+    broadcast-vs-shuffle choice left to Catalyst's size estimate (the
+    vocabulary outgrows the threshold at corpus scale); the bigram total
+    is a one-pass per-doc length sum, not a second scan of the pair
+    table.
+    """
+    from duckdb_cluster_hash_spark.functions.text import bigram_lift_top
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lift_top(docs, "doc_id", "text", k=20, min_count=5)
+
+
+ORACLES["docs_bigram_collocations"] = bigram_lift_top_sql(
+    "documents", "doc_id", "text", k=20, min_count=5
+)
+
+
+@query(
+    "docs_token_heavy_hitters",
+    oracle=(
+        "WITH w AS (SELECT doc_id % 8 AS shard, "
+        "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
+        "FROM documents), "
+        "c AS (SELECT shard, w, CAST(count(*) AS BIGINT) AS n FROM w "
+        "GROUP BY shard, w), "
+        "r AS (SELECT shard, w, n, row_number() OVER "
+        "(PARTITION BY shard ORDER BY n DESC, w) AS rk FROM c) "
+        "SELECT w, CAST(sum(n) AS BIGINT) AS merged_count, "
+        "CAST(count(*) AS BIGINT) AS n_shards_present "
+        "FROM r WHERE rk <= 64 GROUP BY w "
+        "ORDER BY merged_count DESC, w LIMIT 20"
+    ),
+)
+def docs_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via mergeable per-shard summaries: each of 8
+    deterministic shards (doc_id mod 8) keeps only its local top-64
+    token counters; the merged sums are LOWER bounds on true counts,
+    and any token in every shard's summary has its exact global count —
+    the SpaceSaving/Misra-Gries communication pattern, deterministic so
+    both engines agree bit-for-bit.
+
+    Scale: this is the shape that survives 100 TB — the merge shuffle
+    carries at most shards x 64 counter rows no matter how large the
+    corpus or vocabulary gets (vs docs_token_top20's full-vocabulary
+    aggregation), the per-shard truncation happens right after the
+    shard-local partial aggregation, and the summary size is the knob
+    trading recall threshold for bandwidth.
+    """
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    counts = (
+        docs.select(
+            (F.col("doc_id") % 8).alias("shard"),
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w"),
+        )
+        .groupBy("shard", "w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("shard").orderBy(F.desc("n"), F.asc("w"))
+    )
+    return (
+        counts.withColumn("rk", rk)
+        .where(F.col("rk") <= 64)
+        .groupBy("w")
+        .agg(
+            F.sum("n").cast("bigint").alias("merged_count"),
+            F.count("*").cast("bigint").alias("n_shards_present"),
+        )
+        .orderBy(F.desc("merged_count"), F.asc("w"))
+        .limit(20)
+    )
+
+
+@query(
+    "docs_bpe_first_merges",
+    oracle=(
+        "WITH w AS (SELECT unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS w FROM documents), "
+        "wi AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i "
+        "FROM w WHERE len(w) >= 2), "
+        "p AS (SELECT substr(w, i, 2) AS pair FROM wi) "
+        "SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p "
+        "GROUP BY pair ORDER BY n DESC, pair LIMIT 10"
+    ),
+)
+def docs_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training (Sennrich et al.
+    2016): the most frequent adjacent symbol pairs over the corpus at
+    the character level — the merge candidates a byte-pair-encoding
+    vocabulary build starts from.  (Full BPE iterates driver-side,
+    re-counting after each merge; the per-iteration count is this exact
+    distributed job, so this grades the building block.)
+
+    Scale: pairs come map-side from each word via
+    ``transform(sequence(...), i -> substring(w, i, 2))`` — no join, no
+    per-character explode (one row per PAIR, same as BPE needs); the
+    count is a keyed partial aggregation over a domain bounded by
+    |alphabet|^2, and top-10 plans as TakeOrderedAndProject.
+    """
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(10)
+    )
+
+
+def _bpe_training_oracle_sql(k: int = 16) -> str:
+    """Unrolled-CTE DuckDB oracle for the full BPE training loop — one
+    (pair-count, argmax, merge-apply) CTE triple per iteration, same
+    convention as ``_pagerank_oracle_sql``: equality pins the WHOLE
+    merge trajectory, not just the final table.  ``MATERIALIZED`` is
+    load-bearing: each ``v{i}`` is referenced twice (pair count + next
+    merge), and DuckDB's default CTE inlining would otherwise expand
+    the chain exponentially (2^k corpus scans).
+    """
+    sql = (
+        "WITH wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f "
+        "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        "AS w FROM documents) WHERE len(w) >= 2 GROUP BY w), "
+        "v0 AS MATERIALIZED (SELECT '  ' || "
+        "regexp_replace(w, '(.)', '\\1  ', 'g') AS s, f FROM wf)"
+    )
+    for i in range(1, k + 1):
+        sql += (
+            f", x{i} AS (SELECT t, f, "
+            "unnest(generate_series(1, len(t) - 1)) AS i "
+            f"FROM (SELECT string_split(trim(s), '  ') AS t, f FROM v{i-1}) "
+            "WHERE len(t) >= 2)"
+            f", p{i} AS (SELECT t[i] AS lhs, t[i+1] AS rhs, "
+            f"CAST(sum(f) AS BIGINT) AS n FROM x{i} GROUP BY lhs, rhs)"
+            f", b{i} AS MATERIALIZED (SELECT lhs, rhs, n FROM p{i} "
+            "ORDER BY n DESC, lhs, rhs LIMIT 1)"
+            f", v{i} AS MATERIALIZED (SELECT "
+            "replace(s, ' ' || lhs || '  ' || rhs || ' ', "
+            f"' ' || lhs || rhs || ' ') AS s, f FROM v{i-1} CROSS JOIN b{i})"
+        )
+    sql += " SELECT * FROM (" + " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS it, lhs, rhs, lhs || rhs AS merged, "
+        f"n FROM b{i}"
+        for i in range(1, k + 1)
+    ) + ") ORDER BY it"
+    return sql
+
+
+def bpe_encode_word(w: str) -> str:
+    """Double-space symbol encoding of a word (``"hey"`` ->
+    ``"  h  e  y  "``) — the Python twin of the SQL
+    ``concat('  ', regexp_replace(w, '(.)', '$1  '))`` used by the
+    training loop, exported so tests can pin the encoding itself."""
+    return "  " + "".join(c + "  " for c in w)
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """One BPE training iteration's weighted pair-count subtree over the
+    double-space-encoded vocab ``(s, f)``: split back to symbols,
+    explode adjacent pairs map-side (transform over sequence — no join,
+    no Python), and partially aggregate ``sum(f)`` per (lhs, rhs).
+    Module-level so tests/test_plans.py can gate the per-iteration plan
+    (the query's returned DataFrame is a driver-side createDataFrame,
+    which hides this subtree from blanket plan sweeps)."""
+    toks = vocab.select(
+        F.expr("split(trim(s), '  ')").alias("t"), "f"
+    ).where(F.size("t") >= 2)
+    pairs = toks.select(
+        F.expr(
+            "explode(transform(sequence(1, size(t) - 1), "
+            "i -> struct(element_at(t, i) AS lhs, "
+            "element_at(t, i + 1) AS rhs)))"
+        ).alias("p"),
+        "f",
+    )
+    return pairs.groupBy(
+        F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs")
+    ).agg(F.sum("f").cast("bigint").alias("n"))
+
+
+def bpe_merge_apply(vocab: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """Apply one merge (lhs, rhs) to the encoded vocab via the
+    double-space ``replace`` — map-side, no shuffle.  Symbols are
+    ``[a-z]+`` only, so the literal replace needs no escaping."""
+    return vocab.select(
+        F.replace(
+            F.col("s"), F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} ")
+        ).alias("s"),
+        "f",
+    )
+
+
+@query("docs_bpe_training_loop", oracle=_bpe_training_oracle_sql())
+def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL BPE tokenizer training loop (Sennrich et al. 2016) —
+    16 iterated merges over the corpus word-frequency dictionary, each
+    iteration counting weighted adjacent symbol pairs, picking the
+    argmax (ties: lexicographic on the pair), and applying the merge
+    back to every word before the next count.  Extends
+    ``docs_bpe_first_merges`` (the single-iteration building block) to
+    the real trainer every tokenizer-bound pipeline runs.
+
+    Greedy merge application is expressed as a plain string
+    ``replace``: words are carried as double-space-separated symbol
+    strings (``"  h  e  y  "``) and merging (a, b) replaces
+    ``" a  b "`` with ``" ab "``.  Because each match consumes only the
+    INNER space of each flanking double separator, adjacent
+    occurrences keep their boundary space and left-to-right
+    non-overlapping ``replace`` is EXACTLY the greedy BPE scan — the
+    single-space encoding diverges on runs like ``a a a a`` (merges
+    1&3 instead of 1&2, 3&4), which is why the doubled separator is
+    load-bearing.  Property-tested against an independent reference
+    merger (tests/test_text.py::test_bpe_encoding_is_greedy_merge,
+    hypothesis-generated words incl. runs), with the engines'
+    ``replace`` pinned to Python ``str.replace`` semantics on both
+    Spark and DuckDB (…replace_semantics_match_engines) and the whole
+    trainer cross-checked against an independent Python BPE trainer
+    (…training_loop_matches_reference_trainer); the oracle pins the
+    full 16-step trajectory via unrolled CTEs.
+
+    Scale (how distributed BPE trainers actually work): the corpus is
+    touched ONCE — the loop state is the distinct-word frequency table
+    (vocab-bounded, millions of rows at 100 TB, never documents); each
+    iteration is one map-side pair explode + one keyed partial
+    aggregation over a domain bounded by |symbols|^2, an argmax via
+    TakeOrderedAndProject (the only collect: 1 row x 16), and a
+    map-side string replace.  The vocab is localCheckpoint'd per
+    iteration so lineage stays O(1) across merges, same discipline as
+    ``parts_brand_pagerank``.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    vocab = wf.select(
+        F.expr("concat('  ', regexp_replace(w, '(.)', '$1  '))").alias("s"),
+        "f",
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for it in range(1, 17):
+        pc = bpe_pair_counts(vocab)
+        best = pc.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1).collect()
+        if not best:  # corpus fully merged before k iterations — both
+            break  # engines emit the same shorter trajectory
+        lhs, rhs, n = best[0].lhs, best[0].rhs, int(best[0].n)
+        merges.append((it, lhs, rhs, lhs + rhs, n))
+        vocab = bpe_merge_apply(vocab, lhs, rhs).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "it bigint, lhs string, rhs string, merged string, n bigint"
+    ).orderBy("it")
+
+
+@query(
+    "docs_quality_constraints",
+    oracle=(
+        "WITH a AS (SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT) "
+        "AS dup_ids, "
+        "CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS null_text, "
+        "CAST(sum(CASE WHEN n_chars != strlen(text) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS bad_n_chars, "
+        "CAST(sum(CASE WHEN lang IS NULL OR len(lang) != 2 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS bad_lang FROM documents) "
+        "SELECT v.name AS check_name, "
+        "CASE v.name WHEN 'doc_id_unique' THEN dup_ids "
+        "WHEN 'text_not_null' THEN null_text "
+        "WHEN 'n_chars_consistent' THEN bad_n_chars "
+        "ELSE bad_lang END AS n_violations, "
+        "(CASE v.name WHEN 'doc_id_unique' THEN dup_ids "
+        "WHEN 'text_not_null' THEN null_text "
+        "WHEN 'n_chars_consistent' THEN bad_n_chars "
+        "ELSE bad_lang END = 0) AS ok "
+        "FROM a CROSS JOIN (VALUES ('doc_id_unique'), ('text_not_null'), "
+        "('n_chars_consistent'), ('lang_wellformed')) AS v(name) "
+        "ORDER BY check_name"
+    ),
+)
+def docs_quality_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint audit (the dbt-test /
+    expectation-suite shape every ingestion gate runs): uniqueness of
+    the key, non-null payloads, metadata consistency (n_chars ==
+    length(text)), and lang well-formedness — one row per check with
+    its violation count and verdict.
+
+    Scale: ALL checks ride one pass over the corpus (a single partial
+    aggregation computes every violation counter; the distinct-key
+    check is the only expand), then a 4-row stack unpivot of the 1-row
+    rollup (waived SinglePartition, same shape as the funnel).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        (F.count("*") - F.countDistinct("doc_id"))
+        .cast("bigint")
+        .alias("dup_ids"),
+        F.sum(F.col("text").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("null_text"),
+        # byte-length on BOTH engines (octet_length == strlen): char
+        # semantics diverge three ways (UTF-16 units / graphemes / code
+        # points) on exotic text, bytes never do
+        F.sum((F.col("n_chars") != F.octet_length("text")).cast("bigint"))
+        .cast("bigint")
+        .alias("bad_n_chars"),
+        F.sum(
+            (F.col("lang").isNull() | (F.length("lang") != 2)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("bad_lang"),
+    )
+    return (
+        agg.select(
+            F.expr(
+                "stack(4, 'doc_id_unique', dup_ids, 'text_not_null', "
+                "null_text, 'n_chars_consistent', bad_n_chars, "
+                "'lang_wellformed', bad_lang) AS (check_name, n_violations)"
+            )
+        )
+        .select(
+            "check_name",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("ok"),
+        )
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "docs_vocab_growth_curve",
+    oracle=(
+        "WITH d AS (SELECT ("
+        "CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 2)) AS INTEGER) * 4"
+        ") // 256 AS bucket, regexp_extract_all(lower(text), '[a-z]+') AS toks "
+        "FROM documents), "
+        "tok AS (SELECT bucket, unnest(toks) AS w FROM d), "
+        "firstb AS (SELECT w, min(bucket) AS min_bucket FROM tok GROUP BY w), "
+        "nv AS (SELECT min_bucket AS bucket, CAST(count(*) AS BIGINT) AS "
+        "new_vocab FROM firstb GROUP BY min_bucket), "
+        "nt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_tokens "
+        "FROM tok GROUP BY bucket), "
+        "q AS (SELECT g.b AS bucket FROM (VALUES (0), (1), (2), (3)) g(b)) "
+        "SELECT CAST((q.bucket + 1) * 25 AS INTEGER) AS checkpoint_pct, "
+        "CAST(sum(CASE WHEN nt.bucket <= q.bucket THEN nt.n_tokens "
+        "ELSE 0 END) AS BIGINT) AS total_tokens, "
+        "CAST((SELECT sum(nv.new_vocab) FROM nv "
+        "WHERE nv.bucket <= q.bucket) AS BIGINT) AS vocab_size "
+        "FROM q CROSS JOIN nt GROUP BY q.bucket ORDER BY checkpoint_pct"
+    ),
+)
+def docs_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct-token count and total
+    token count at 25/50/75/100% corpus checkpoints (md5-deterministic
+    document order, so the curve is reproducible and layout-free) — the
+    measurement behind tokenizer sizing and dedup-value estimates.
+
+    Scale: each token carries its doc's 2-bit checkpoint bucket; a
+    token's FIRST-SEEN checkpoint is one keyed min-aggregation, and the
+    curve is a 4-row cumulative sum over the per-bucket news — the
+    whole curve costs one explode pass + two keyed aggs, not four
+    prefix re-scans of the corpus.
+    """
+    docs = _t(spark, sf_dir, "documents").repartition(F.col("doc_id"))
+    bucket = F.expr(
+        "(cast(conv(substring(md5(cast(doc_id as string)), 1, 2), 16, 10) "
+        "as int) * 4) div 256"
+    )
+    tok = docs.select(
+        bucket.alias("bucket"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    firstb = tok.groupBy("w").agg(F.min("bucket").alias("min_bucket"))
+    nv = firstb.groupBy(F.col("min_bucket").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("new_vocab")
+    )
+    nt = tok.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_tokens")
+    )
+    # cumulative over 4 checkpoints by map-side replication (a bucket-b
+    # row contributes to checkpoints b..3), the rolling-active-users
+    # trick — no inequality join anywhere
+    tot = (
+        nt.select(
+            F.explode(F.expr("sequence(bucket, 3)")).alias("qb"), "n_tokens"
+        )
+        .groupBy("qb")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+    )
+    voc = (
+        nv.select(
+            F.explode(F.expr("sequence(bucket, 3)")).alias("qb"), "new_vocab"
+        )
+        .groupBy("qb")
+        .agg(F.sum("new_vocab").alias("vocab_size"))
+    )
+    joined = tot.join(voc, "qb")
+    return joined.select(
+        ((F.col("qb") + 1) * 25).cast("int").alias("checkpoint_pct"),
+        F.col("total_tokens").cast("bigint"),
+        F.col("vocab_size").cast("bigint"),
+    ).orderBy("checkpoint_pct")
+
+
+@query(
+    "docs_spearman_chars_tokens",
+    oracle=(
+        "WITH b AS (SELECT doc_id, n_chars, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS toks "
+        "FROM documents), "
+        "r AS (SELECT doc_id, "
+        "row_number() OVER (ORDER BY n_chars, doc_id) AS r1, "
+        "row_number() OVER (ORDER BY toks, doc_id) AS r2 FROM b) "
+        "SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2, "
+        "1000 - (6000 * CAST(sum((r1 - r2) * (r1 - r2)) AS BIGINT)) // "
+        "(CAST(count(*) AS BIGINT) * (CAST(count(*) AS BIGINT) * "
+        "CAST(count(*) AS BIGINT) - 1)) AS rho_milli "
+        "FROM r"
+    ),
+)
+def docs_spearman_chars_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between document character and token
+    counts, in exact integer milli-units: ``rho_milli = 1000 -
+    (6000 * sum(d^2)) div (n * (n^2 - 1))`` over (value, doc_id)
+    tie-broken ranks — the monotone-association statistic (feature
+    redundancy / quality-signal screening) without a single
+    cross-engine double.
+
+    Scale: the two rank assignments are INDEPENDENT two-level range
+    rankings (ranking.global_row_number — no customer-wide
+    single-partition sort) joined on the doc key; the rollup is the
+    waived 1-row scalar.  Ties break on doc_id so both engines rank
+    identically; the tie-broken variant equals textbook Spearman
+    whenever values are distinct and stays a well-defined deterministic
+    statistic when they are not.
+    """
+    from duckdb_cluster_hash_spark.operators.ranking import global_row_number
+
+    docs = _t(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "n_chars",
+        F.regexp_count("text", F.lit("[^ ]+")).cast("bigint").alias("toks"),
+    )
+    r1 = global_row_number(
+        b.select("doc_id", "n_chars"),
+        [F.asc("n_chars"), F.asc("doc_id")],
+        n_buckets=64,
+        out_col="r1",
+    ).select("doc_id", "r1")
+    r2 = global_row_number(
+        b.select("doc_id", "toks"),
+        [F.asc("toks"), F.asc("doc_id")],
+        n_buckets=64,
+        out_col="r2",
+    ).select("doc_id", "r2")
+    d2 = (F.col("r1") - F.col("r2")) * (F.col("r1") - F.col("r2"))
+    return r1.join(r2, "doc_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+        F.expr(
+            "1000 - (6000 * sum((r1 - r2) * (r1 - r2))) div "
+            "(count(*) * (count(*) * count(*) - 1))"
+        ).alias("rho_milli"),
+    )
+
+
+@query(
+    "docs_token_weighted_sample",
+    oracle=(
+        "WITH t AS (SELECT doc_id, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, CAST(sum(n_tokens) OVER "
+        "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t), "
+        "tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS T FROM t) "
+        "SELECT doc_id, n_tokens, cum AS cum_tokens, "
+        "CAST(greatest(0, least(500, (1000 * cum + T - 1) // (2 * T))) "
+        "- greatest(0, least(500, (1000 * (cum - n_tokens) + T - 1) // (2 * T))) "
+        "AS BIGINT) AS n_draws "
+        "FROM c, tot "
+        "WHERE greatest(0, least(500, (1000 * cum + T - 1) // (2 * T))) "
+        "- greatest(0, least(500, (1000 * (cum - n_tokens) + T - 1) // (2 * T))) "
+        ">= 1 ORDER BY doc_id"
+    ),
+)
+def docs_token_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: draw k=500
+    documents with probability proportional to token count, via k
+    equally-spaced probes p_j = ((2j+1)*T) div (2k) into the cumulative
+    token axis — the exact-integer way to build a token-weighted training
+    mixture (every arithmetic step is bigint, so cross-engine equality is
+    bit-exact; no pow/ln, which would diverge in the last ulp).
+
+    A document covering cumulative interval [cum - w, cum) receives
+    f(cum) - f(cum - w) draws where f(x) = #{j : p_j < x} =
+    clamp((2kx + T - 1) div (2T), 0, k) — a pure map-side expression, so
+    after the prefix sum NO probe/interval join exists at all (compare
+    the broadcast-probes range join, which would be k x n).
+
+    Scale: the cumulative axis comes from the two-level distributed
+    prefix sum (range partition + 256-row broadcast offsets,
+    operators/ranking.py) — no global sort of the corpus; the 1-row
+    total broadcasts to a map-side expression.
+    """
+    from duckdb_cluster_hash_spark.functions.text import ws_token_count
+    from duckdb_cluster_hash_spark.operators.ranking import ordered_prefix_sum
+
+    k = 500
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", ws_token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    cum = ordered_prefix_sum(docs, [F.col("doc_id")], "n_tokens")
+    total = docs.agg(F.sum("n_tokens").cast("bigint").alias("T"))
+    withT = cum.join(F.broadcast(total))
+
+    def f(x):
+        return F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(
+                F.lit(k).cast("bigint"),
+                F.expr(f"(2 * {k} * ({x}) + T - 1) div (2 * T)"),
+            ),
+        )
+
+    draws = withT.withColumn(
+        "n_draws", (f("cum") - f("cum - n_tokens")).cast("bigint")
+    )
+    return (
+        draws.where(F.col("n_draws") >= 1)
+        .select("doc_id", "n_tokens", F.col("cum").alias("cum_tokens"), "n_draws")
+        .orderBy("doc_id")
+    )
+
+
+def _rrf_oracle_sql() -> str:
+    from duckdb_cluster_hash_spark.functions.text import bm25_topk_sql
+    from duckdb_cluster_hash_spark.oracle_text import cosine_topk_sql
+
+    bm = bm25_topk_sql("documents", "doc_id", "text", _BM25_TERMS, k=50)
+    cos = cosine_topk_sql(0, 50, 64)
+    return (
+        f"WITH kwraw AS ({bm}), "
+        "kw AS (SELECT doc_id, row_number() OVER "
+        "(ORDER BY score DESC, doc_id) AS kr FROM kwraw), "
+        f"vraw AS ({cos}), "
+        "vr AS (SELECT vec_id AS doc_id, row_number() OVER "
+        "(ORDER BY cos_sim DESC, vec_id) AS vk FROM vraw), "
+        "f AS (SELECT coalesce(kw.doc_id, vr.doc_id) AS doc_id, "
+        "CAST(coalesce(100000 // (60 + kw.kr), 0) "
+        "+ coalesce(100000 // (60 + vr.vk), 0) AS BIGINT) AS rrf_x100k, "
+        "CAST(CASE WHEN kw.doc_id IS NOT NULL AND vr.doc_id IS NOT NULL "
+        "THEN 2 ELSE 1 END AS INTEGER) AS n_sources "
+        "FROM kw FULL OUTER JOIN vr ON kw.doc_id = vr.doc_id) "
+        "SELECT doc_id, rrf_x100k, n_sources FROM f "
+        "ORDER BY rrf_x100k DESC, doc_id LIMIT 10"
+    )
+
+
+@query("docs_hybrid_rrf_search", oracle=None)  # set below (composed SQL twin)
+def docs_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (the RAG-stack shape): integer BM25 keyword
+    top-50 fused with exact-cosine embedding top-50 by reciprocal rank
+    fusion — ``rrf = sum over lists of 100000 div (60 + rank)``, RRF's
+    standard k=60 in scaled integer division, so the fusion is
+    bit-exact cross-engine (100000 div (60+r) is strictly decreasing
+    for r <= 255: every rank in a 50-deep list keeps its own score).
+    doc_id and vec_id are the same key space (TESTDATA), so the two
+    modalities genuinely rank the same corpus.
+
+    Scale: each leg is its own top-k (TakeOrderedAndProject — never a
+    global sort of the corpus); the fusion full-outer-joins two 50-row
+    lists and takes top-10 — driver-scale work after corpus-scale
+    retrieval.  The rank windows order the 50-row lists only (waived
+    SinglePartition).
+    """
+    from pyspark.sql.window import Window
+
+    from duckdb_cluster_hash_spark.functions.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    kw = (
+        bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=50)
+        .select("doc_id", "score")
+        .withColumn(
+            "kr",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+    )
+    vr = (
+        _sim.cosine_topk(emb, qvec, k=50, extra_cols=())
+        .select(F.col("vec_id").alias("doc_id"), "cos_sim")
+        .withColumn(
+            "vk",
+            F.row_number().over(
+                Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+            ),
+        )
+    )
+    k, v = kw.alias("k"), vr.alias("v")
+    fused = k.join(v, F.col("k.doc_id") == F.col("v.doc_id"), "full_outer").select(
+        F.coalesce(F.col("k.doc_id"), F.col("v.doc_id")).alias("doc_id"),
+        (
+            F.coalesce(F.expr("100000 div (60 + kr)"), F.lit(0))
+            + F.coalesce(F.expr("100000 div (60 + vk)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_x100k"),
+        F.when(F.col("kr").isNotNull() & F.col("vk").isNotNull(), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("n_sources"),
+    )
+    return fused.orderBy(F.desc("rrf_x100k"), F.asc("doc_id")).limit(10)
+
+
+ORACLES["docs_hybrid_rrf_search"] = _rrf_oracle_sql()
+
+
+def _next_token_oracle_sql() -> str:
+    return (
+        "WITH toks AS (SELECT doc_id, lang, "
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10) "
+        "AS b, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents), "
+        "pos AS (SELECT doc_id, lang, b, unnest(ts) AS tok, "
+        "generate_subscripts(ts, 1) AS p FROM toks), "
+        "bi AS (SELECT a.lang, a.b, a.tok AS w1, c.tok AS w2 FROM pos a "
+        "JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 1), "
+        "model AS (SELECT w1, w2 AS pred FROM ("
+        "SELECT w1, w2, row_number() OVER (PARTITION BY w1 "
+        "ORDER BY count(*) DESC, w2 ASC) AS rn FROM bi WHERE b < 9 "
+        "GROUP BY w1, w2) WHERE rn = 1) "
+        "SELECT t.lang, CAST(count(*) AS BIGINT) AS total_bigrams, "
+        "CAST(sum(CASE WHEN m.w1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS covered, "
+        "CAST(sum(CASE WHEN m.pred = t.w2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS correct, "
+        "CAST((1000 * sum(CASE WHEN m.pred = t.w2 THEN 1 ELSE 0 END)) "
+        "// count(*) AS BIGINT) AS acc_milli "
+        "FROM bi t LEFT JOIN model m ON m.w1 = t.w1 WHERE t.b = 9 "
+        "GROUP BY t.lang ORDER BY t.lang"
+    )
+
+
+@query("docs_next_token_accuracy", oracle=_next_token_oracle_sql())
+def docs_next_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram next-token prediction accuracy — the count-based language
+    model evaluated exactly as a training-data quality signal (high
+    top-1 accuracy = templated/repetitive corpus; the integer cousin of
+    perplexity, with no floating-point log in sight): a top-1 bigram
+    table is trained on the md5-90% doc split (argmax per prefix with a
+    deterministic ``count DESC, w2 ASC`` tie-break) and scored on the
+    held-out 10%, per language — total bigrams, model coverage,
+    correct predictions, and accuracy in exact milli-integer division.
+
+    Scale: bigram generation is map-side (position self-join within
+    doc_id partitions); the trained model is one row per distinct
+    prefix (vocab-bounded, broadcast into the eval join); train and
+    eval each shuffle once on the bigram key.  Every number is an
+    integer count — bit-portable across engines by construction.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % 10
+        ).alias("b"),
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("ts"),
+    )
+    pos = docs.select(
+        "doc_id", "lang", "b", F.posexplode("ts").alias("p0", "tok")
+    ).withColumn("p", F.col("p0") + 1).drop("p0")
+    a, c = pos.alias("a"), pos.alias("c")
+    bi = a.join(
+        c,
+        (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.p") == F.col("a.p") + 1),
+    ).select(
+        F.col("a.lang").alias("lang"), F.col("a.b").alias("b"),
+        F.col("a.tok").alias("w1"), F.col("c.tok").alias("w2"),
+    )
+    model = (
+        bi.where(F.col("b") < 9)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("w1").orderBy(F.desc("cnt"), F.asc("w2"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("pred"))
+    )
+    return (
+        bi.where(F.col("b") == 9)
+        .join(F.broadcast(model), "w1", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("total_bigrams"),
+            F.sum(F.col("pred").isNotNull().cast("int")).cast("bigint").alias("covered"),
+            F.sum((F.col("pred") == F.col("w2")).cast("int"))
+            .cast("bigint")
+            .alias("correct"),
+        )
+        .withColumn(
+            "acc_milli", F.expr("(1000 * correct) div total_bigrams").cast("bigint")
+        )
+        .orderBy("lang")
+    )
+
+
+def _cm_pos_duck(r: int, tok: str = "tok") -> str:
+    return (
+        f"(('0x' || substr(md5('r{r}:' || {tok}), 1, 15))::BIGINT % 1024)"
+    )
+
+
+def _countmin_oracle_sql() -> str:
+    rows_union = " UNION ALL ".join(
+        f"SELECT {r} AS r, {_cm_pos_duck(r)} AS pos, cnt FROM tc" for r in range(3)
+    )
+    return (
+        "WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        "AS tok FROM documents), "
+        "tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY tok), "
+        f"cells AS (SELECT r, pos, CAST(sum(cnt) AS BIGINT) AS cell FROM "
+        f"({rows_union}) GROUP BY r, pos), "
+        "top10 AS (SELECT tok, cnt FROM tc "
+        "ORDER BY cnt DESC, tok ASC LIMIT 10), "
+        "est AS (SELECT t10.tok, t10.cnt, min(c.cell) AS est FROM top10 t10 "
+        "JOIN cells c ON (c.r = 0 AND c.pos = " + _cm_pos_duck(0, "t10.tok") + ") "
+        "OR (c.r = 1 AND c.pos = " + _cm_pos_duck(1, "t10.tok") + ") "
+        "OR (c.r = 2 AND c.pos = " + _cm_pos_duck(2, "t10.tok") + ") "
+        "GROUP BY t10.tok, t10.cnt) "
+        "SELECT tok AS token, cnt AS true_cnt, CAST(est AS BIGINT) AS est_cnt, "
+        "CAST(est - cnt AS BIGINT) AS overestimate "
+        "FROM est ORDER BY true_cnt DESC, token ASC"
+    )
+
+
+@query("docs_countmin_heavy_hitters", oracle=_countmin_oracle_sql())
+def docs_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (Cormode & Muthukrishnan,
+    2005) — the second mergeable sketch next to the HLL family, built
+    on the repo's md5 convention so every CELL is cross-engine exact
+    (most sketches get contract oracles; this one's d=3 x w=1024
+    integer cell matrix is bit-portable by construction, so the grade
+    pins the sketch itself): token counts hash into 3 independent rows
+    of 1024 counters, the estimate for a token is the MIN over its 3
+    cells, and the graded output compares estimate vs truth for the
+    top-10 true heavy hitters — ``overestimate`` is structurally >= 0
+    (count-min never underestimates) and exactly reproducible.
+
+    Scale: the sketch is a FIXED 3x1024 integer matrix regardless of
+    corpus size — per-shard sketches merge by cell-wise sum (the same
+    partial-aggregate shape every groupBy already uses), so a 100 TB
+    corpus's frequency table ships as 12 KB per shard instead of a
+    vocab-sized shuffle; estimates are a broadcast lookup against the
+    3072-row cell table.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+
+    def pos(r: int, col="tok"):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"r{r}:"), F.col(col))), 1, 15),
+                16, 10,
+            ).cast("bigint") % 1024
+        )
+
+    exploded = tc.select(
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), pos(r).alias("pos"))
+                    for r in range(3)
+                ]
+            )
+        ).alias("rp"),
+    ).select(F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"), "cnt")
+    cells = (
+        exploded.groupBy("r", "pos")
+        .agg(F.sum("cnt").cast("bigint").alias("cell"))
+    )
+    top10 = tc.orderBy(F.desc("cnt"), F.asc("tok")).limit(10)
+    keyed = top10.select(
+        "tok", "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(r).alias("r"), pos(r).alias("pos"))
+                    for r in range(3)
+                ]
+            )
+        ).alias("rp"),
+    ).select("tok", "cnt", F.col("rp.r").alias("r"), F.col("rp.pos").alias("pos"))
+    return (
+        keyed.join(F.broadcast(cells), ["r", "pos"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("cell").cast("bigint").alias("est_cnt"))
+        .select(
+            F.col("tok").alias("token"),
+            F.col("cnt").alias("true_cnt"),
+            "est_cnt",
+            (F.col("est_cnt") - F.col("cnt")).cast("bigint").alias("overestimate"),
+        )
+        .orderBy(F.desc("true_cnt"), F.asc("token"))
+    )
+
+
+@query(
+    "docs_string_functions_probe",
+    oracle=(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(length(text)) AS BIGINT) AS sum_chars, "
+        "CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes, "
+        "CAST(sum(position('e' IN text)) AS BIGINT) AS sum_first_e, "
+        "CAST(sum(length(replace(text, ' ', ''))) AS BIGINT) "
+        "AS sum_nonspace_chars, "
+        "CAST(sum(('0x' || substr(md5(substr(text, 5, 20)), 1, 12))::BIGINT "
+        "% 1000000007) AS BIGINT) AS substr_digest_sum, "
+        "CAST(sum(('0x' || substr(md5(reverse(substr(text, 1, 16))), 1, 12))"
+        "::BIGINT % 1000000007) AS BIGINT) AS reverse_digest_sum "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+)
+def docs_string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity probe over the multilingual corpus — the
+    character-semantics corners where engines diverge, graded per
+    language: ``length`` must count CODEPOINTS (multibyte text makes
+    chars != bytes — sum_bytes vs sum_chars pins both), ``substr`` must
+    be 1-based and codepoint-indexed (digest sums catch any off-by-one
+    or byte-indexed slicing), ``position``/``instr`` 1-based with 0 for
+    absent, ``replace`` literal, and ``reverse`` codepoint-wise (its
+    digest would scramble under byte-wise reversal of multibyte text).
+    Case functions are deliberately ABSENT: JVM uppercases 'straße' to
+    'STRASSE' while DuckDB yields 'STRAẞE' — a documented engine
+    divergence this catalog avoids rather than grades.
+
+    Scale: one map-side pass — every probe is a scalar expression
+    inside whole-stage codegen feeding a per-language partial
+    aggregate; only 5 rows of counters shuffle.
+    """
+    d = _t(spark, sf_dir, "documents")
+    digest = lambda col: (
+        F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+        % 1000000007
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+            F.sum(F.octet_length("text")).cast("bigint").alias("sum_bytes"),
+            F.sum(F.expr("instr(text, 'e')")).cast("bigint").alias("sum_first_e"),
+            F.sum(F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))))
+            .cast("bigint")
+            .alias("sum_nonspace_chars"),
+            F.sum(digest(F.substring("text", 5, 20)))
+            .cast("bigint")
+            .alias("substr_digest_sum"),
+            F.sum(digest(F.reverse(F.substring("text", 1, 16))))
+            .cast("bigint")
+            .alias("reverse_digest_sum"),
+        )
+        .orderBy("lang")
+    )

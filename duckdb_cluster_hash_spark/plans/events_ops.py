@@ -1,0 +1,1002 @@
+"""Tier C — events privacy/ops: erasure, Merkle digests, pagination,
+churn scoring, sketches (bloom/HLL/count-min), SCD2, chi-square.
+
+Split out of the original plans/catalog.py; the registry, driver
+window, and rotation stay in catalog.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from duckdb_cluster_hash_spark.functions.clusterhash import (
+    cluster_node_col,
+    cluster_slot_col,
+    node_of_slot_col,
+    node_udf_col,
+    register_all,
+    slot_udf_col,
+)
+from duckdb_cluster_hash_spark.oracle import node_of_slot_sql, node_sql, slot_sql
+from duckdb_cluster_hash_spark.sources.tables import load_table
+from duckdb_cluster_hash_spark import oracle_text as _ot
+from duckdb_cluster_hash_spark.operators import dedup as _dd
+from duckdb_cluster_hash_spark.operators import similarity as _sim
+from duckdb_cluster_hash_spark.functions import text as _tx
+from duckdb_cluster_hash_spark.operators import multimodal as _mm
+from duckdb_cluster_hash_spark.streaming import events as _ev
+from duckdb_cluster_hash_spark.oracle import node_sql as _node_sql
+from duckdb_cluster_hash_spark.operators import joins as _joins
+from duckdb_cluster_hash_spark.operators import skew as _sk
+from duckdb_cluster_hash_spark.functions.text import (  # noqa: E402
+    bigram_lift_top_sql,
+    bm25_topk_sql,
+)
+
+from duckdb_cluster_hash_spark.plans._registry import ORACLES, QUERIES, _money_sum, _t, query  # noqa: F401
+
+
+@query(
+    "events_enriched_by_segment",
+    oracle=(
+        "SELECT c_mktsegment, event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value "
+        "FROM events LEFT JOIN customer ON user_id = c_custkey "
+        "GROUP BY c_mktsegment, event_type ORDER BY c_mktsegment, event_type"
+    ),
+)
+def events_enriched_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment, graded on its batch equivalent
+    (C7): events joined to the customer dim (broadcast) and rolled up per
+    (segment, event type).  The same ``enrich_events_with_dim`` runs
+    stateless inside a readStream — see streaming/events.py and
+    tests/test_streaming.py.
+    """
+    from duckdb_cluster_hash_spark.streaming import enrich_events_with_dim
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        enrich_events_with_dim(ev, cust)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )
+
+
+@query(
+    "events_hll_shard_distinct",
+    oracle=(
+        "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users, "
+        "CAST(1 AS INTEGER) AS within_2pct FROM events"
+    ),
+)
+def events_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (C8, the 100 TB architecture):
+    one Datasketches HLL per shard (events grouped by their cluster_node
+    route), merged centrally with hll_union_agg — the pattern that
+    replaces a global distinct shuffle with |shards| kilobyte-sized
+    sketches.
+
+    HLL estimates are implementation-specific, so the portable oracle is
+    a CONTRACT (like emb_ivf_kmeans_recall): the merged estimate must
+    land within 2% of the exact distinct count (default lgK=12 gives
+    ~1.6% typical error; at this corpus's cardinality the sketch is in
+    exact sparse mode).  The exact count rides along and is value-hashed
+    directly.
+    """
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.withColumn(
+        "node", cluster_node_col(F.col("user_id").cast("string"))
+    )
+    merged = tagged.groupBy("node").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    ).agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return exact.join(F.broadcast(merged)).select(
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.02 * F.col("exact_users")
+        )
+        .cast("int")
+        .alias("within_2pct"),
+    )
+
+
+# Shared PII construction: a deterministic raw-log view of events (the
+# shape scrubbing actually sees: free text with embedded user ids, IPv4s,
+# and — on signup lines — contact emails).  Built identically in both
+# engines so the graded artifact is the REDACTION semantics, not the data.
+_PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+
+_PII_IP_RE = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+
+
+@query(
+    "events_pii_redaction",
+    oracle=(
+        "WITH lines AS (SELECT event_type, event_type || ' user=' || user_id "
+        "|| ' ip=10.' || (user_id % 200) || '.' || (event_id % 250) || '.' "
+        "|| (event_id % 97) || CASE WHEN event_type = 'signup' THEN "
+        "' contact=u' || user_id || '@example.com' ELSE '' END AS line "
+        "FROM events), "
+        "red AS (SELECT event_type, line, regexp_replace(regexp_replace("
+        f"line, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'), '{_PII_IP_RE}', "
+        "'<IP>', 'g') AS redacted FROM lines) "
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_lines, "
+        f"CAST(sum(len(regexp_extract_all(line, '{_PII_EMAIL_RE}'))) "
+        "AS BIGINT) AS n_emails, "
+        f"CAST(sum(len(regexp_extract_all(line, '{_PII_IP_RE}'))) "
+        "AS BIGINT) AS n_ips, "
+        "CAST(count(DISTINCT redacted) AS BIGINT) AS distinct_redacted, "
+        "CAST(sum(CASE WHEN redacted LIKE '%<IP>%' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_redacted_ip "
+        "FROM red GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def events_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over a raw-log view of events — the
+    scrubbing pass every training-data pipeline runs before anything
+    else.  Emails and IPv4s are detected with the same RE2-safe regexes
+    on both engines (no lookaround, no \\b ambiguity) and redacted
+    email-first (an address contains no IP-shaped substring after
+    ``<EMAIL>`` replacement, so the order is deterministic).
+
+    Scale: pure map-side string expressions inside whole-stage codegen
+    (regexp_count + regexp_replace, zero Python) feeding one partial
+    aggregation on the 5-value event_type key; the distinct-redacted
+    count is the only expand and runs on already-redacted (shorter)
+    strings.
+    """
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_type"),
+        F.lit(" user="),
+        F.col("user_id").cast("string"),
+        F.lit(" ip=10."),
+        (F.col("user_id") % 200).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 250).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 97).cast("string"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit(" contact=u"),
+                F.col("user_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(line, _PII_EMAIL_RE, "<EMAIL>"),
+        _PII_IP_RE,
+        "<IP>",
+    )
+    return (
+        ev.select(
+            "event_type",
+            line.alias("line"),
+            redacted.alias("redacted"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.regexp_count("line", F.lit(_PII_EMAIL_RE)))
+            .cast("bigint")
+            .alias("n_emails"),
+            F.sum(F.regexp_count("line", F.lit(_PII_IP_RE)))
+            .cast("bigint")
+            .alias("n_ips"),
+            F.countDistinct("redacted").alias("distinct_redacted"),
+            F.sum(F.col("redacted").contains("<IP>").cast("bigint"))
+            .cast("bigint")
+            .alias("n_redacted_ip"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_user_similarity_topk",
+    oracle=(
+        "WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id, day), "
+        "a AS (SELECT day, n AS an FROM ud WHERE user_id = 0), "
+        "sa AS (SELECT CAST(sum(an * an) AS BIGINT) AS sa2 FROM a), "
+        "su AS (SELECT user_id, CAST(sum(n * n) AS BIGINT) AS su2 "
+        "FROM ud WHERE user_id != 0 GROUP BY user_id), "
+        "cr AS (SELECT ud.user_id, CAST(sum(ud.n * a.an) AS BIGINT) AS cross_ "
+        "FROM ud JOIN a ON ud.day = a.day WHERE ud.user_id != 0 "
+        "GROUP BY ud.user_id) "
+        "SELECT su.user_id AS user_id, "
+        "su.su2 - 2 * coalesce(cr.cross_, 0) + sa.sa2 AS dist2 "
+        "FROM su LEFT JOIN cr ON su.user_id = cr.user_id CROSS JOIN sa "
+        "ORDER BY dist2, su.user_id LIMIT 10"
+    ),
+)
+def events_user_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (the REPOSE/EDBT'19 distributed
+    top-k shape on activity series): the 10 users whose daily-activity
+    count vector is closest to user 0's in squared euclidean distance —
+    computed by the dot-product decomposition
+    ``dist2 = su2 - 2*cross + sa2`` so missing days need NO full-outer
+    densification: su2 aggregates each user's own days, the cross term
+    is an INNER join on the shared days only, sa2 is a broadcast scalar.
+    Counts are integers, so the distance is exact on both engines.
+
+    Scale: the per-(user, day) rollup shrinks raw events first; the
+    anchor series is a tiny broadcast side; per-user partial aggregates
+    carry one bigint each; top-10 plans as TakeOrderedAndProject.
+    """
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    anchor = ud.where(F.col("user_id") == 0).select(
+        "day", F.col("n").alias("an")
+    )
+    sa2 = int(
+        anchor.agg(F.sum(F.col("an") * F.col("an")).cast("bigint")).head()[0]
+    )
+    rest = ud.where(F.col("user_id") != 0)
+    su2 = rest.groupBy("user_id").agg(
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("su2")
+    )
+    cross = (
+        rest.join(F.broadcast(anchor), "day")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("n") * F.col("an")).cast("bigint").alias("cross_"))
+    )
+    return (
+        su2.join(cross, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.col("su2")
+                - 2 * F.coalesce(F.col("cross_"), F.lit(0))
+                + F.lit(sa2)
+            )
+            .cast("bigint")
+            .alias("dist2"),
+        )
+        .orderBy(F.asc("dist2"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "events_segment_scd2",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
+        "THEN 1 ELSE 0 END AS new_run "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "r AS (SELECT *, sum(new_run) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_id FROM o), "
+        "g AS (SELECT user_id, run_id, min(event_type) AS event_type, "
+        "CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from_epoch, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM r GROUP BY user_id, run_id) "
+        "SELECT user_id, event_type, valid_from_epoch, "
+        "lead(valid_from_epoch) OVER uw AS valid_to_epoch, n_events, "
+        "CAST(CASE WHEN lead(valid_from_epoch) OVER uw IS NULL "
+        "THEN 1 ELSE 0 END AS INTEGER) AS is_current "
+        "FROM g WINDOW uw AS (PARTITION BY user_id ORDER BY run_id)"
+    ),
+)
+def events_segment_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log: compress
+    each user's event-type sequence into validity intervals
+    [valid_from, valid_to) with an is_current flag — the warehouse
+    operator that turns an append-only activity stream into point-in-time
+    dimension history (gaps-and-islands run compression + interval
+    stitching via lead()).
+
+    Determinism: runs are ordered by (ts, event_id) — a total order on
+    both engines — and every output value is an integer epoch / count,
+    so the hash comparison is exact.
+
+    Scale: one shuffle by user_id drives all three layers (run flagging,
+    run-id prefix sum, and the interval lead() all share the user_id
+    partitioning); the run aggregation is keyed partial aggregation on
+    (user_id, run_id) — never a global sort, state linear in runs.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+        )
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grouped = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.floor(F.unix_timestamp(F.min("ts"))).cast("bigint").alias(
+            "valid_from_epoch"
+        ),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    uw = Window.partitionBy("user_id").orderBy("run_id")
+    lead_from = F.lead("valid_from_epoch").over(uw)
+    return grouped.select(
+        "user_id",
+        "event_type",
+        "valid_from_epoch",
+        lead_from.alias("valid_to_epoch"),
+        "n_events",
+        F.when(lead_from.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "events_cumulative_hll_curve",
+    oracle=(
+        # contract oracle (events_hll_shard_distinct pattern): the exact
+        # cumulative-distinct curve rides along and is value-hashed; the
+        # prefix-merged sketch estimate must land within 2% at EVERY day
+        "WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events), "
+        "fu AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id), "
+        "nu AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS c "
+        "FROM fu GROUP BY first_day), "
+        "d AS (SELECT DISTINCT day FROM e) "
+        "SELECT d.day, CAST(sum(coalesce(nu.c, 0)) OVER "
+        "(ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_cum_users, "
+        "CAST(1 AS INTEGER) AS within_2pct "
+        "FROM d LEFT JOIN nu ON d.day = nu.day ORDER BY d.day"
+    ),
+)
+def events_cumulative_hll_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user curve from MERGEABLE daily sketches (C8's
+    100 TB architecture applied over time instead of over shards): one
+    Datasketches HLL per day, prefix-unioned into "users ever seen
+    through day D" — the pattern that replaces D ever-growing global
+    distinct scans with a kilobyte sketch per day, and the reason
+    sketches (not exact sets) are what a warehouse stores per partition.
+
+    Like every implementation-specific estimate here, the portable
+    oracle is a CONTRACT: the exact curve (first-appearance trick:
+    cumulative distinct == running sum of per-day first-seen users)
+    rides along and is hashed; the prefix-merged estimate must land
+    within 2% of it on every day.
+
+    Scale: events collapse to |days| sketch rows by keyed partial
+    aggregation before anything pairwise; the prefix union joins the
+    DAY-LEVEL sketch table to itself (|days|^2 tiny rows); the exact
+    rider collapses to per-user rows map-side first.  At 100 TB only
+    the sketch build touches raw data — one linear pass.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    daily_sk = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    # prefix merge: day d unions every day e <= d (day-level table only)
+    prefix_est = (
+        daily_sk.alias("l")
+        .join(
+            F.broadcast(daily_sk.select(F.col("day").alias("eday"), "sk")).alias(
+                "r"
+            ),
+            F.col("r.eday") <= F.col("l.day"),
+        )
+        .groupBy(F.col("l.day").alias("day"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("r.sk"))).alias("est"))
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new_users = first.groupBy(F.col("first_day").alias("day")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    days = ev.select("day").distinct()
+    exact_cum = (
+        days.join(new_users, "day", "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+        .withColumn(
+            "exact_cum_users",
+            F.sum("c")
+            .over(
+                Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .cast("bigint"),
+        )
+        .select("day", "exact_cum_users")
+    )
+    return (
+        exact_cum.join(prefix_est, "day")
+        .select(
+            "day",
+            "exact_cum_users",
+            (
+                F.abs(F.col("est") - F.col("exact_cum_users"))
+                <= 0.02 * F.col("exact_cum_users")
+            )
+            .cast("int")
+            .alias("within_2pct"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "events_chi2_type_dow",
+    oracle=(
+        "WITH cells AS (SELECT event_type, "
+        "(CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow, "
+        "CAST(count(*) AS BIGINT) AS o_count FROM events "
+        "GROUP BY event_type, dow), "
+        "m AS (SELECT event_type, dow, o_count, "
+        "CAST(sum(o_count) OVER (PARTITION BY event_type) AS HUGEINT) AS r, "
+        "CAST(sum(o_count) OVER (PARTITION BY dow) AS HUGEINT) AS c, "
+        "CAST(sum(o_count) OVER () AS HUGEINT) AS n FROM cells) "
+        "SELECT event_type, CAST(dow AS BIGINT) AS dow, o_count, "
+        "CAST((r * c * 1000) // n AS BIGINT) AS e_milli, "
+        "CAST(((o_count * n - r * c) * (o_count * n - r * c) * 1000000) "
+        "// (n * r * c) AS BIGINT) AS chi2_contrib_micro "
+        "FROM m ORDER BY event_type, dow"
+    ),
+)
+def events_chi2_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence census of event_type x day-of-week — the
+    drift/AB-test signal — in EXACT truncated-integer arithmetic: the
+    per-cell contribution is defined as ((O*N - R*C)^2 * 1e6) div (N*R*C)
+    with 128-bit intermediates (DECIMAL(38,0) / HUGEINT), so both engines
+    produce bit-identical values with no floating point anywhere.
+
+    Day-of-week is (epoch_days % 7), not the engines' dayofweek()
+    builtins — Spark numbers Sunday=1, DuckDB Sunday=0, so the portable
+    bucket is pure integer arithmetic on the epoch.
+
+    Scale: raw events collapse to the 35-cell (type, dow) census by one
+    keyed partial aggregation; the three marginal sums are windows over
+    that census table only (tens of rows — waived SinglePartition), the
+    classic "sufficient statistics first" pattern.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    dow = F.expr("(unix_timestamp(ts) div 86400) % 7").cast("bigint")
+    cells = ev.groupBy(
+        "event_type", dow.alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o_count"))
+    m = (
+        cells.withColumn(
+            "r",
+            F.sum("o_count")
+            .over(Window.partitionBy("event_type"))
+            .cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "c",
+            F.sum("o_count").over(Window.partitionBy("dow")).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "n",
+            F.sum("o_count").over(Window.partitionBy()).cast("decimal(38,0)"),
+        )
+    )
+    return m.select(
+        "event_type",
+        F.col("dow").cast("bigint").alias("dow"),
+        "o_count",
+        F.expr("CAST((r * c * 1000) div n AS BIGINT)").alias("e_milli"),
+        F.expr(
+            "CAST(((o_count * n - r * c) * (o_count * n - r * c) * 1000000) "
+            "div (n * r * c) AS BIGINT)"
+        ).alias("chi2_contrib_micro"),
+    ).orderBy("event_type", "dow")
+
+
+def _bloom_pos_duck(i: int) -> str:
+    return (
+        f"(('0x' || substr(md5('b{i}:' || CAST(user_id AS VARCHAR)), 1, 15))"
+        "::BIGINT % 4096)"
+    )
+
+
+def _bloom_oracle_sql() -> str:
+    pos_union = " UNION ALL ".join(
+        f"SELECT DISTINCT {_bloom_pos_duck(i)} AS pos FROM buyers" for i in range(3)
+    )
+    click_pos = " UNION ALL ".join(
+        f"SELECT event_id, user_id, value, {_bloom_pos_duck(i)} AS pos FROM clicks"
+        for i in range(3)
+    )
+    return (
+        "WITH buyers AS (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'purchase'), "
+        "clicks AS (SELECT event_id, user_id, value FROM events "
+        "WHERE event_type = 'click'), "
+        f"bits AS (SELECT DISTINCT pos FROM ({pos_union})), "
+        f"cp AS ({click_pos}), "
+        "cand AS (SELECT cp.event_id, min(cp.user_id) AS user_id, "
+        "min(cp.value) AS value FROM cp JOIN bits ON bits.pos = cp.pos "
+        "GROUP BY cp.event_id HAVING count(*) = 3), "
+        "truth AS (SELECT c.* FROM clicks c JOIN buyers b "
+        "ON b.user_id = c.user_id) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM buyers) AS n_buyers, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM bits) AS bits_set, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM clicks) AS n_clicks, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM cand) - "
+        "(SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_false_positives, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_clicks_by_buyers, "
+        "(SELECT CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "FROM truth) AS buyer_click_value"
+    )
+
+
+@query("events_bloom_prefilter_join", oracle=_bloom_oracle_sql())
+def events_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pre-filtering for a semi-join — the shuffle
+    killer behind Spark's own runtime row-level filtering, built
+    explicitly so EVERY number is cross-engine graded (m=4096 bits,
+    k=3, bit positions from the repo's md5-digest convention; Spark's
+    native ``bloom_filter_agg``/``might_contain`` pair is the
+    production spelling, but its bit layout is implementation-specific
+    — this one is portable by construction): the distinct buyer set
+    builds a 4096-bit filter, the click stream keeps only rows whose 3
+    positions are ALL set (the bloom candidates — a superset with
+    deterministic, GRADED false positives), and the exact semi-join
+    then runs on the candidates only.
+
+    The graded row pins the whole mechanism: buyer count, bits set,
+    click volume, candidate count, false-positive count (candidates
+    minus truth — the quantity a wrong hash or bit layout corrupts),
+    and the exact final answer.
+
+    Scale: the bit table is <= 4096 rows regardless of input size (a
+    512-byte bitmask in spirit) and broadcasts; the membership test is
+    map-side (3 hash exprs + broadcast join + per-event count=3), so
+    the expensive user-key shuffle sees only |candidates| rows — at
+    100 TB with a selective buyer set that is the difference between
+    shuffling the click table and shuffling a rounding error of it.
+    """
+    ev = _t(spark, sf_dir, "events")
+    buyers = (
+        ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "value"
+    )
+
+    def pos(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{i}:"), F.col("user_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint") % 4096
+        )
+
+    bits = (
+        buyers.select(F.explode(F.array(pos(0), pos(1), pos(2))).alias("pos"))
+        .distinct()
+    )
+    cand = (
+        clicks.select(
+            "event_id", "user_id", "value",
+            F.explode(F.array(pos(0), pos(1), pos(2))).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos")
+        .groupBy("event_id")
+        .agg(
+            F.min("user_id").alias("user_id"),
+            F.min("value").alias("value"),
+            F.count("*").alias("hits"),
+        )
+        .where(F.col("hits") == 3)
+    )
+    truth = cand.join(buyers, "user_id", "left_semi")
+    summary = (
+        cand.agg(F.count("*").cast("bigint").alias("n_candidates"))
+        .crossJoin(
+            truth.agg(
+                F.count("*").cast("bigint").alias("n_clicks_by_buyers"),
+                F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                .cast("double")
+                .alias("buyer_click_value"),
+            )
+        )
+        .crossJoin(buyers.agg(F.count("*").cast("bigint").alias("n_buyers")))
+        .crossJoin(bits.agg(F.count("*").cast("bigint").alias("bits_set")))
+        .crossJoin(clicks.agg(F.count("*").cast("bigint").alias("n_clicks")))
+    )
+    return summary.select(
+        "n_buyers", "bits_set", "n_clicks", "n_candidates",
+        (F.col("n_candidates") - F.col("n_clicks_by_buyers"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        "n_clicks_by_buyers", "buyer_click_value",
+    )
+
+
+@query(
+    "events_user_erasure",
+    oracle=(
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(sum(event_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(CASE WHEN user_id = 42 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS erased_rows_left, "
+        "CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) "
+        "AS total_value "
+        "FROM events WHERE user_id <> 42 "
+        "GROUP BY event_type ORDER BY event_type"
+    ),
+)
+def events_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure as a MINIMAL partition rewrite (the
+    GDPR/CCPA lake operation: delete one user's rows without touching
+    the other 99.97% of files): events land hash-partitioned into 32
+    user buckets (``user_id % 32`` — the layout that makes per-user
+    operations surgical); erasing user 42 then locates exactly ONE
+    bucket, rewrites it filtered, and leaves the other 31 partitions'
+    files byte-identical — asserted in-query over (path, size, mtime)
+    snapshots, so a regression to a full-table rewrite fails loudly,
+    not slowly.  The graded rollup runs over the post-erasure table and
+    must equal the oracle's direct ``user_id <> 42`` computation —
+    erasure is only correct if it removes exactly that user and
+    preserves everyone else bit-for-bit (``erased_rows_left`` pins the
+    zero).
+
+    Scale: locate-then-rewrite touches |affected partitions| ~ 1 of
+    4096 at a realistic bucket count; the same layout serves the
+    per-user serving path (C1's data placement).  Dynamic partition
+    overwrite gives readers old-or-new, never half.
+    """
+    import os as _os
+    import shutil as _sh
+    import tempfile as _tf
+
+    base_tag = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    root = _os.path.join(_tf.gettempdir(), f"dch_erasure_{base_tag}")
+    _sh.rmtree(root, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events")
+    (
+        ev.withColumn("part_bucket", (F.col("user_id") % 32).cast("int"))
+        .write.partitionBy("part_bucket")
+        .mode("overwrite")
+        .parquet(root)
+    )
+
+    def snapshot() -> dict[str, tuple[int, float]]:
+        out: dict[str, tuple[int, float]] = {}
+        for dirpath, _dirs, files in _os.walk(root):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = _os.path.join(dirpath, f)
+                    st = _os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime)
+        return out
+
+    before = snapshot()
+    target = _os.path.join(root, "part_bucket=10")  # 42 % 32
+    filtered = (
+        spark.read.parquet(target).where(F.col("user_id") != 42)
+    )
+    tmp_new = target + "__new"
+    filtered.write.mode("overwrite").parquet(tmp_new)
+    _sh.rmtree(target)
+    _os.rename(tmp_new, target)
+    after = snapshot()
+
+    untouched_before = {p: v for p, v in before.items() if not p.startswith(target)}
+    untouched_after = {p: v for p, v in after.items() if not p.startswith(target)}
+    if untouched_before != untouched_after:
+        raise RuntimeError("erasure touched partitions outside user 42's bucket")
+    if any(p.startswith(target) and p in after for p in before):
+        raise RuntimeError("target partition files were not rewritten")
+
+    merged = spark.read.option("basePath", root).parquet(root)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.sum((F.col("user_id") == 42).cast("int"))
+            .cast("bigint")
+            .alias("erased_rows_left"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "events_merkle_bucket_digests",
+    oracle=(
+        "WITH r AS (SELECT CAST(user_id % 16 AS BIGINT) AS bucket, "
+        "CAST(event_id % 256 AS BIGINT) AS leaf, "
+        "md5(CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR) "
+        "|| '|' || event_type) AS rh FROM events), "
+        "leaves AS (SELECT bucket, leaf, CAST(count(*) AS BIGINT) AS n, "
+        "list_reduce(list_prepend('', list_sort(list(rh))), "
+        "(a, b) -> md5(a || b)) AS lh FROM r GROUP BY bucket, leaf) "
+        "SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows, "
+        "CAST(count(*) AS BIGINT) AS n_leaves, "
+        "list_reduce(list_prepend('', list_sort(list(lh))), "
+        "(a, b) -> md5(a || b)) AS digest "
+        "FROM leaves GROUP BY bucket ORDER BY bucket"
+    ),
+)
+def events_merkle_bucket_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-tree content digests per storage bucket — the integrity /
+    replica-consistency primitive (anti-entropy a la Dynamo/Cassandra:
+    two sites compare 16 bucket digests, recurse into the one that
+    differs, and ship only the divergent leaf — never the table): row
+    digests (md5 over the stable identity columns) fold into 256 LEAF
+    digests per bucket (``event_id % 256``), and leaf digests fold into
+    the bucket digest — both folds over SORTED digest lists, so the
+    result is a pure function of row CONTENT, independent of scan
+    order, task layout, or file arrangement (the property that makes
+    cross-site comparison meaningful).  The md5 fold chain is sequential
+    left-fold on both engines (Spark ``aggregate`` with '' init; DuckDB
+    ``list_reduce(list_prepend(...))`` — the dot_fold convention).
+
+    Scale: the tree is the point — each level's state is a fixed-width
+    digest, leaves aggregate map-side per (bucket, leaf) key, and a
+    divergence drill-down reads ONE leaf's rows, not the bucket; at
+    100 TB the leaf fan-out widens (e.g. 64k) so no single sorted list
+    outgrows an executor.  Digest columns only — no payload ships.
+    """
+    r = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 16).cast("bigint").alias("bucket"),
+        (F.col("event_id") % 256).cast("bigint").alias("leaf"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+            )
+        ).alias("rh"),
+    )
+    fold = "aggregate(%s, '', (a, b) -> md5(concat(a, b)))"
+    leaves = (
+        r.groupBy("bucket", "leaf")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.expr(fold % "sort_array(collect_list(rh))").alias("lh"),
+        )
+    )
+    return (
+        leaves.groupBy("bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_leaves"),
+            F.expr(fold % "sort_array(collect_list(lh))").alias("digest"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "events_sequence_edit_distance",
+    oracle=(
+        "WITH r AS (SELECT user_id, substr(event_type, 1, 1) AS c, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS rn FROM events), "
+        "seqs AS (SELECT user_id, string_agg(c, '' ORDER BY rn) AS seq "
+        "FROM r WHERE rn <= 8 GROUP BY user_id), "
+        "d AS (SELECT user_id, CAST(levenshtein(seq, 'cvpcvpcv') AS BIGINT) "
+        "AS dist FROM seqs) "
+        "SELECT dist, CAST(count(*) AS BIGINT) AS n_users, "
+        "CAST(sum(user_id) AS BIGINT) AS user_id_sum "
+        "FROM d GROUP BY dist ORDER BY dist"
+    ),
+)
+def events_sequence_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence alignment: each user's first 8 events (by the
+    (ts, event_id) total order) collapse to a type-initial string, and
+    its Levenshtein distance to the canonical engagement loop
+    'cvpcvpcv' (click-view-purchase x2+) buckets users by how far their
+    actual journey deviates — the sequence-similarity family's exact
+    member (the Markov matrix grades one-step transitions; this grades
+    whole-trajectory shape, insertions and drops included).  Distance
+    is integer, the prefix cap makes it O(64) per user, and both
+    engines run their native ``levenshtein``.
+
+    Scale: sequences build from ONE keyed window capped at 8 rows
+    (WindowGroupLimit prunes deeper history map-side before the
+    shuffle); the distance is a scalar expression per user, and the
+    histogram is a keyed aggregate — no joins, no all-pairs alignment.
+    """
+    from pyspark.sql import Window
+
+    r = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("c"),
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.asc("ts"), F.asc("event_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .where(F.col("rn") <= 8)
+    )
+    seqs = r.groupBy("user_id").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(rn, c))), x -> x.c)"),
+            "",
+        ).alias("seq")
+    )
+    return (
+        seqs.select(
+            "user_id",
+            F.levenshtein("seq", F.lit("cvpcvpcv")).cast("bigint").alias("dist"),
+        )
+        .groupBy("dist")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("user_id").cast("bigint").alias("user_id_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
+# Fixed integer model weights for the batch-scoring query (a trained
+# linear model frozen to a milli-scaled integer grid — the quantized
+# form models actually deploy with).
+_CHURN_WEIGHTS = {
+    "n_click": -40, "n_error": 180, "n_purchase": -320,
+    "n_signup": -60, "n_view": -25,
+}
+
+
+_CHURN_BIAS = 1500
+
+
+_CHURN_THRESHOLD = 0
+
+
+def _churn_oracle_sql() -> str:
+    terms = " + ".join(
+        f"({w}) * CAST(count(CASE WHEN event_type = '{t[2:]}' THEN 1 END) "
+        "AS BIGINT)"
+        for t, w in _CHURN_WEIGHTS.items()
+    )
+    return (
+        f"WITH scored AS (SELECT user_id, {_CHURN_BIAS} + {terms} AS logit "
+        "FROM events GROUP BY user_id) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+        f"CAST(sum(CASE WHEN logit > {_CHURN_THRESHOLD} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_flagged, "
+        f"CAST(sum(CASE WHEN logit > {_CHURN_THRESHOLD} THEN user_id ELSE 0 "
+        "END) AS BIGINT) AS flagged_id_sum, "
+        "CAST(sum(logit) AS BIGINT) AS logit_sum, "
+        "CAST(min(logit) AS BIGINT) AS min_logit, "
+        "CAST(max(logit) AS BIGINT) AS max_logit FROM scored"
+    )
+
+
+@query("events_churn_batch_scoring", oracle=_churn_oracle_sql())
+def events_churn_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference — the serving-side counterpart of the
+    feature-store export (events_user_feature_vectors): a frozen linear
+    churn model on the milli-integer grid (the quantized form deployed
+    models actually ship) scores every user in one pass — integer
+    logit = bias + w·features, flag = logit > 0 — and the graded row
+    pins the score DISTRIBUTION (population, flags, flagged-id sum,
+    logit sum and range), so a single wrong weight, feature, or
+    overflow moves the hash.
+
+    Scale: scoring is a keyed partial aggregate + a scalar expression —
+    no shuffle beyond the per-user rollup, no Python, and adding a
+    feature adds a term, not a pass.  This is the nightly 'score the
+    user base' job at 100 TB: one map-side-combined aggregation and a
+    threshold.
+    """
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t[2:], 1))
+            .cast("bigint")
+            .alias(t)
+            for t in _CHURN_WEIGHTS
+        ]
+    )
+    logit = F.lit(_CHURN_BIAS).cast("bigint")
+    for t, w in _CHURN_WEIGHTS.items():
+        logit = logit + F.lit(w).cast("bigint") * F.col(t)
+    scored = feats.select("user_id", logit.alias("logit"))
+    flagged = F.col("logit") > _CHURN_THRESHOLD
+    return scored.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(flagged.cast("int")).cast("bigint").alias("n_flagged"),
+        F.sum(F.when(flagged, F.col("user_id")).otherwise(0))
+        .cast("bigint")
+        .alias("flagged_id_sum"),
+        F.sum("logit").cast("bigint").alias("logit_sum"),
+        F.min("logit").cast("bigint").alias("min_logit"),
+        F.max("logit").cast("bigint").alias("max_logit"),
+    )
+
+
+@query(
+    "events_keyset_pagination",
+    oracle=(
+        "WITH page AS (SELECT event_id, user_id, event_type, "
+        "CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch FROM events "
+        "WHERE (CAST(floor(epoch(ts)) AS BIGINT), event_id) > "
+        "(SELECT (CAST(floor(epoch(ts)) AS BIGINT), event_id) FROM events "
+        "ORDER BY ts, event_id LIMIT 1 OFFSET 199) "
+        "ORDER BY ts_epoch, event_id LIMIT 100) "
+        "SELECT * FROM page ORDER BY ts_epoch, event_id"
+    ),
+)
+def events_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (cursor) pagination — the serving pattern that makes deep
+    pagination O(page) instead of O(offset): the cursor is the LAST KEY
+    of the previous page (here: the 200th event in (ts, event_id)
+    order, fetched by a one-row probe), and the next page is ``WHERE
+    key > cursor ORDER BY key LIMIT 100`` — a pushed-down range filter
+    + per-partition top-k, never a global skip-scan.  The (ts,
+    event_id) key is total, so pages are deterministic; timestamps
+    surface as epoch BIGINTs per the repo's cross-engine rule.
+
+    Scale: OFFSET pagination at 100 TB reads and discards the offset
+    every page; the keyset filter reaches the parquet scan (min/max
+    row-group pruning on ts) and TakeOrderedAndProject keeps only 100
+    rows per partition.  The one-row cursor probe is itself a
+    TakeOrdered — the same plan a serving layer would cache.
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+    )
+    cursor = (
+        ev.orderBy(F.asc("ts_epoch"), F.asc("event_id"))
+        .limit(200)
+        .orderBy(F.desc("ts_epoch"), F.desc("event_id"))
+        .limit(1)
+        .head()
+    )
+    c_ts, c_id = int(cursor["ts_epoch"]), int(cursor["event_id"])
+    raw = _t(spark, sf_dir, "events")
+    return (
+        raw
+        # conservative RAW-column bound (epoch(ts) >= c_ts implies
+        # ts >= second-start) — this is the predicate that reaches the
+        # parquet scan for row-group min/max pruning; the exact keyset
+        # condition below finishes the job on the epoch grid
+        .where(F.col("ts") >= F.timestamp_seconds(F.lit(c_ts)))
+        .select(
+            "event_id", "user_id", "event_type",
+            F.unix_timestamp("ts").cast("bigint").alias("ts_epoch"),
+        )
+        .where(
+            (F.col("ts_epoch") > c_ts)
+            | ((F.col("ts_epoch") == c_ts) & (F.col("event_id") > c_id))
+        )
+        .orderBy(F.asc("ts_epoch"), F.asc("event_id"))
+        .limit(100)
+        .select("event_id", "user_id", "event_type", "ts_epoch")
+    )
