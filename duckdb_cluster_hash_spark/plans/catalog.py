@@ -37,79 +37,69 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 # Driver grading window rotation
 # ---------------------------------------------------------------------------
 # The driver's CORRECTNESS gate grades only the FIRST 50 ``queries()``
-# entries (r1 and r2 artifacts contain exactly catalog positions 0-49), while
-# scripts/check_oracle.py verifies ALL entries locally.  Driver rows are the
-# durable record, so registration order is rotated here: queries that have
-# never had a driver CORRECTNESS row in any round (everything registered
-# after position 49 in r1/r2 — the TPC-H head pack, ANN/SemDeDup/quantize,
-# format round-trips, the curation pack) come first, followed by this
-# round's new queries and a handful of Tier-A flagships kept in-window for
-# continuity.  The long-stable r1/r2-green remainder rotates behind — still
-# fully covered by the local oracle gate.
+# entries, while scripts/check_oracle.py verifies ALL entries locally.
+# Driver rows are the durable record, so registration order is rotated
+# each round: the window leads with this round's NEW queries, then the
+# LONGEST-UNSTAMPED queries (oldest CORRECTNESS_r* row first — after the
+# r6 rotation every query has at least one row, so freshness, not
+# existence, is what rotates now).  Recompute mechanically each round:
+#   stamp[q] = max round whose CORRECTNESS_r*.json contains q;
+#   window = new queries + sorted(catalog, key=stamp)[:50-len(new)].
 _DRIVER_WINDOW_FIRST = [
-    # ===== ROUND-6 ROTATION (executes r4/r5 verdict item #1) =====
-    # All 35 queries that had no driver CORRECTNESS row in any of r01-r05
-    # (set = catalog names minus the union of CORRECTNESS_r01..r05 keys,
-    # recomputed mechanically this round) come first.  After this round
-    # every catalog query has a driver row in some CORRECTNESS_r*.json.
-    "cluster_node_arity_sweep",
-    "docs_lang_top_tokens",
-    "docs_source_quota_sample",
-    "docs_rag_chunks",
-    "docs_pack_sequences",
-    "docs_bm25_search",
-    "docs_bigram_collocations",
-    "docs_incremental_dedup",
-    "events_retention_cohorts",
-    "orders_reorder_intervals",
-    "emb_dim_stats",
-    "docs_token_heavy_hitters",
-    "cluster_resharding_plan",
-    "events_daily_engagement",
-    "part_size_percent_rank",
-    "events_streaming_attribution",
-    "events_streaming_dedup_replay",
-    "events_streaming_sessions",
-    "events_cumulative_hll_curve",
-    "docs_next_token_accuracy",
-    "emb_matryoshka_recall",        # verdict item #2: quantization story
-    "parts_skyline_price_size",
-    "events_merkle_bucket_digests",
-    "tpch_fk_orphan_audit",
-    "sql_portable_text_probe",
-    "orders_snapshot_diff",
-    "emb_binary_hamming_recall",    # verdict item #2: quantization story
-    "lineitem_trimmed_price_stats", # verdict item #2: r5 rewrite, no stamp
-    "events_sequence_edit_distance",
-    "events_churn_batch_scoring",
-    "events_keyset_pagination",
-    "orders_bucket_pruned_lookup",
-    "orders_set_operations",
-    "sql_null_semantics_probe",
-    "docs_string_functions_probe",  # verdict item #8: codepoint-vs-byte parity
-    # — kept in-window one more round (verdict item #2) so the r5
-    #   de-broadcast of the verify stage re-lands a driver row —
-    "docs_set_similarity_join",
-    # — NEW this round (verdict item #3): the full iterated BPE
-    #   training loop —
-    "docs_bpe_training_loop",
-    # — 13 continuity flagships, one per operator family, all previously
-    #   driver-green; they keep a fresh stamp on the core surfaces while
-    #   the long-stable remainder rotates behind (still covered in full
-    #   by the local check_oracle gate) —
-    "cluster_scalar_goldens",          # A1-A6 core hash goldens
-    "ddl_readme_flow",                 # A7/B3/B4 README 2-arg flow
-    "cluster_node_distribution",       # A5/C2 shard table + distribution
-    "tpch_q1_pricing_summary",         # TPC-H flagship / bench headline
-    "docs_exact_dedup",                # exact dedup family
-    "docs_minhash_neardup_pairs",      # near-dup family
-    "emb_cosine_topk",                 # exact ANN baseline
-    "emb_pq_adc_recall",               # quantization family
-    "docs_hybrid_rrf_search",          # retrieval family (carries BM25+RRF)
-    "events_streaming_routed_sink",    # streaming family
-    "parts_brand_pagerank",            # graph family
-    "formats_merge_on_read",           # lake-ops family
-    "events_user_erasure",             # privacy family
+    # ===== ROUND-7 ROTATION =====
+    # new this round: tokenizer train->apply closure
+    "docs_bpe_encode",
+    # the 43 queries whose only driver stamps date to r2, plus the 6
+    # oldest r3 stamps — the staleest half of the catalog
+    "cluster_user_keys_histogram",
+    "ddl_ctas_distribution",
+    "cluster_slot_projection",
+    "cluster_hashtag_colocation",
+    "cluster_hot_slots_topk",
+    "cluster_skew_report",
+    "tpch_q6_forecast_revenue",
+    "tpch_q14_promo_effect",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "lineitem_priority_channels",
+    "orders_grouping_sets",
+    "customer_spend_deciles",
+    "part_price_histogram",
+    "nation_top_customers_window",
+    "orders_monthly_priority",
+    "orders_without_lineitems",
+    "active_multiline_customers",
+    "brand_type_setops",
+    "lineitem_quantity_quartiles",
+    "customer_running_spend",
+    "orders_rollup_year_priority",
+    "events_user_first_last",
+    "events_hourly",
+    "events_json_stats",
+    "events_sessionization",
+    "events_sliding_windows",
+    "events_node_routing_counts",
+    "events_user_profile",
+    "events_lag_deltas",
+    "events_daily_pivot",
+    "docs_stats_by_lang",
+    "docs_lang_id_counts",
+    "docs_quality_scores",
+    "docs_token_stats_by_source",
+    "docs_media_metadata",
+    "docs_ilike_filter",
+    "docs_dedup_representatives",
+    "docs_ngram_jaccard_pairs",
+    "docs_simhash_signatures",
+    "docs_simhash_neardup_pairs",
+    "docs_fingerprints",
+    "docs_winnow_fingerprints",
+    "cluster_shard_ranges",
+    "sql_error_probe",
+    "tpch_q4_order_priority",
+    "tpch_q13_customer_order_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
 ]
 
 

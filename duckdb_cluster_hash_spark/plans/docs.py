@@ -1096,12 +1096,27 @@ def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("f"))
     )
+    merges = bpe_train_merges(wf, k=16)
+    return spark.createDataFrame(
+        merges, "it bigint, lhs string, rhs string, merged string, n bigint"
+    ).orderBy("it")
+
+
+def bpe_train_merges(
+    wf: DataFrame, k: int = 16
+) -> list[tuple[int, str, str, str, int]]:
+    """Run the iterated BPE trainer over a word-frequency table
+    ``(w, f)`` and return the merge trajectory
+    ``[(it, lhs, rhs, merged, n), ...]`` — the loop body shared by
+    ``docs_bpe_training_loop`` (full corpus) and ``docs_bpe_encode``
+    (train split).  One job + a 1-row argmax collect per iteration;
+    the vocab is localCheckpoint'd so lineage stays O(1)."""
     vocab = wf.select(
         F.expr("concat('  ', regexp_replace(w, '(.)', '$1  '))").alias("s"),
         "f",
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
-    for it in range(1, 17):
+    for it in range(1, k + 1):
         pc = bpe_pair_counts(vocab)
         best = pc.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1).collect()
         if not best:  # corpus fully merged before k iterations — both
@@ -1109,9 +1124,117 @@ def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         lhs, rhs, n = best[0].lhs, best[0].rhs, int(best[0].n)
         merges.append((it, lhs, rhs, lhs + rhs, n))
         vocab = bpe_merge_apply(vocab, lhs, rhs).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "it bigint, lhs string, rhs string, merged string, n bigint"
-    ).orderBy("it")
+    return merges
+
+
+def _bpe_encode_oracle_sql(k: int = 16) -> str:
+    """Oracle for train->apply closure: the trainer's unrolled CTE
+    chain on the 90% train split (doc_id % 10 != 0), then the learned
+    merge table applied IN ORDER to the held-out 10% via the same
+    doubled-separator replace, one apply CTE per merge."""
+    sql = (
+        "WITH wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f "
+        "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        "AS w FROM documents WHERE doc_id % 10 != 0) "
+        "WHERE len(w) >= 2 GROUP BY w), "
+        "v0 AS MATERIALIZED (SELECT '  ' || "
+        "regexp_replace(w, '(.)', '\\1  ', 'g') AS s, f FROM wf)"
+    )
+    for i in range(1, k + 1):
+        sql += (
+            f", x{i} AS (SELECT t, f, "
+            "unnest(generate_series(1, len(t) - 1)) AS i "
+            f"FROM (SELECT string_split(trim(s), '  ') AS t, f FROM v{i-1}) "
+            "WHERE len(t) >= 2)"
+            f", p{i} AS (SELECT t[i] AS lhs, t[i+1] AS rhs, "
+            f"CAST(sum(f) AS BIGINT) AS n FROM x{i} GROUP BY lhs, rhs)"
+            f", b{i} AS MATERIALIZED (SELECT lhs, rhs FROM p{i} "
+            "ORDER BY n DESC, lhs, rhs LIMIT 1)"
+            f", v{i} AS MATERIALIZED (SELECT "
+            "replace(s, ' ' || lhs || '  ' || rhs || ' ', "
+            f"' ' || lhs || rhs || ' ') AS s, f FROM v{i-1} CROSS JOIN b{i})"
+        )
+    sql += (
+        ", h0 AS (SELECT doc_id, source, w, '  ' || "
+        "regexp_replace(w, '(.)', '\\1  ', 'g') AS s FROM "
+        "(SELECT doc_id, source, "
+        "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w "
+        "FROM documents WHERE doc_id % 10 = 0))"
+    )
+    for i in range(1, k + 1):
+        sql += (
+            f", h{i} AS (SELECT doc_id, source, w, "
+            "replace(s, ' ' || lhs || '  ' || rhs || ' ', "
+            f"' ' || lhs || rhs || ' ') AS s FROM h{i-1} CROSS JOIN b{i})"
+        )
+    sql += (
+        f" SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(len(w)) AS BIGINT) AS base_symbols, "
+        "CAST(sum(len(string_split(trim(s), '  '))) AS BIGINT) AS bpe_tokens "
+        f"FROM h{k} GROUP BY source ORDER BY source"
+    )
+    return sql
+
+
+@query("docs_bpe_encode", oracle=_bpe_encode_oracle_sql())
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip closure (train -> APPLY): train the
+    16-merge BPE table on the 90% split (doc_id % 10 != 0) with the
+    shared ``bpe_train_merges`` loop, then encode the HELD-OUT 10%
+    with the learned table applied in merge order, grading per-source
+    word/symbol/token sums.  Completes the tokenizer family: the
+    trainer query pins the merge trajectory, this one pins what those
+    merges DO to unseen text.
+
+    Scale: the apply side is a single map-side pass — the 16 learned
+    merges are driver-collected (1 row each, the sanctioned iterative-
+    trainer shape) and compiled into one chained ``replace`` expression
+    evaluated inside whole-stage codegen; no join, no shuffle except
+    the final per-source aggregation.  The encoding invariant
+    (doubled separators) makes each chained replace exactly one greedy
+    merge pass, so Spark's nested-replace expression and the oracle's
+    16 CTE steps compute identical strings.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    train_wf = (
+        docs.where(F.col("doc_id") % 10 != 0)
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .where(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    merges = bpe_train_merges(train_wf, k=16)
+    held = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    enc = F.expr("concat('  ', regexp_replace(w, '(.)', '$1  '))")
+    for _, lhs, rhs, _, _ in merges:
+        enc = F.replace(enc, F.lit(f" {lhs}  {rhs} "), F.lit(f" {lhs}{rhs} "))
+    return (
+        held.select(
+            "doc_id",
+            "source",
+            F.length("w").cast("bigint").alias("base"),
+            F.size(F.split(F.trim(enc), "  ")).cast("bigint").alias("toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("base").cast("bigint").alias("base_symbols"),
+            F.sum("toks").cast("bigint").alias("bpe_tokens"),
+        )
+        .orderBy("source")
+    )
 
 
 @query(

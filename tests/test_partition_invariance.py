@@ -83,6 +83,9 @@ INVARIANCE_QUERIES = [
     # the whole merge trajectory (incl. lexicographic tie-breaks) must
     # be a pure function of the corpus, never of scan/shuffle layout
     "docs_bpe_training_loop",
+    # train->apply closure: the learned table (argmax tie-breaks) and
+    # the chained-replace encoding must both be layout-pure
+    "docs_bpe_encode",
 ]
 
 ALT_CONFS = {

@@ -608,6 +608,19 @@ def test_bpe_training_iteration_subtree_plan(spark, sf_small):
     assert plan.count("HashAggregate") >= 4
 
 
+def test_bpe_encode_apply_is_map_side(spark, sf_small):
+    """docs_bpe_encode's apply side compiles the learned merge table
+    into one chained replace expression: the final plan must be a scan
+    -> project -> aggregate with no join and no Python, and the
+    16-deep replace chain must actually be inlined (literal patterns
+    appear in the plan)."""
+    plan = plan_of(QUERIES["docs_bpe_encode"](spark, sf_small))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "replace(" in plan
+
+
 def test_user_similarity_broadcasts_anchor_no_densification(spark, sf_small):
     """The cross term joins on shared days with a broadcast anchor —
     no full-outer densification, no cartesian; top-10 is
