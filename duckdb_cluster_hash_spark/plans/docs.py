@@ -6,35 +6,15 @@ window, and rotation stay in catalog.py.
 """
 
 from __future__ import annotations
-
-from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from duckdb_cluster_hash_spark.functions.clusterhash import (
-    cluster_node_col,
-    cluster_slot_col,
-    node_of_slot_col,
-    node_udf_col,
-    register_all,
-    slot_udf_col,
-)
-from duckdb_cluster_hash_spark.oracle import node_of_slot_sql, node_sql, slot_sql
-from duckdb_cluster_hash_spark.sources.tables import load_table
 from duckdb_cluster_hash_spark import oracle_text as _ot
 from duckdb_cluster_hash_spark.operators import dedup as _dd
 from duckdb_cluster_hash_spark.operators import similarity as _sim
 from duckdb_cluster_hash_spark.functions import text as _tx
 from duckdb_cluster_hash_spark.operators import multimodal as _mm
-from duckdb_cluster_hash_spark.streaming import events as _ev
-from duckdb_cluster_hash_spark.oracle import node_sql as _node_sql
-from duckdb_cluster_hash_spark.operators import joins as _joins
-from duckdb_cluster_hash_spark.operators import skew as _sk
-from duckdb_cluster_hash_spark.functions.text import (  # noqa: E402
-    bigram_lift_top_sql,
-    bm25_topk_sql,
-)
-
-from duckdb_cluster_hash_spark.plans._registry import ORACLES, QUERIES, _money_sum, _t, query  # noqa: F401
+from duckdb_cluster_hash_spark.functions.text import bigram_lift_top_sql, bm25_topk_sql
+from duckdb_cluster_hash_spark.plans._registry import ORACLES, _t, query
 
 
 @query(
@@ -1171,10 +1151,18 @@ def _bpe_encode_oracle_sql(k: int = 16) -> str:
         "FROM documents WHERE doc_id % 10 = 0))"
     )
     for i in range(1, k + 1):
+        # LEFT JOIN ON TRUE, not CROSS JOIN: if training exhausts all
+        # pairs before k merges, b{i} is EMPTY from that point on — a
+        # cross join would empty the whole apply chain (0 output rows)
+        # while the Spark side simply applies the shorter merge list.
+        # With the left join an empty b{i} leaves s unchanged, matching
+        # the engine's shorter-trajectory behavior exactly.
         sql += (
             f", h{i} AS (SELECT doc_id, source, w, "
+            "CASE WHEN lhs IS NULL THEN s ELSE "
             "replace(s, ' ' || lhs || '  ' || rhs || ' ', "
-            f"' ' || lhs || rhs || ' ') AS s FROM h{i-1} CROSS JOIN b{i})"
+            f"' ' || lhs || rhs || ' ') END AS s "
+            f"FROM h{i-1} LEFT JOIN b{i} ON TRUE)"
         )
     sql += (
         f" SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "

@@ -434,3 +434,39 @@ def test_bpe_training_loop_matches_reference_trainer(spark):
         got.append((it, lhs, rhs, n))
         vocab = bpe_merge_apply(vocab, lhs, rhs)
     assert got == expected
+
+
+def test_bpe_encode_short_trajectory_matches_oracle(spark, tmp_path):
+    """When the train split exhausts all pairs before 16 merges, the
+    Spark side applies the shorter merge list; the oracle's apply chain
+    must NOT collapse to 0 rows (regression: CROSS JOIN against an
+    empty b{i} emptied every later CTE).  Tiny corpus: the 90% split
+    fully merges in a handful of iterations."""
+    import duckdb
+
+    from duckdb_cluster_hash_spark.plans.catalog import ORACLES, QUERIES
+
+    rows = [
+        # doc_id % 10 != 0 -> train split; tiny so pairs run dry fast
+        (1, "aa ab", "en", "s1", 5),
+        (2, "aa", "en", "s1", 2),
+        # held-out (doc_id % 10 == 0)
+        (10, "aa ab ba", "en", "s1", 8),
+        (20, "zz aa", "en", "s2", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in QUERIES["docs_bpe_encode"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    want = sorted(con.sql(ORACLES["docs_bpe_encode"]).fetchall())
+    assert got == want
+    assert len(got) > 0  # the 0-row collapse this test pins against
