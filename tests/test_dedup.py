@@ -231,3 +231,27 @@ def test_clear_shared_cache_reclaims_and_rebuilds(spark):
     # full clear (no df) drains everything
     dd.clear_shared_cache()
     assert len(list(dd._SHARED_MATERIALIZED.keys())) == 0
+
+
+def test_setsim_suffix_filter_bound_is_lossless():
+    """The set-similarity join's suffix filter (PPJoin+-style fixed-cut
+    histogram bound) must NEVER underestimate: for any two token-digest
+    sets, sum_j min(h1[j], h2[j]) >= |t1 & t2|, where h[j] counts
+    tokens in fixed bucket j = tok div 2^57.  If this bound could dip
+    below the true intersection, the filter would drop qualifying pairs
+    and break the completeness grade vs the all-pairs oracle."""
+    from hypothesis import given, settings, strategies as st
+
+    CUT = 144115188075855872  # 2^57, 8 buckets over the 60-bit space
+
+    tokens = st.sets(st.integers(min_value=0, max_value=2**60 - 1), max_size=40)
+
+    @settings(max_examples=500, deadline=None)
+    @given(tokens, tokens)
+    def check(t1, t2):
+        h1 = [sum(1 for t in t1 if t // CUT == j) for j in range(8)]
+        h2 = [sum(1 for t in t2 if t // CUT == j) for j in range(8)]
+        bound = sum(min(a, b) for a, b in zip(h1, h2))
+        assert bound >= len(t1 & t2)
+
+    check()
