@@ -114,3 +114,81 @@ def test_docs_query_matches_oracle_on_fuzz_corpus(spark, fuzz_dir, fuzz_con, nam
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert normalize(srows, scols) == normalize(orows, ocols)
+
+
+# ---------------------------------------------------------------------------
+# Events family — same differential gate over a random event log
+# ---------------------------------------------------------------------------
+
+_EVENTS_SKIP_PREFIX = "events_streaming_"  # real micro-batch engine: has its
+# own dedicated tests; too slow to replay per fuzz seed
+
+EVENTS_FUZZ_QUERIES = sorted(
+    n
+    for n, sql in ORACLES.items()
+    if n.startswith("events_")
+    and not n.startswith(_EVENTS_SKIP_PREFIX)
+    and not re.search(
+        r"\b(region|nation|customer|supplier|part|orders|lineitem|documents|embeddings)\b",
+        sql,
+        re.I,
+    )
+)
+
+
+def _make_events(seed: int):
+    import datetime as dt
+
+    rng = random.Random(seed)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    types = ["click", "view", "purchase", "error", "signup"]
+    for i in range(1200):
+        ts = t0 + dt.timedelta(
+            seconds=rng.randint(0, 30 * 86400 - 1), microseconds=rng.randint(0, 999999)
+        )
+        user = rng.randint(0, 39)  # user 0 exists (similarity anchor)
+        etype = rng.choice(types)
+        value = round(rng.uniform(0.01, 500.0), 2)
+        props = '{"k": %d}' % rng.randint(0, 99)
+        rows.append((i, ts, user, etype, value, props))
+    return rows
+
+
+@pytest.fixture(scope="module", params=[7])
+def fuzz_events_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    sf_dir = str(tmp_path_factory.mktemp(f"fuzzev{seed}"))
+    df = spark.createDataFrame(
+        _make_events(seed),
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    return sf_dir
+
+
+@pytest.fixture(scope="module")
+def fuzz_events_con(fuzz_events_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS FROM "
+        f"read_parquet('{fuzz_events_dir}/events.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EVENTS_FUZZ_QUERIES)
+def test_events_query_matches_oracle_on_fuzz_corpus(
+    spark, fuzz_events_dir, fuzz_events_con, name
+):
+    sdf = QUERIES[name](spark, fuzz_events_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = fuzz_events_con.sql(ORACLES[name])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert normalize(srows, scols) == normalize(orows, ocols)
