@@ -192,3 +192,142 @@ def test_events_query_matches_oracle_on_fuzz_corpus(
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert normalize(srows, scols) == normalize(orows, ocols)
+
+
+# ---------------------------------------------------------------------------
+# Star schema (TPC-H-ish) — the DECIMAL money path and rank/tie machinery
+# ---------------------------------------------------------------------------
+
+_STAR = re.compile(r"\b(region|nation|customer|supplier|part|orders|lineitem)\b", re.I)
+_NONSTAR = re.compile(r"\b(events|documents|embeddings)\b", re.I)
+
+STAR_FUZZ_QUERIES = sorted(
+    n
+    for n, sql in ORACLES.items()
+    if _STAR.search(sql)
+    and not _NONSTAR.search(sql)
+    # file-format round-trips exercise IO mechanics, not data semantics
+    and not n.startswith("formats_")
+)
+
+
+def _make_star(seed: int):
+    """Mini star schema mirroring the testdata's synthetic conventions:
+    NATION_n names, Customer#%09d keys, Brand#1..25, cent-grid discounts,
+    integer-valued double quantities, midnight TIMESTAMP dates — plus
+    deliberate edge salt: FK orphans (the audit must COUNT them
+    identically), childless orders, and heavy key ties."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    day = lambda y, m, d: dt.datetime(y, m, d)  # noqa: E731
+    region = [(i, n) for i, n in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    nation = [(i, f"NATION_{i}", i % 5) for i in range(25)]
+    customer = [
+        (i, f"Customer#{i:09d}", rng.randrange(25),
+         round(rng.uniform(0.0, 9999.0), 2),
+         rng.choice(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]))
+        for i in range(80)
+    ]
+    supplier = [
+        (i, f"Supplier#{i:09d}", rng.randrange(25),
+         round(rng.uniform(0.0, 9999.0), 2))
+        for i in range(12)
+    ]
+    adjectives = ["red", "blue", "green", "small", "large", "shiny"]
+    nouns = ["ring", "widget", "bolt", "gear", "cog"]
+    part = [
+        (i, f"{rng.choice(adjectives)} {rng.choice(nouns)}",
+         f"Brand#{rng.randrange(1, 26)}",
+         rng.choice(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]),
+         rng.randrange(1, 51), round(900 + i * 0.1, 2))
+        for i in range(60)
+    ]
+    base = day(1995, 1, 1)
+    orders, lineitem = [], []
+    for ok in range(400):
+        custkey = 900 if ok in (398, 399) else rng.randrange(80)  # 2 FK orphans
+        odate = base + dt.timedelta(days=rng.randrange(2400))
+        orders.append(
+            (ok, custkey, rng.choice(["P", "O", "F"]),
+             round(rng.uniform(1000.0, 500000.0), 2), odate,
+             rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]))
+        )
+        if ok % 17 == 11:
+            continue  # childless order
+        for ln in range(1, rng.randint(1, 7) + 1):
+            rf, ls = rng.choice(
+                [("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O")]
+            )
+            qty = float(rng.randrange(1, 51))
+            lineitem.append(
+                (ok, rng.randrange(60), rng.randrange(12), ln, qty,
+                 round(qty * rng.uniform(900.0, 2100.0), 2),
+                 rng.randrange(0, 11) / 100.0, rng.randrange(0, 9) / 100.0,
+                 rf, ls, odate + dt.timedelta(days=rng.randrange(1, 96)))
+            )
+    # 3 lineitem orphans: dangling order/part/supplier keys
+    lineitem += [
+        (900, 0, 0, 1, 5.0, 4900.11, 0.05, 0.02, "N", "O", day(1999, 6, 1)),
+        (10, 900, 0, 99, 4.0, 3900.22, 0.0, 0.0, "A", "F", day(1999, 6, 2)),
+        (11, 0, 900, 99, 3.0, 2900.33, 0.1, 0.08, "R", "F", day(1999, 6, 3)),
+    ]
+    return {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation, "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (customer,
+                     "c_custkey bigint, c_name string, c_nationkey int, "
+                     "c_acctbal double, c_mktsegment string"),
+        "supplier": (supplier,
+                     "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"),
+        "part": (part,
+                 "p_partkey bigint, p_name string, p_brand string, p_type string, "
+                 "p_size int, p_retailprice double"),
+        "orders": (orders,
+                   "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+                   "o_totalprice double, o_orderdate timestamp, o_orderpriority string"),
+        "lineitem": (lineitem,
+                     "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+                     "l_linenumber int, l_quantity double, l_extendedprice double, "
+                     "l_discount double, l_tax double, l_returnflag string, "
+                     "l_linestatus string, l_shipdate timestamp"),
+    }
+
+
+@pytest.fixture(scope="module", params=[13])
+def fuzz_star_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    sf_dir = str(tmp_path_factory.mktemp(f"fuzzstar{seed}"))
+    for t, (rows, schema) in _make_star(seed).items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{sf_dir}/{t}.parquet")
+    return sf_dir
+
+
+@pytest.fixture(scope="module")
+def fuzz_star_con(fuzz_star_dir):
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+        con.execute(
+            f"CREATE VIEW {t} AS FROM "
+            f"read_parquet('{fuzz_star_dir}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", STAR_FUZZ_QUERIES)
+def test_star_query_matches_oracle_on_fuzz_corpus(
+    spark, fuzz_star_dir, fuzz_star_con, name
+):
+    sdf = QUERIES[name](spark, fuzz_star_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = fuzz_star_con.sql(ORACLES[name])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert normalize(srows, scols) == normalize(orows, ocols)
