@@ -331,3 +331,82 @@ def test_star_query_matches_oracle_on_fuzz_corpus(
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert normalize(srows, scols) == normalize(orows, ocols)
+
+
+# ---------------------------------------------------------------------------
+# Embeddings — exact / md5-deterministic queries only.  The *_recall
+# contract oracles (IVF, LSH, PQ, Matryoshka, Hamming) are tuned to the
+# testdata's Gaussian distribution: adversarial random vectors could miss
+# a recall floor without any engine bug, so fuzzing them would only
+# manufacture out-of-contract noise.
+# ---------------------------------------------------------------------------
+
+EMB_FUZZ_QUERIES = sorted(
+    n
+    for n, sql in ORACLES.items()
+    if n.startswith("emb_")
+    and not n.endswith("_recall")
+    and not re.search(
+        r"\b(region|nation|customer|supplier|part|orders|lineitem|events|documents)\b",
+        sql,
+        re.I,
+    )
+)
+
+
+def _make_embeddings(seed: int):
+    rng = random.Random(seed)
+    rows = []
+    prev = None
+    for i in range(120):
+        if i % 19 == 7 and prev is not None:
+            emb = list(prev)  # exact duplicate vector (dedup edge)
+        else:
+            # multiples of 1/1024: exactly float32-representable, so the
+            # parquet round-trip is bit-identical on both engines
+            emb = [rng.randrange(-512, 513) / 1024 for _ in range(64)]
+            if not any(emb):
+                emb[0] = 1 / 1024  # keep norms nonzero (in-distribution)
+        prev = emb
+        rows.append((i, emb, rng.randrange(10)))
+    return rows
+
+
+@pytest.fixture(scope="module", params=[17])
+def fuzz_emb_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    sf_dir = str(tmp_path_factory.mktemp(f"fuzzemb{seed}"))
+    df = spark.createDataFrame(
+        _make_embeddings(seed), "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    yield sf_dir
+    from duckdb_cluster_hash_spark.operators import dedup
+
+    dedup.clear_shared_cache()
+
+
+@pytest.fixture(scope="module")
+def fuzz_emb_con(fuzz_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS FROM "
+        f"read_parquet('{fuzz_emb_dir}/embeddings.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", EMB_FUZZ_QUERIES)
+def test_emb_query_matches_oracle_on_fuzz_corpus(
+    spark, fuzz_emb_dir, fuzz_emb_con, name
+):
+    sdf = QUERIES[name](spark, fuzz_emb_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = fuzz_emb_con.sql(ORACLES[name])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert normalize(srows, scols) == normalize(orows, ocols)
