@@ -410,3 +410,57 @@ def test_emb_query_matches_oracle_on_fuzz_corpus(
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert normalize(srows, scols) == normalize(orows, ocols)
+
+
+# ---------------------------------------------------------------------------
+# TRUE streaming — the whole micro-batch replay (staging, watermarks,
+# stateful operators) against the batch-equivalent oracles on a random
+# event log.  The subtlest cross-engine machinery in the repo: the
+# oracles encode Spark's actual eviction semantics (one-batch-behind
+# watermark, per-leg watermark minimum, trailing no-data batch), and
+# this gate proves those encodings are data-general, not tuned to the
+# fixed testdata.  One seed: each query spins a real streaming engine.
+# ---------------------------------------------------------------------------
+
+STREAMING_FUZZ_QUERIES = sorted(
+    n for n in ORACLES if n.startswith("events_streaming_")
+)
+
+
+@pytest.fixture(scope="module", params=[23])
+def fuzz_stream_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    sf_dir = str(tmp_path_factory.mktemp(f"fuzzstream{seed}"))
+    df = spark.createDataFrame(
+        _make_events(seed),
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(2).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    return sf_dir
+
+
+@pytest.fixture(scope="module")
+def fuzz_stream_con(fuzz_stream_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS FROM "
+        f"read_parquet('{fuzz_stream_dir}/events.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", STREAMING_FUZZ_QUERIES)
+def test_streaming_query_matches_oracle_on_fuzz_corpus(
+    spark, fuzz_stream_dir, fuzz_stream_con, name
+):
+    sdf = QUERIES[name](spark, fuzz_stream_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = fuzz_stream_con.sql(ORACLES[name])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert normalize(srows, scols) == normalize(orows, ocols)
