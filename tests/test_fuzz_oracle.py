@@ -464,3 +464,82 @@ def test_streaming_query_matches_oracle_on_fuzz_corpus(
     assert sorted(scols) == sorted(ocols)
     assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
     assert normalize(srows, scols) == normalize(orows, ocols)
+
+
+# ---------------------------------------------------------------------------
+# Mixed corpus — cross-family joins and file-format round-trips.  With
+# this, every catalog query is fuzz-covered except: table-free probes
+# (data-independent by construction), the *_recall contracts (tuned to
+# the testdata distribution), and the two 16-iteration BPE trainers
+# (dedicated tiny-corpus oracle tests).
+# ---------------------------------------------------------------------------
+
+MIXED_FUZZ_QUERIES = [
+    "cluster_node_arity_sweep",      # events
+    "events_enriched_by_segment",    # customer x events
+    "docs_hybrid_rrf_search",        # documents x embeddings
+    "formats_csv_roundtrip",
+    "formats_json_roundtrip",
+    "formats_orc_roundtrip",
+    "formats_text_roundtrip",
+    "formats_schema_evolution",
+    "formats_partitioned_overwrite",
+    "formats_compaction",
+    "formats_merge_on_read",
+]
+
+
+@pytest.fixture(scope="module", params=[31])
+def fuzz_mixed_dir(request, spark, tmp_path_factory):
+    seed = request.param
+    sf_dir = str(tmp_path_factory.mktemp(f"fuzzmix{seed}"))
+    spark.createDataFrame(
+        _make_corpus(seed),
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    spark.createDataFrame(
+        _make_events(seed),
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).coalesce(2).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+    spark.createDataFrame(
+        _make_embeddings(seed), "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    for t, (rows, schema) in _make_star(seed).items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{sf_dir}/{t}.parquet")
+    yield sf_dir
+    from duckdb_cluster_hash_spark.operators import dedup
+
+    dedup.clear_shared_cache()
+
+
+@pytest.fixture(scope="module")
+def fuzz_mixed_con(fuzz_mixed_dir):
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS FROM "
+            f"read_parquet('{fuzz_mixed_dir}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", MIXED_FUZZ_QUERIES)
+def test_mixed_query_matches_oracle_on_fuzz_corpus(
+    spark, fuzz_mixed_dir, fuzz_mixed_con, name
+):
+    sdf = QUERIES[name](spark, fuzz_mixed_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = fuzz_mixed_con.sql(ORACLES[name])
+    ocols = [d[0] for d in rel.description]
+    orows = rel.fetchall()
+    assert sorted(scols) == sorted(ocols)
+    assert len(srows) == len(orows), f"{name}: {len(srows)} vs {len(orows)}"
+    assert normalize(srows, scols) == normalize(orows, ocols)
