@@ -107,11 +107,142 @@ def test_frame_sampling(spark):
     assert [f["frame_idx"] for f in frames] == [0]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_is_stubbed_for_non_pnm():
     from duckdb_cluster_hash_spark.operators import multimodal as mm
 
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n")
+
+
+def test_decode_pnm_handcrafted_images():
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    # 2x2 PGM, comment between tokens, multi-space separators
+    pgm = b"P5 # c1\n# full comment line\n 2\t2 # c2\n255\n" + bytes(
+        [10, 20, 30, 40]
+    )
+    w, h, ch, mv, px = mm.decode_pnm(pgm)
+    assert (w, h, ch, mv) == (2, 2, 1, 255)
+    assert px.tolist() == [10, 20, 30, 40]
+    # 2x1 PPM: raster bytes may look like whitespace/# and must NOT be
+    # re-tokenized (0x0A and 0x23 appear as pixel values)
+    ppm = b"P6\n2 1\n255\n" + bytes([0x0A, 0x23, 0x0A, 255, 0, 128])
+    w, h, ch, mv, px = mm.decode_pnm(ppm)
+    assert (w, h, ch, mv) == (2, 1, 3, 255)
+    assert px.tolist() == [0x0A, 0x23, 0x0A, 255, 0, 128]
+    # decode_image routes PNM natively (no codec import)
+    assert mm.decode_image(ppm) == (2, 1, "RGB")
+    assert mm.decode_image(pgm) == (2, 2, "L")
+
+
+def test_decode_pnm_rejects_malformed():
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):  # ASCII PNM not supported
+        mm.decode_pnm(b"P3\n1 1\n255\n1 2 3\n")
+    with pytest.raises(ValueError):  # truncated raster
+        mm.decode_pnm(b"P5\n2 2\n255\n\x00\x01")
+    with pytest.raises(ValueError):  # 2-byte samples
+        mm.decode_pnm(b"P5\n1 1\n65535\n\x00\x00")
+    with pytest.raises(ValueError):  # header cut off mid-token
+        mm.decode_pnm(b"P6\n4 ")
+
+
+def _wav_bytes(
+    samples, channels=1, rate=8000, extra_chunk=True, fmt_tag=1, bits=16
+):
+    import struct
+
+    raw = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate, rate * channels * 2,
+        channels * 2, bits,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # odd body size exercises the RIFF padding rule
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx\x00"
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_handcrafted_clips():
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    sr, ch, bits, nf, s = mm.decode_wav(
+        _wav_bytes([-2048, 2047, 0, -1], channels=2, rate=12000)
+    )
+    assert (sr, ch, bits, nf) == (12000, 2, 16, 2)
+    assert s.tolist() == [-2048, 2047, 0, -1]
+    # no metadata chunk: plain fmt+data still decodes
+    sr, ch, bits, nf, s = mm.decode_wav(
+        _wav_bytes([5], extra_chunk=False)
+    )
+    assert (nf, s.tolist()) == (1, [5])
+
+
+def test_decode_wav_rejects_malformed():
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):  # not RIFF
+        mm.decode_wav(b"OggS" + b"\x00" * 40)
+    with pytest.raises(ValueError):  # float PCM rejected, not misread
+        mm.decode_wav(_wav_bytes([1], fmt_tag=3))
+    with pytest.raises(ValueError):  # 8-bit rejected
+        mm.decode_wav(_wav_bytes([1], bits=8))
+    with pytest.raises(ValueError):  # truncated data chunk
+        mm.decode_wav(_wav_bytes([1, 2, 3])[:-3])
+
+
+def test_wav_pipeline_roundtrip(spark):
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(4, "x"), (7, "y")], "doc_id long, text string"
+    )
+    stats = {
+        r["doc_id"]: r.asDict()
+        for r in mm.wav_decode_stats(mm.attach_fake_wav(df)).collect()
+    }
+    # doc 4: rate 8000+1*4000, mono, 12 frames of (124+17k)%4096-2048
+    four = stats[4]
+    exp = [(4 * 31 + k * 17) % 4096 - 2048 for k in range(12)]
+    assert (four["sample_rate"], four["channels"], four["n_frames"]) == (
+        12000, 1, 12,
+    )
+    assert four["sample_sum"] == sum(exp)
+    assert (four["sample_min"], four["sample_max"]) == (min(exp), max(exp))
+    assert four["energy"] == sum(v * v for v in exp)
+    # doc 7: stereo -> 15 frames, 30 interleaved samples
+    seven = stats[7]
+    exp7 = [(7 * 31 + k * 17) % 4096 - 2048 for k in range(30)]
+    assert (seven["channels"], seven["n_frames"]) == (2, 15)
+    assert seven["sample_sum"] == sum(exp7)
+
+
+def test_pnm_pipeline_roundtrip(spark):
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(2, "x"), (9, "y")], "doc_id long, text string"
+    )
+    stats = {
+        r["doc_id"]: r.asDict()
+        for r in mm.pnm_decode_stats(mm.attach_fake_pnm(df)).collect()
+    }
+    # doc 2: P6, w=4+2=6, h=3+6%5=4, 6*4*3=72 px of (14+13i)%256
+    two = stats[2]
+    expected = [(2 * 7 + i * 13) % 256 for i in range(72)]
+    assert (two["fmt"], two["width"], two["height"], two["channels"]) == (
+        "P6", 6, 4, 3,
+    )
+    assert two["px_sum"] == sum(expected)
+    assert (two["px_min"], two["px_max"]) == (min(expected), max(expected))
+    assert two["mean_milli"] == 1000 * sum(expected) // 72
+    # doc 9: P5, w=4+1=5, h=3+27%5=5, 25 px
+    nine = stats[9]
+    expected9 = [(9 * 7 + i * 13) % 256 for i in range(25)]
+    assert (nine["fmt"], nine["channels"]) == ("P5", 1)
+    assert nine["px_sum"] == sum(expected9)
 
 
 def test_media_byte_features_values_and_edges(spark):
