@@ -277,6 +277,16 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        tuple (no dense-rank single-partition exchange); each set keeps
        its first n - ceil(0.8n) + 1 tokens; only prefix-sharing sets
        become candidates.
+    2b. ASYMMETRIC prefix bound (Bayardo et al. WWW'07 §3 / Xiao et
+       al. §3.2): pairs are oriented smaller-set-first (ties by set
+       hash).  For a qualifying pair with n1 <= n2 the overlap is
+       >= ceil(t(n1+n2)/(1+t)) >= ceil(2t*n1/(1+t)), so the SMALLER
+       side only needs its first n1 - ceil(8*n1/9) + 1 tokens
+       (~0.11n at t=0.8) to guarantee a shared prefix token — the
+       a-side join constraint `a.pos <= a.n - ceil(8*a.n/9) + 1`
+       drops a third of the raw prefix-join pairs (measured 23.9M ->
+       16.0M at sf0.1) with the identical candidate set (lossless:
+       the bound subsumes the symmetric one because n2 >= n1).
     3. Lossless LENGTH filter at the join (10*min(n1,n2) >=
        8*max(n1,n2)) and POSITIONAL filter after it (max over shared
        prefix tokens of 1 + min(n1-p1, n2-p2) >= ceil(8(n1+n2)/18)):
@@ -307,9 +317,13 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
        table in executor memory (at 100 TB the distinct-set table is
        GBs of arrays; AQE may still choose a broadcast at runtime when
        the measured size is small, which is the right call at small
-       SF).  If candidate counts ever dominate, the scalar PPJoin
-       stats could be joined first and arrays fetched in a final
-       positional pass.
+       SF).  The previously-named follow-up — scalar-stats-first
+       verify with a final positional array fetch — was profiled at
+       sf0.1 and DECLINED: the verify stage is ~1s of a ~5s standalone
+       wall (candidate generation and tokenize/group dominate), and a
+       narrow-join variant that re-fetched histograms after the
+       distinct measured net SLOWER (extra keyed exchange outweighed
+       the thinner join rows), so the win went to 2b instead.
 
     All arithmetic is integer; both engines agree bit-for-bit.  (At
     scales where sum-of-products nears int64, both sides would reduce
@@ -325,14 +339,18 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    # Tokens are carried as 60-bit md5 digests from here on (the repo's
-    # shingle-digest convention, dedup.py): the verify step intersects
-    # sorted INT arrays instead of string arrays — same result, a
-    # fraction of the comparison/allocation cost at millions of pairs.
-    # Digesting goes explode -> flat md5 projection -> collect_list,
-    # NOT a transform() lambda: the per-element lambda is interpreted
-    # (no whole-stage codegen inside HOFs) and measured 3.4x slower
-    # than the exploded codegen path over the same corpus.
+    # Tokens are carried as xxhash64 bigints from here on: the verify
+    # step intersects sorted INT arrays instead of string arrays — same
+    # result, a fraction of the comparison/allocation cost at millions
+    # of pairs.  xxhash64 (JVM-native, no hex-string round trip)
+    # replaces the earlier conv(substring(md5)) digesting: token
+    # digests are PURELY INTERNAL here (the oracle only ever sees the
+    # final jac_milli aggregates, which any injective token mapping
+    # preserves), so the md5-only cross-engine rule does not apply.
+    # Digesting goes explode -> flat projection -> collect_list, NOT a
+    # transform() lambda: the per-element lambda is interpreted (no
+    # whole-stage codegen inside HOFs) and measured 3.4x slower than
+    # the exploded codegen path over the same corpus.
     tok = docs.select(
         "doc_id",
         F.explode(
@@ -342,24 +360,21 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     sets = (
-        tok.select(
-            "doc_id",
-            F.expr(
-                "cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)"
-            ).alias("tokd"),
-        )
+        tok.select("doc_id", F.xxhash64("t").alias("tokd"))
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("tokd")).alias("ts"))
     )
-    with_sets = sets.withColumn("h", F.md5(F.concat_ws(" ", "ts")))
-    groups = with_sets.groupBy("h").agg(
-        F.first("ts").alias("ts"),
+    # Exact-dup collapse groups directly on the sorted token ARRAY (no
+    # intermediate set-hash string to build or shuffle).
+    groups = sets.groupBy("ts").agg(
         F.count("*").cast("bigint").alias("k"),
         F.sum("doc_id").cast("bigint").alias("s1"),
         F.sum(F.col("doc_id") * F.col("doc_id")).cast("bigint").alias("s2"),
         F.size(F.first("ts")).cast("bigint").alias("n"),
         # 8-bucket digest-space histogram for the suffix filter (3b):
-        # bucket = tok div 2^57 (tokens are 60-bit).  Eight FLAT int
+        # bucket = top 3 bits of the signed 64-bit token digest
+        # ((t >> 61) & 7 — arithmetic shift then mask spreads negatives
+        # and positives over all 8 buckets uniformly).  Eight FLAT int
         # columns, not an array: the per-pair bound then compiles to
         # plain least()+sum arithmetic inside the join stage's
         # whole-stage codegen — an array + zip_with/aggregate lambda
@@ -369,22 +384,22 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # candidate row (millions).
         *[
             F.expr(
-                f"size(filter(first(ts), t -> "
-                f"int(t div 144115188075855872) = {j}))"
+                f"size(filter(first(ts), t -> int((t >> 61) & 7) = {j}))"
             ).alias(f"b{j}")
             for j in range(8)
         ],
     )
-    # Set identity rides the shuffles as TWO BIGINTS (the first 120 of
-    # the set-hash's 128 md5 bits): the candidate distinct and the two
-    # verify joins key on 16 flat bytes instead of a 32-char string —
-    # measured ~35% faster on the distinct exchange.  Same hash-identity
-    # assumption as the md5 set-hash itself (120-bit birthday bound is
-    # ~1e-17 even at billions of distinct sets).
+    # Set identity rides the shuffles as TWO BIGINTS (two independent
+    # xxhash64 views of the token array): the candidate distinct and
+    # the two verify joins key on 16 flat bytes — measured ~35% faster
+    # on the distinct exchange than a 32-char md5 string key, and the
+    # hashes come straight off the array without a concat_ws+md5 pass.
+    # 128-bit combined identity keeps the birthday bound negligible
+    # even at billions of distinct sets.
     groups = groups.select(
-        F.expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)").alias("hh"),
-        F.expr("cast(conv(substring(h, 16, 15), 16, 10) as bigint)").alias("hl"),
-        *[c for c in groups.columns if c != "h"],
+        F.xxhash64("ts").alias("hh"),
+        F.xxhash64(F.lit(7), F.col("ts")).alias("hl"),
+        *groups.columns,
     )
     # groups feeds five subtrees (df table, prefix build, two keyed
     # verify sides, within-group expansion) — materialize the
@@ -409,21 +424,36 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1 + min(n1-p1, n2-p2) reaches alpha = ceil(8(n1+n2)/18) — that row
     # survives the filter, so dropping the others before the distinct is
     # free (narrower exchange rows, no max aggregate needed).
+    # Pairs are oriented SMALLER-SET-FIRST (ties by set hash) so the
+    # a-side can apply the tighter asymmetric prefix bound (2b); every
+    # unordered pair is still generated exactly once, and all the
+    # downstream aggregates are symmetric in (1,2) so orientation never
+    # reaches the output.
     cands = (
         pref.alias("a")
         .join(
             pref.alias("b"),
             (F.col("a.tok") == F.col("b.tok"))
             & (
-                (F.col("a.hh") < F.col("b.hh"))
+                (F.col("a.n") < F.col("b.n"))
                 | (
-                    (F.col("a.hh") == F.col("b.hh"))
-                    & (F.col("a.hl") < F.col("b.hl"))
+                    (F.col("a.n") == F.col("b.n"))
+                    & (
+                        (F.col("a.hh") < F.col("b.hh"))
+                        | (
+                            (F.col("a.hh") == F.col("b.hh"))
+                            & (F.col("a.hl") < F.col("b.hl"))
+                        )
+                    )
                 )
-            ),
+            )
+            # asymmetric short prefix for the smaller side (2b):
+            # lossless — overlap >= ceil(2t*n1/(1+t)) = ceil(8*n1/9)
+            & F.expr("a.pos <= a.n - ((8 * a.n + 8) div 9) + 1"),
         )
         .where(
-            F.expr("10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)")
+            # length filter, simplified by the orientation (a.n <= b.n)
+            F.expr("10 * a.n >= 8 * b.n")
             & F.expr(
                 "1 + least(a.n - a.pos, b.n - b.pos) >= "
                 "(8 * (a.n + b.n) + 17) div 18"
