@@ -88,7 +88,9 @@ def main() -> int:
         time.sleep(30)
         calm_waited += 30
         ambient_load1 = round(os.getloadavg()[0], 1)
-    noisy = ambient_load1 is not None and ambient_load1 > calm_gate
+    # noisy is None (not false) when load could not be sampled: an
+    # unknown-load run must not read as verified-calm.
+    noisy = (ambient_load1 > calm_gate) if ambient_load1 is not None else None
     if noisy:
         print(
             f"calm-gate: storm outlasted {calm_wait:.0f}s wait "
@@ -166,6 +168,18 @@ def main() -> int:
         items = merged
 
     workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "8"))
+    # REPEATS MODE: three same-code calm measurements in round 7 spanned
+    # 28.4-40.4s (scheduler/JIT/page-cache variance on a shared host), so a
+    # single-run makespan cannot distinguish a real 15% regression from
+    # nothing.  With SPARK_GRAFT_BENCH_REPEATS > 1 the whole suite runs N
+    # times (memoized checkpoint caches cleared between runs so each run
+    # is comparable to a single-run bench), the headline `value` is the
+    # MEDIAN makespan, and per-query walls are element-wise medians; all
+    # per-run makespans ride in `runs` so the spread is visible in the
+    # artifact.  Default stays 1 (the driver's time budget is not ours to
+    # spend), but round-over-round comparisons should cite a repeats>=3
+    # median from BENCH_LOCAL.json.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1")))
     timings: dict[str, float] = {}
 
     # The catalog now carries 8 real Structured Streaming queries; each
@@ -190,22 +204,43 @@ def main() -> int:
             if is_streaming:
                 streaming_gate.release()
 
-    t_suite = time.time()
-    with ThreadPoolExecutor(max_workers=workers) as ex:
-        for name, dt in ex.map(lambda kv: run_one(*kv), items):
-            timings[name] = dt
-    wall = round(time.time() - t_suite, 3)
-
     # The dedup/similarity families memoize localCheckpoint'd shingle /
     # signature tables keyed by corpus (operators/dedup.py); in a
-    # long-lived session those blocks outlive the suite.  The pool has
-    # drained (no running consumers), so the maintenance hook's
-    # concurrency contract holds — reclaim executor storage now and
-    # record how much there was to reclaim.
+    # long-lived session those blocks outlive the suite.  Between runs the
+    # pool has drained (no running consumers), so the maintenance hook's
+    # concurrency contract holds — reclaim executor storage and record how
+    # much there was to reclaim.
     from duckdb_cluster_hash_spark.operators.dedup import clear_shared_cache
 
-    freed_memo_entries = clear_shared_cache()
-    print(f"freed {freed_memo_entries} memoized checkpoint entries", file=sys.stderr)
+    run_walls: list[float] = []
+    run_timings: list[dict[str, float]] = []
+    freed_memo_entries = 0
+    for run_idx in range(repeats):
+        per_run: dict[str, float] = {}
+        t_suite = time.time()
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for name, dt in ex.map(lambda kv: run_one(*kv), items):
+                per_run[name] = dt
+        run_walls.append(round(time.time() - t_suite, 3))
+        run_timings.append(per_run)
+        freed = clear_shared_cache()
+        freed_memo_entries += freed
+        print(
+            f"run {run_idx + 1}/{repeats}: makespan {run_walls[-1]}s, "
+            f"freed {freed} memoized checkpoint entries",
+            file=sys.stderr,
+        )
+
+    def _median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return round(s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2, 3)
+
+    wall = _median(run_walls)
+    timings = {
+        name: _median([rt[name] for rt in run_timings if name in rt])
+        for name in run_timings[0]
+    }
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -231,12 +266,15 @@ def main() -> int:
         "probe_ms_post": _cpu_probe_ms(),
         "n_queries": len(timings),
         "queries_sum": round(sum(timings.values()), 3),
+        "repeats": repeats,
+        "runs": run_walls,  # per-run makespans; value = median
         "queries": top,  # 5 slowest only; full map in BENCH_LOCAL.json
     }
 
     detail = dict(
         result,
         queries=timings,
+        runs_min=min(run_walls),
         calm_waited_sec=calm_waited,
         freed_memo_entries=freed_memo_entries,
     )

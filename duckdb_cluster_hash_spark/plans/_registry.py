@@ -45,6 +45,15 @@ def query(name: str, oracle: str | None = None):
     """Register a named query and (optionally) its DuckDB oracle SQL."""
 
     def deco(fn):
+        if name in QUERIES:
+            # With 185 registrations spread across ten family modules, a
+            # cross-module name collision would silently shadow a query
+            # while every gate's counts stayed self-consistent — fail at
+            # import time instead.
+            raise ValueError(
+                f"duplicate query name {name!r}: already registered by "
+                f"{QUERIES[name].__module__} (new: {fn.__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

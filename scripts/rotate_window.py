@@ -38,6 +38,9 @@ def compute_window() -> tuple[list[str], dict[str, int]]:
             rows = json.load(open(p))
         except ValueError:
             continue
+        if not isinstance(rows, dict):  # off-format artifact (e.g. a list)
+            print(f"skipping off-format artifact {p}", file=sys.stderr)
+            continue
         for name in rows:
             stamp[name] = max(stamp.get(name, 0), rnd)
 
