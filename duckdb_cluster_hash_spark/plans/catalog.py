@@ -46,60 +46,56 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 #   stamp[q] = max round whose CORRECTNESS_r*.json contains q;
 #   window = new queries + sorted(catalog, key=stamp)[:50-len(new)].
 _DRIVER_WINDOW_FIRST = [
-    # ===== ROUND-7 ROTATION =====
-    # new this round: tokenizer train->apply closure
-    "docs_bpe_encode",
-    # the 43 queries whose only driver stamps date to r2, plus the 6
-    # oldest r3 stamps — the staleest half of the catalog
-    "cluster_user_keys_histogram",
-    "ddl_ctas_distribution",
-    "cluster_slot_projection",
-    "cluster_hashtag_colocation",
-    "cluster_hot_slots_topk",
-    "cluster_skew_report",
-    "tpch_q6_forecast_revenue",
-    "tpch_q14_promo_effect",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "lineitem_priority_channels",
-    "orders_grouping_sets",
-    "customer_spend_deciles",
-    "part_price_histogram",
-    "nation_top_customers_window",
-    "orders_monthly_priority",
-    "orders_without_lineitems",
-    "active_multiline_customers",
-    "brand_type_setops",
-    "lineitem_quantity_quartiles",
-    "customer_running_spend",
-    "orders_rollup_year_priority",
-    "events_user_first_last",
-    "events_hourly",
-    "events_json_stats",
-    "events_sessionization",
-    "events_sliding_windows",
-    "events_node_routing_counts",
-    "events_user_profile",
-    "events_lag_deltas",
-    "events_daily_pivot",
-    "docs_stats_by_lang",
-    "docs_lang_id_counts",
-    "docs_quality_scores",
-    "docs_token_stats_by_source",
-    "docs_media_metadata",
-    "docs_ilike_filter",
-    "docs_dedup_representatives",
-    "docs_ngram_jaccard_pairs",
-    "docs_simhash_signatures",
-    "docs_simhash_neardup_pairs",
-    "docs_fingerprints",
-    "docs_winnow_fingerprints",
-    "cluster_shard_ranges",
-    "sql_error_probe",
-    "tpch_q4_order_priority",
-    "tpch_q13_customer_order_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
+    "docs_pnm_decode_stats",  # never stamped
+    "docs_wav_decode_stats",  # never stamped
+    "tpch_q22_dormant_rich_customers",  # newest stamp: r3
+    "tpch_q7_nation_volume",  # newest stamp: r3
+    "tpch_q8_market_share",  # newest stamp: r3
+    "tpch_q10_returned_items",  # newest stamp: r3
+    "tpch_q15_top_supplier",  # newest stamp: r3
+    "tpch_q19_disjunctive_revenue",  # newest stamp: r3
+    "tpch_q21_waiting_supplier",  # newest stamp: r3
+    "tpch_q2_min_cost_supplier",  # newest stamp: r3
+    "tpch_q9_product_profit",  # newest stamp: r3
+    "tpch_q11_important_parts",  # newest stamp: r3
+    "tpch_q16_supplier_part_counts",  # newest stamp: r3
+    "tpch_q20_promotable_suppliers",  # newest stamp: r3
+    "tpch_q12_priority_shipping",  # newest stamp: r3
+    "orders_trailing_3mo_revenue",  # newest stamp: r3
+    "part_size_unpivot_profile",  # newest stamp: r3
+    "events_asof_purchase_view",  # newest stamp: r3
+    "events_range_join_error_followers",  # newest stamp: r3
+    "events_dedup_ingest",  # newest stamp: r3
+    "events_click_purchase_attribution",  # newest stamp: r3
+    "events_hot_type_salted_counts",  # newest stamp: r3
+    "events_enriched_by_segment",  # newest stamp: r3
+    "docs_token_top20",  # newest stamp: r3
+    "docs_corpus_curation",  # newest stamp: r3
+    "docs_stratified_sample",  # newest stamp: r3
+    "docs_token_shards",  # newest stamp: r3
+    "docs_media_byte_features",  # newest stamp: r3
+    "docs_eval_contamination",  # newest stamp: r3
+    "docs_train_val_test_split",  # newest stamp: r3
+    "docs_repetition_quality",  # newest stamp: r3
+    "docs_tfidf_top_terms",  # newest stamp: r3
+    "docs_mixture_epochs",  # newest stamp: r3
+    "docs_neardup_components",  # newest stamp: r3
+    "docs_chunk_dedup_histogram",  # newest stamp: r3
+    "formats_csv_roundtrip",  # newest stamp: r3
+    "formats_json_roundtrip",  # newest stamp: r3
+    "formats_orc_roundtrip",  # newest stamp: r3
+    "emb_label_centroids",  # newest stamp: r3
+    "emb_neardup_pairs",  # newest stamp: r3
+    "emb_ann_topk",  # newest stamp: r3
+    "emb_int8_quantize_stats",  # newest stamp: r3
+    "emb_semantic_dedup",  # newest stamp: r3
+    "emb_ivf_kmeans_recall",  # newest stamp: r3
+    "cluster_resharding_key_impact",  # newest stamp: r5
+    "orders_bucketed_coloc_join",  # newest stamp: r5
+    "parts_copurchase_affinity",  # newest stamp: r5
+    "supplier_pareto_abc",  # newest stamp: r5
+    "lineitem_price_approx_median_contract",  # newest stamp: r5
+    "customer_rfm_segments",  # newest stamp: r5
 ]
 
 
