@@ -1800,6 +1800,184 @@ def docs_next_token_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mlog2_step_exprs(i: int) -> tuple[str, str]:
+    """One square-and-shift iteration of the integer log2: given
+    ``m{i-1}`` (mantissa scaled to [2^30, 2^31)) and ``f{i-1}``
+    (fraction bits so far), emit the expressions for ``m{i}`` and
+    ``f{i}``.  Shared VERBATIM by the Spark plan and the DuckDB
+    oracle (both parse the identical CASE/shift snippet), so the two
+    engines cannot diverge by transcription; every op is bigint
+    arithmetic, so the results are bit-identical by construction.
+    """
+    sq = f"((m{i - 1} * m{i - 1}) >> 30)"
+    m = f"CASE WHEN {sq} >= 2147483648 THEN ({sq} >> 1) ELSE {sq} END AS m{i}"
+    f_ = f"f{i - 1} * 2 + CASE WHEN {sq} >= 2147483648 THEN 1 ELSE 0 END AS f{i}"
+    return m, f_
+
+
+_MLOG2_SEED_EXPRS = (
+    # e = floor(log2(x)) via the binary digit count (x >= 2^20 here, so
+    # bin() is never '0'); m0 = x normalized into [2^30, 2^31).
+    "length(bin(x)) - 1 AS e",
+    "CASE WHEN length(bin(x)) - 1 >= 30 THEN x >> (length(bin(x)) - 31) "
+    "ELSE x << (31 - length(bin(x))) END AS m0",
+    "0 AS f0",
+)
+
+_MLOG2_STEPS = 10  # 1/1024-bit resolution; max abs error < 2^-10 bits
+
+
+def _perplexity_oracle_sql() -> str:
+    keys = "doc_id, lang, source, k"
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"s{i} AS (SELECT {keys}, e, {m}, {f_} FROM s{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    return (
+        "WITH toks AS (SELECT doc_id, lang, source, "
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10) "
+        "AS b, regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents), "
+        "pos AS (SELECT doc_id, lang, source, b, unnest(ts) AS tok, "
+        "generate_subscripts(ts, 1) AS p FROM toks), "
+        "bi AS (SELECT a.doc_id, a.lang, a.source, a.b, a.tok AS w1, "
+        "c.tok AS w2 FROM pos a "
+        "JOIN pos c ON c.doc_id = a.doc_id AND c.p = a.p + 1), "
+        "c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi "
+        "WHERE b < 9 GROUP BY w1, w2), "
+        "c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1), "
+        "vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM pos "
+        "WHERE b < 9), "
+        "ev AS (SELECT t.doc_id, t.lang, t.source, "
+        "((COALESCE(c1.c1, 0) + vv.v + 1) << 20) // (COALESCE(c12.c12, 0) + 1) "
+        "AS x FROM bi t "
+        "LEFT JOIN c12 ON c12.w1 = t.w1 AND c12.w2 = t.w2 "
+        "LEFT JOIN c1 ON c1.w1 = t.w1 CROSS JOIN vv WHERE t.b = 9), "
+        "g AS (SELECT doc_id, lang, source, x, CAST(count(*) AS BIGINT) AS k "
+        "FROM ev GROUP BY doc_id, lang, source, x), "
+        f"s0 AS (SELECT doc_id, lang, source, k, {seed} FROM g), "
+        + ", ".join(steps)
+        + ", per_doc AS (SELECT doc_id, lang, source, "
+        "CAST(sum(k) AS BIGINT) AS n, "
+        f"CAST(sum(k * (e * 1024 + f{_MLOG2_STEPS})) AS BIGINT) AS t1024 "
+        f"FROM s{_MLOG2_STEPS} GROUP BY doc_id, lang, source), "
+        "scored AS (SELECT lang, source, n, t1024, "
+        "(t1024 * 1000) // (n * 1024) AS score, "
+        "(sum(t1024) OVER (PARTITION BY lang, source) * 1000) "
+        "// (sum(n) OVER (PARTITION BY lang, source) * 1024) AS gmean "
+        "FROM per_doc) "
+        "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n) AS BIGINT) AS n_bigrams, "
+        "CAST((sum(t1024) * 1000) // (sum(n) * 1024) AS BIGINT) AS mean_mbits, "
+        "CAST(sum(CASE WHEN score > gmean + 1024 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS flagged_docs "
+        "FROM scored GROUP BY lang, source ORDER BY lang, source"
+    )
+
+
+@query("docs_perplexity_filter", oracle=_perplexity_oracle_sql())
+def docs_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality filtering (the CCNet recipe, Wenzek et
+    al. 2020, with a count-based bigram LM standing in for KenLM): a
+    Laplace-smoothed bigram model is trained on the md5-90% doc split
+    and every held-out doc is scored by its cross-entropy in
+    MILLI-BITS per bigram; docs scoring >= 1 bit above their
+    (lang, source) stratum mean are flagged as filter candidates.
+
+    The repo bans floating-point logs (cross-engine bit drift), so
+    log2 is computed as a PURE-INTEGER algorithm both engines run
+    verbatim: e = floor(log2 x) off the binary digit count, then 10
+    unrolled square-and-shift iterations refine the fraction to
+    1/1024-bit resolution (the classic radix-2 iteration: square the
+    [1,2)-scaled mantissa, emit a bit when it crosses 2).  Smoothing
+    is p(w2|w1) = (c12+1)/(c1+V+1) — the +1 on the denominator keeps
+    the ratio >= 1 (and >= 2^20 after scaling) even on a degenerate
+    empty-train split, so bin() never sees 0.
+
+    Scale: the model is vocab-bounded (c12/c1 broadcast into the eval
+    join); eval bigrams collapse to DISTINCT (doc, ratio) rows BEFORE
+    the log chain, so the 10 iterations run on the grouped table, not
+    the bigram stream; the stratum mean is a keyed window (no global
+    exchange).  The one scalar is V (train vocab size), a 1-row
+    broadcast cross join.  At scales where (c1+V+1) << 20 nears
+    int64 (prefix counts ~2^42), both sides would drop the scale
+    factor to 2^10 in lockstep.
+    """
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint") % 10
+        ).alias("b"),
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("ts"),
+    )
+    pos = docs.select(
+        "doc_id", "lang", "source", "b", F.posexplode("ts").alias("p0", "tok")
+    ).withColumn("p", F.col("p0") + 1).drop("p0")
+    a, c = pos.alias("a"), pos.alias("c")
+    bi = a.join(
+        c,
+        (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.p") == F.col("a.p") + 1),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"), F.col("a.lang").alias("lang"),
+        F.col("a.source").alias("source"), F.col("a.b").alias("b"),
+        F.col("a.tok").alias("w1"), F.col("c.tok").alias("w2"),
+    )
+    c12 = (
+        bi.where(F.col("b") < 9)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    vocab = (
+        pos.where(F.col("b") < 9)
+        .agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    )
+    ev = (
+        bi.where(F.col("b") == 9)
+        .join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .selectExpr(
+            "doc_id", "lang", "source",
+            "((COALESCE(c1, 0) + v + 1) << 20) div (COALESCE(c12, 0) + 1) AS x",
+        )
+    )
+    g = ev.groupBy("doc_id", "lang", "source", "x").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    keys = ["doc_id", "lang", "source", "k"]
+    s = g.selectExpr(*keys, *_MLOG2_SEED_EXPRS)
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr(*keys, "e", m, f_)
+    per_doc = s.groupBy("doc_id", "lang", "source").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.sum(F.expr(f"k * (e * 1024 + f{_MLOG2_STEPS})"))
+        .cast("bigint")
+        .alias("t1024"),
+    )
+    scored = per_doc.selectExpr(
+        "lang", "source", "n", "t1024",
+        "(t1024 * 1000) div (n * 1024) AS score",
+        "(sum(t1024) OVER (PARTITION BY lang, source) * 1000) "
+        "div (sum(n) OVER (PARTITION BY lang, source) * 1024) AS gmean",
+    )
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.expr("CAST((sum(t1024) * 1000) div (sum(n) * 1024) AS BIGINT)")
+            .alias("mean_mbits"),
+            F.sum((F.col("score") > F.col("gmean") + 1024).cast("int"))
+            .cast("bigint")
+            .alias("flagged_docs"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 def _cm_pos_duck(r: int, tok: str = "tok") -> str:
     return (
         f"(('0x' || substr(md5('r{r}:' || {tok}), 1, 15))::BIGINT % 1024)"

@@ -57,6 +57,12 @@ WAIVERS: dict[str, str] = {
         "1-row broadcast (global avg acctbal) nested-loop + its scalar rollup"
     ),
     "docs_token_shards": "only the 256-row bucket-totals table is globally ordered",
+    "docs_perplexity_filter": (
+        "the nested-loop is the 1-row broadcast train-vocab scalar V "
+        "(Laplace denominator) and the SinglePartition exchange computes it; "
+        "the LM joins are vocab-bounded broadcasts and the stratum mean is "
+        "a keyed window"
+    ),
     "events_bloom_prefilter_join": (
         "the 5 SinglePartition exchanges and nested-loops are the 1-row "
         "summary scalars (buyer count, bits set, click count, candidate "

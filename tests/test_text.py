@@ -601,3 +601,55 @@ def test_bpe_encode_short_trajectory_matches_oracle(spark, tmp_path):
     want = sorted(con.sql(ORACLES["docs_bpe_encode"]).fetchall())
     assert got == want
     assert len(got) > 0  # the 0-row collapse this test pins against
+
+
+def test_integer_mlog2_chain_matches_log2():
+    """The shared square-and-shift log2 snippets (plans/docs.py) must
+    agree with a pure-python mirror bit-for-bit AND stay within one
+    1/1024-bit ulp of the true log2 — evaluated through DuckDB so the
+    exact SQL the oracle runs is what is being graded (the Spark side
+    parses the identical strings; cross-engine equality is covered by
+    the oracle gate and the differential fuzz corpora)."""
+    import math
+
+    import duckdb
+
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _MLOG2_STEPS,
+        _mlog2_step_exprs,
+    )
+
+    def py_mirror(x: int) -> int:
+        e = x.bit_length() - 1
+        m = (x >> (e - 30)) if e >= 30 else (x << (30 - e))
+        f = 0
+        for _ in range(_MLOG2_STEPS):
+            m = (m * m) >> 30
+            if m >= 1 << 31:
+                f = f * 2 + 1
+                m >>= 1
+            else:
+                f = f * 2
+        return e * 1024 + f
+
+    # boundary values + a deterministic pseudo-random grid
+    xs = [1 << 20, (1 << 20) + 1, (1 << 31) - 1, 1 << 31, (1 << 45) - 7]
+    xs += [(1 << 20) + (i * 2654435761) % ((1 << 45) - (1 << 20)) for i in range(200)]
+
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"s{i} AS (SELECT x, e, {m}, {f_} FROM s{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    values = ", ".join(f"({x}::BIGINT)" for x in xs)
+    sql = (
+        f"WITH g(x) AS (VALUES {values}), "
+        f"s0 AS (SELECT x, {seed} FROM g), " + ", ".join(steps) +
+        f" SELECT x, e * 1024 + f{_MLOG2_STEPS} AS l1024 FROM s{_MLOG2_STEPS}"
+    )
+    con = duckdb.connect()
+    for x, l1024 in con.sql(sql).fetchall():
+        assert l1024 == py_mirror(x), f"sql/python mismatch at x={x}"
+        true_bits = math.log2(x)
+        assert abs(l1024 / 1024 - true_bits) <= 1.0 / 1024, f"ulp breach at x={x}"
