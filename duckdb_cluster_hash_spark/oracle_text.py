@@ -617,3 +617,65 @@ def duplicated_span_coverage_sql(n: int = 8, table: str = "documents") -> str:
         "CAST((10000 * COALESCE(d.n_dup, 0)) // t.n_spans AS BIGINT) AS dup_bp "
         "FROM tot t LEFT JOIN dup d USING (doc_id) ORDER BY t.doc_id"
     )
+
+
+def margin_bitext_sql(
+    label_a: int = 0,
+    label_b: int = 1,
+    dim: int = 64,
+    n_cells: int = 16,
+    knn: int = 4,
+) -> str:
+    """Oracle for plans.emb.emb_margin_bitext_pairs: margin-criterion
+    mutual-best pair mining (Artetxe & Schwenk, ACL 2019) between two
+    label populations, candidates blocked by the shared md5-IVF cell.
+
+    Recomputes the deterministic centroids + fold-order cell assignment
+    (:func:`_ivf_assign_ctes`), the per-pair fold-exact cosine, the
+    kNN-average margin denominators (top-``knn`` cosines summed over a
+    SORTED list so the float addition order matches Spark's
+    array_sort + aggregate fold), the ratio margin, and the mutual
+    argmax — entirely in SQL, bit-identical to the Spark plan.
+    """
+
+    def dot(u: str, v: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{u}[i]::DOUBLE * {v}[i]::DOUBLE FOR i IN range(1, {dim + 1})]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return (
+        f"WITH {_ivf_assign_ctes(dim, n_cells)}, "
+        "t AS (SELECT e.vec_id, e.label, e.embedding, "
+        f"{dot('e.embedding', 'e.embedding')} AS nsq, a.cell "
+        "FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id), "
+        f"aa AS (SELECT * FROM t WHERE label = {label_a}), "
+        f"bb AS (SELECT * FROM t WHERE label = {label_b}), "
+        "cand AS (SELECT * FROM (SELECT aa.vec_id AS a_id, bb.vec_id AS b_id, "
+        f"aa.cell AS cell, {dot('aa.embedding', 'bb.embedding')} / "
+        "sqrt(aa.nsq * bb.nsq) AS cos "
+        "FROM aa JOIN bb ON aa.cell = bb.cell) WHERE cos > 0), "
+        "ka AS (SELECT a_id, list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_sort(list(cos))), (acc, x) -> acc + x) AS sa, "
+        "CAST(count(*) AS BIGINT) AS na FROM ("
+        "SELECT a_id, cos, row_number() OVER (PARTITION BY a_id "
+        f"ORDER BY cos DESC, b_id) AS rn FROM cand) WHERE rn <= {knn} "
+        "GROUP BY a_id), "
+        "kb AS (SELECT b_id, list_reduce(list_prepend(0.0::DOUBLE, "
+        "list_sort(list(cos))), (acc, x) -> acc + x) AS sb, "
+        "CAST(count(*) AS BIGINT) AS nb FROM ("
+        "SELECT b_id, cos, row_number() OVER (PARTITION BY b_id "
+        f"ORDER BY cos DESC, a_id) AS rn FROM cand) WHERE rn <= {knn} "
+        "GROUP BY b_id), "
+        "m AS (SELECT c.a_id, c.b_id, c.cell, c.cos, "
+        "c.cos * 2 / (ka.sa / ka.na + kb.sb / kb.nb) AS margin "
+        "FROM cand c JOIN ka ON ka.a_id = c.a_id JOIN kb ON kb.b_id = c.b_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY a_id "
+        "ORDER BY margin DESC, b_id) AS ra, "
+        "row_number() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id) AS rb "
+        "FROM m) "
+        "SELECT a_id, b_id, cell, round(cos * 1000000) / 1000000 AS cos_sim, "
+        "round(margin * 1000000) / 1000000 AS margin "
+        "FROM r WHERE ra = 1 AND rb = 1 ORDER BY a_id"
+    )

@@ -478,3 +478,100 @@ def emb_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("overlap") >= F.lit(5)).cast("int").alias("recall_ok"),
         )
     )
+
+
+@query("emb_margin_bitext_pairs", oracle=_ot.margin_bitext_sql(0, 1, 64, 16, 4))
+def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (the CCMatrix / LASER recipe,
+    Artetxe & Schwenk ACL 2019): treat two label populations as the two
+    sides of a comparable corpus and emit MUTUAL-BEST pairs under the
+    ratio-margin criterion — cos(x, y) divided by the mean of the two
+    sides' local kNN-average cosines — the standard filter for mining
+    aligned training pairs, where raw cosine over-selects hubs and the
+    margin normalizes each vector's neighborhood density away.
+
+    Candidates are blocked by the shared md5-IVF cell
+    (similarity.ivf_assign_cells, bit-deterministic fold-order argmax),
+    NOT an all-pairs join: each side joins on its cell tag, so the
+    candidate space is keyed and partition-local — exactly how the real
+    recipe shortlists with ANN before scoring margins.  kNN averages use
+    the top-4 positive cosines WITHIN the shortlist; the 4 doubles are
+    summed over a SORTED array (array_sort + sequential aggregate fold)
+    so the float addition order — and therefore every margin bit —
+    matches the oracle's list_sort + list_reduce exactly.  Mutual-best =
+    row_number() == 1 on both keyed windows (margin DESC, id ASC).
+
+    Scale: cell join is keyed (cells ~ sqrt(n) in the scaled variant);
+    kNN stats and argmax windows partition by vector id; no global
+    exchange before the final display sort.  At 100 TB the same plan
+    holds with the IVF index pre-built and bucketed by cell.
+    """
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sides = _sim.ivf_assign_cells(emb).withColumn(
+        "nsq", _sim.dot_fold(F.col("embedding"), F.col("embedding"))
+    )
+    a = sides.where(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"), "cell",
+        F.col("embedding").alias("ea"), F.col("nsq").alias("na2"),
+    )
+    b = sides.where(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"), "cell",
+        F.col("embedding").alias("eb"), F.col("nsq").alias("nb2"),
+    )
+    cand = (
+        a.join(b, "cell")
+        .withColumn(
+            "cos",
+            _sim.dot_fold(F.col("ea"), F.col("eb"))
+            / F.sqrt(F.col("na2") * F.col("nb2")),
+        )
+        .where(F.col("cos") > 0)
+        .select("a_id", "b_id", "cell", "cos")
+    )
+    knn = 4
+
+    def _knn_stats(df: DataFrame, key: str, other: str, s: str, n: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.desc("cos"), F.asc(other))
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= knn)
+            .groupBy(key)
+            .agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list("cos")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias(s),
+                F.count("*").cast("bigint").alias(n),
+            )
+        )
+
+    ka = _knn_stats(cand, "a_id", "b_id", "sa", "na")
+    kb = _knn_stats(cand, "b_id", "a_id", "sb", "nb")
+    m = (
+        cand.join(ka, "a_id")
+        .join(kb, "b_id")
+        .withColumn("margin", F.expr("cos * 2 / (sa / na + sb / nb)"))
+    )
+    r = m.withColumn(
+        "ra",
+        F.row_number().over(
+            Window.partitionBy("a_id").orderBy(F.desc("margin"), F.asc("b_id"))
+        ),
+    ).withColumn(
+        "rb",
+        F.row_number().over(
+            Window.partitionBy("b_id").orderBy(F.desc("margin"), F.asc("a_id"))
+        ),
+    )
+    return (
+        r.where((F.col("ra") == 1) & (F.col("rb") == 1))
+        .select(
+            "a_id", "b_id", "cell",
+            (F.round(F.col("cos") * 1000000) / 1000000).alias("cos_sim"),
+            (F.round(F.col("margin") * 1000000) / 1000000).alias("margin"),
+        )
+        .orderBy("a_id")
+    )

