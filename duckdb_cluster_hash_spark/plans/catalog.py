@@ -48,6 +48,8 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 _DRIVER_WINDOW_FIRST = [
     "docs_pnm_decode_stats",  # never stamped
     "docs_wav_decode_stats",  # never stamped
+    "docs_perplexity_filter",  # never stamped
+    "emb_margin_bitext_pairs",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -94,8 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "orders_bucketed_coloc_join",  # newest stamp: r5
     "parts_copurchase_affinity",  # newest stamp: r5
     "supplier_pareto_abc",  # newest stamp: r5
-    "lineitem_price_approx_median_contract",  # newest stamp: r5
-    "customer_rfm_segments",  # newest stamp: r5
 ]
 
 
