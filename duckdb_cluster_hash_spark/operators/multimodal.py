@@ -569,6 +569,205 @@ def wav_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media").mapInPandas(decode, WAV_STATS_SCHEMA)
 
 
+def decode_y4m(data: bytes) -> tuple[int, int, int, int, str, np.ndarray]:
+    """Dependency-free YUV4MPEG2 (y4m) video decoder ->
+    (width, height, fps_num, fps_den, colorspace, Y planes as a
+    uint8 array of shape (n_frames, width * height)).
+
+    Implements the real container rules: a ``YUV4MPEG2`` stream header
+    of space-separated tagged parameters (``W``/``H``/``F`` required,
+    ``C`` colorspace defaulting to ``420jpeg`` per spec, ``I``/``A``/
+    ``X`` tolerated and skipped), then per frame a ``FRAME`` line with
+    OPTIONAL space-prefixed parameters, followed by the raw planar
+    raster whose size depends on the chroma subsampling (420* -> 3/2
+    bytes per pixel, 422 -> 2, 444 -> 3, mono -> 1).  Odd dimensions
+    under 420/422, unknown colorspaces, and truncated rasters raise
+    instead of misreading.  Only the luma plane (the first
+    width*height bytes of every frame) is returned — chroma layout
+    differs per subsampling and the pipeline stats here are luma-only.
+    """
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = fps_num = fps_den = None
+    colorspace = "420jpeg"
+    for tok in data[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C":
+            colorspace = val.decode("ascii")
+        elif tag in (b"I", b"A", b"X"):
+            continue  # interlacing / aspect / comment: not needed for stats
+        else:
+            raise ValueError(f"unknown y4m stream parameter {tok!r}")
+    if width is None or height is None or fps_num is None:
+        raise ValueError("y4m header missing W, H or F")
+    if colorspace.startswith("420"):
+        if width % 2 or height % 2:
+            raise ValueError("odd dimensions under 4:2:0 subsampling")
+        frame_size = width * height * 3 // 2
+    elif colorspace.startswith("422"):
+        if width % 2:
+            raise ValueError("odd width under 4:2:2 subsampling")
+        frame_size = width * height * 2
+    elif colorspace.startswith("444"):
+        frame_size = width * height * 3
+    elif colorspace == "mono":
+        frame_size = width * height
+    else:
+        raise ValueError(f"unsupported y4m colorspace {colorspace!r}")
+    pos = nl + 1
+    lumas = []
+    while pos < len(data):
+        if not data.startswith(b"FRAME", pos):
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fnl = data.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME header")
+        params = data[pos + 5 : fnl]
+        if params and not params.startswith(b" "):
+            raise ValueError(f"malformed FRAME parameters {params!r}")
+        pos = fnl + 1
+        if len(data) - pos < frame_size:
+            raise ValueError("truncated y4m frame raster")
+        lumas.append(
+            np.frombuffer(data, dtype=np.uint8, offset=pos, count=width * height)
+        )
+        pos += frame_size
+    y = (
+        np.stack(lumas)
+        if lumas
+        else np.empty((0, width * height), dtype=np.uint8)
+    )
+    return width, height, fps_num, fps_den, colorspace, y
+
+
+def attach_fake_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL spec-compliant YUV4MPEG2 clips as a binary
+    column, deterministic from doc_id (oracle-reproducible):
+
+      width      = 4 + 2 * (doc_id % 3)            (even, 4:2:0-safe)
+      height     = 2 + 2 * ((doc_id div 2) % 2)
+      fps        = (24 + (doc_id % 2) * 6):1
+      colorspace = C420jpeg for even doc_ids, Cmono for odd
+      n_frames   = 2 + doc_id % 4
+      frame byte = (doc_id * 11 + i * 29 + j * 7) % 256
+                   (i = frame index, j = byte offset in the frame)
+
+    Every ODD frame carries an ``X`` parameter on its FRAME line, so
+    the decoder's frame-parameter skip is exercised inside every
+    multi-frame clip.  Pure Column expressions (the raster builds as
+    nested sequence/transform hex, decoded by one unhex) — test-media
+    synthesis scales with the cluster, not the driver.
+    """
+    ident = F.col(id_col).cast("bigint")
+    width = (F.lit(4) + (ident % 3) * 2).cast("int")
+    height = (F.lit(2) + ((ident / 2).cast("bigint") % 2) * 2).cast("int")
+    fps = (F.lit(24) + (ident % 2) * 6).cast("int")
+    cs = F.when(ident % 2 == 0, F.lit("420jpeg")).otherwise(F.lit("mono"))
+    header = F.concat(
+        F.lit("YUV4MPEG2 W"), width.cast("string"),
+        F.lit(" H"), height.cast("string"),
+        F.lit(" F"), fps.cast("string"),
+        F.lit(":1 Ip A1:1 C"), cs, F.lit("\n"),
+    )
+    fsize = (
+        f"(CASE WHEN {id_col} % 2 = 0 "
+        f"THEN (4 + ({id_col} % 3) * 2) * (2 + (({id_col} div 2) % 2) * 2) * 3 div 2 "
+        f"ELSE (4 + ({id_col} % 3) * 2) * (2 + (({id_col} div 2) % 2) * 2) END)"
+    )
+    frames_hex = F.expr(
+        f"concat_ws('', transform(sequence(0, cast(1 + {id_col} % 4 as bigint)), "
+        f"i -> concat("
+        f"hex(concat('FRAME', CASE WHEN i % 2 = 1 THEN ' Xq1' ELSE '' END, '\n')), "
+        f"concat_ws('', transform(sequence(0, {fsize} - 1), "
+        f"j -> lpad(hex(pmod({id_col} * 11 + i * 29 + j * 7, 256)), 2, '0'))))))"
+    )
+    media = F.concat(F.encode(header, "UTF-8"), F.unhex(frames_hex))
+    return df.withColumn("media", media).withColumn(
+        "media_type", F.lit("video/x-yuv4mpeg")
+    )
+
+
+Y4M_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps_num", IntegerType()),
+        StructField("fps_den", IntegerType()),
+        StructField("colorspace", StringType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("y_sum", LongType()),
+        StructField("y_min", IntegerType()),
+        StructField("y_max", IntegerType()),
+    ]
+)
+
+
+def y4m_frame_stats(
+    df: DataFrame, every_k: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode a y4m binary column, sample every ``every_k``-th frame,
+    and emit per-clip luma statistics (the screen a video pipeline
+    runs before feature extraction: black/blown-out detection =
+    min/max, exposure drift = mean).  The decode is the REAL container
+    parser (:func:`decode_y4m`) over the actual bytes; Arrow-batched
+    ``mapInPandas``, stats off numpy uint8 views of the sampled Y
+    planes only.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            doc_id = pdf[id_col].to_numpy(dtype="int64")
+            width = np.empty(n, dtype=np.int32)
+            height = np.empty(n, dtype=np.int32)
+            fps_num = np.empty(n, dtype=np.int32)
+            fps_den = np.empty(n, dtype=np.int32)
+            colorspace = []
+            n_frames = np.empty(n, dtype=np.int64)
+            n_sampled = np.empty(n, dtype=np.int64)
+            y_sum = np.empty(n, dtype=np.int64)
+            y_min = np.empty(n, dtype=np.int32)
+            y_max = np.empty(n, dtype=np.int32)
+            for i, m in enumerate(pdf["media"]):
+                w, h, fn, fd, cs, y = decode_y4m(bytes(m))
+                sampled = y[::every_k]
+                width[i], height[i], fps_num[i], fps_den[i] = w, h, fn, fd
+                colorspace.append(cs)
+                n_frames[i], n_sampled[i] = y.shape[0], sampled.shape[0]
+                y_sum[i] = int(sampled.sum(dtype=np.int64))
+                y_min[i] = int(sampled.min()) if sampled.size else 0
+                y_max[i] = int(sampled.max()) if sampled.size else 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_id,
+                    "width": width,
+                    "height": height,
+                    "fps_num": fps_num,
+                    "fps_den": fps_den,
+                    "colorspace": colorspace,
+                    "n_frames": n_frames,
+                    "n_sampled": n_sampled,
+                    "y_sum": y_sum,
+                    "y_min": y_min,
+                    "y_max": y_max,
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(decode, Y4M_STATS_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_k: int = 2, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -206,6 +206,60 @@ def docs_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_y4m_video_stats",
+    oracle=(
+        "WITH p AS (SELECT doc_id, "
+        "CAST(4 + (doc_id % 3) * 2 AS INTEGER) AS width, "
+        "CAST(2 + ((doc_id // 2) % 2) * 2 AS INTEGER) AS height, "
+        "CAST(24 + (doc_id % 2) * 6 AS INTEGER) AS fps_num, "
+        "CASE WHEN doc_id % 2 = 0 THEN '420jpeg' ELSE 'mono' END AS colorspace, "
+        "CAST(2 + doc_id % 4 AS BIGINT) AS n_frames FROM documents), "
+        "fr AS (SELECT *, unnest(generate_series(0, n_frames - 1)) AS i FROM p), "
+        "sampled AS (SELECT * FROM fr WHERE i % 2 = 0), "
+        "px AS (SELECT doc_id, width, height, fps_num, colorspace, n_frames, i, "
+        "unnest(generate_series(0, CAST(width AS BIGINT) * height - 1)) AS j "
+        "FROM sampled), "
+        "v AS (SELECT doc_id, width, height, fps_num, colorspace, n_frames, "
+        "(doc_id * 11 + i * 29 + j * 7) % 256 AS y FROM px) "
+        "SELECT doc_id, width, height, fps_num, CAST(1 AS INTEGER) AS fps_den, "
+        "colorspace, n_frames, "
+        "CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled, "
+        "CAST(sum(y) AS BIGINT) AS y_sum, "
+        "CAST(min(y) AS INTEGER) AS y_min, CAST(max(y) AS INTEGER) AS y_max "
+        "FROM v GROUP BY doc_id, width, height, fps_num, colorspace, n_frames "
+        "ORDER BY doc_id"
+    ),
+)
+def docs_y4m_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, dependency-free — the third modality next to
+    PNM images and RIFF/WAVE audio: spec-compliant YUV4MPEG2 clips
+    (4:2:0 color for even doc_ids, mono for odd; two frame sizes; an
+    ``X`` parameter on every odd FRAME line) are synthesized as pure
+    Column expressions, then decoded by the actual y4m container
+    parser — tagged stream-header grammar, per-frame headers with
+    optional parameters, subsampling-dependent raster sizes, truncation
+    guards — with every 2nd frame sampled and luma statistics off
+    numpy views, in one Arrow-batched mapInPandas stage
+    (operators/multimodal.py:decode_y4m / y4m_frame_stats).  The
+    oracle re-derives the sampled-luma stats from the generator's
+    closed form, so a mis-parsed header, wrong frame stride, or
+    chroma-contaminated luma slice hash-mismatches.
+
+    Frame SAMPLING (every_k=2) is graded through the container walk:
+    n_sampled = ceil(n_frames / 2) and only sampled planes feed the
+    sums — the exact shape a video curation pipeline runs (decode ->
+    sample -> per-frame screen) before any model sees a pixel.
+
+    Scale: embarrassingly parallel map work over Arrow batches — no
+    shuffle; payload bytes never reach the driver.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return _mm.y4m_frame_stats(_mm.attach_fake_y4m(docs), every_k=2).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "docs_ilike_filter",
     oracle=(
         "SELECT source, count(*) AS n_docs FROM documents "

@@ -653,3 +653,49 @@ def test_integer_mlog2_chain_matches_log2():
         assert l1024 == py_mirror(x), f"sql/python mismatch at x={x}"
         true_bits = math.log2(x)
         assert abs(l1024 / 1024 - true_bits) <= 1.0 / 1024, f"ulp breach at x={x}"
+
+
+def test_decode_y4m_handcrafted_clips():
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    # 2x2 mono, 2 frames, param on the second FRAME line, extra X tag
+    # in the stream header (must be skipped, not rejected)
+    clip = (
+        b"YUV4MPEG2 W2 H2 F30:1 Ip A1:1 Cmono Xcomment\n"
+        b"FRAME\n" + bytes([1, 2, 3, 4]) +
+        b"FRAME Xq1\n" + bytes([5, 6, 7, 8])
+    )
+    w, h, fn, fd, cs, y = mm.decode_y4m(clip)
+    assert (w, h, fn, fd, cs) == (2, 2, 30, 1, "mono")
+    assert y.shape == (2, 4)
+    assert y.tolist() == [[1, 2, 3, 4], [5, 6, 7, 8]]
+    # 2x2 4:2:0 (default colorspace when C is absent): frame = 6 bytes,
+    # luma = first 4; chroma bytes must NOT leak into the Y plane
+    clip420 = (
+        b"YUV4MPEG2 W2 H2 F24:1\n"
+        b"FRAME\n" + bytes([10, 20, 30, 40, 99, 98])
+    )
+    w, h, fn, fd, cs, y = mm.decode_y4m(clip420)
+    assert (w, h, cs) == (2, 2, "420jpeg")
+    assert y.tolist() == [[10, 20, 30, 40]]
+
+
+def test_decode_y4m_rejects_malformed():
+    import pytest as _pytest
+
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError):  # bad magic
+        mm.decode_y4m(b"RIFF....")
+    with _pytest.raises(ValueError):  # odd width under 4:2:0
+        mm.decode_y4m(b"YUV4MPEG2 W3 H2 F24:1\nFRAME\n" + bytes(9))
+    with _pytest.raises(ValueError):  # truncated raster
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F24:1 Cmono\nFRAME\n" + bytes(3))
+    with _pytest.raises(ValueError):  # garbage between frames
+        mm.decode_y4m(
+            b"YUV4MPEG2 W2 H2 F24:1 Cmono\nFRAME\n" + bytes(4) + b"JUNK\n"
+        )
+    with _pytest.raises(ValueError):  # unknown colorspace
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F24:1 C999\nFRAME\n" + bytes(12))
+    with _pytest.raises(ValueError):  # unknown stream parameter
+        mm.decode_y4m(b"YUV4MPEG2 W2 H2 F24:1 Q9\nFRAME\n" + bytes(6))
