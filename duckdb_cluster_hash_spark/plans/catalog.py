@@ -50,6 +50,7 @@ _DRIVER_WINDOW_FIRST = [
     "docs_wav_decode_stats",  # never stamped
     "docs_perplexity_filter",  # never stamped
     "emb_margin_bitext_pairs",  # never stamped
+    "docs_y4m_video_stats",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -95,7 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "cluster_resharding_key_impact",  # newest stamp: r5
     "orders_bucketed_coloc_join",  # newest stamp: r5
     "parts_copurchase_affinity",  # newest stamp: r5
-    "supplier_pareto_abc",  # newest stamp: r5
 ]
 
 
