@@ -670,7 +670,9 @@ def attach_fake_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """
     ident = F.col(id_col).cast("bigint")
     width = (F.lit(4) + (ident % 3) * 2).cast("int")
-    height = (F.lit(2) + ((ident / 2).cast("bigint") % 2) * 2).cast("int")
+    # integer div, not float /: float division then cast truncates the
+    # same way only while doc_id stays under 2^53
+    height = (F.lit(2) + (F.expr(f"{id_col} div 2") % 2) * 2).cast("int")
     fps = (F.lit(24) + (ident % 2) * 6).cast("int")
     cs = F.when(ident % 2 == 0, F.lit("420jpeg")).otherwise(F.lit("mono"))
     header = F.concat(
