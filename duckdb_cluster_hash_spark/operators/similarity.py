@@ -763,3 +763,160 @@ def pq_adc_topk(
         .drop("_adc")
     )
     return cosine_topk(cand, query_vec, k, vec_col, id_col, extra_cols=())
+
+
+def diff2_fold(a: Column, b: Column) -> Column:
+    """Sequential left-fold squared-euclidean distance (oracle-exact:
+    mirrors DuckDB's list_reduce over (u[i]-v[i])*(u[i]-v[i]))."""
+    sq = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _vec_lit(vec: list[float]):
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def _cos_micro_to(vec: list[float], col: Column) -> Column:
+    """round(cos(col, vec) * 1e6) as BIGINT, fold-exact arithmetic."""
+    vlit = _vec_lit(vec)
+    nsq = _norm_sq_py(vec)
+    cos = dot_fold(col, vlit) / F.sqrt(dot_fold(col, col) * F.lit(nsq))
+    return F.round(cos * 1000000).cast("bigint")
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    n: int = 40,
+    k: int = 8,
+    lam_num: int = 7,
+    lam_rem: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-rank (Carbonell &
+    Goldstein 1998): brute-force top-n cosine candidates to the query,
+    then greedily select k maximizing lam_num*rel - lam_rem*max_sim_to_
+    selected (lambda = 0.7 as an exact integer 7/3 split).  Relevance
+    and pairwise sims quantize to integer MICROS before any comparison,
+    so the greedy trajectory is pure-integer and bit-identical to the
+    recursive-CTE oracle.
+
+    Scale: the candidate pool is a TakeOrderedAndProject over the full
+    scan (never a global sort); each greedy step is one projection +
+    filter + TakeOrdered over the n-row pool with a RUNNING max-sim
+    column updated against only the latest pick — O(nk) sims total,
+    no n x n pairwise table, no nested-loop join; the k 1-row collects
+    are the same bounded-argmax pattern as the BPE trainer.
+    """
+    spark = emb.sparkSession
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .head()[0]
+    ]
+    cand = (
+        emb.where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "embedding",
+            _cos_micro_to(qvec, F.col("embedding")).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(n)
+        # Below -1e6 micros (cos >= -1): the first greatest() update
+        # replaces the sentinel with the true (possibly NEGATIVE) sim,
+        # which a 0 floor would silently clamp.
+        .withColumn("maxsim", F.lit(-2000000).cast("bigint"))
+        .localCheckpoint(eager=True)
+    )
+    latest = cand.orderBy(F.desc("rel"), F.asc("vec_id")).head()
+    picked = [(1, latest["vec_id"], latest["rel"], 0)]
+    rem = cand
+    for step in range(2, k + 1):
+        lvec = [float(x) for x in latest["embedding"]]
+        rem = (
+            rem.where(F.col("vec_id") != latest["vec_id"])
+            .withColumn(
+                "maxsim",
+                F.greatest(
+                    F.col("maxsim"), _cos_micro_to(lvec, F.col("embedding"))
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        latest = rem.orderBy(
+            F.desc(F.expr(f"{lam_num} * rel - {lam_rem} * maxsim")),
+            F.asc("vec_id"),
+        ).head()
+        picked.append((step, latest["vec_id"], latest["rel"], latest["maxsim"]))
+    rows = [
+        (s, int(v), int(r), int(m), lam_num * int(r) - lam_rem * int(m))
+        for s, v, r, m in picked
+    ]
+    return spark.createDataFrame(
+        rows,
+        "step int, vec_id bigint, rel_micro bigint, maxsim_micro bigint, "
+        "mmr_score bigint",
+    )
+
+
+def kcenter_coreset(
+    emb: DataFrame, seed_vec_id: int = 0, k: int = 6
+) -> DataFrame:
+    """Greedy farthest-point k-center coreset selection (Gonzalez 1985;
+    the 2-approximation behind diversity-driven training-data
+    selection): starting from the seed vector, repeatedly add the
+    point FARTHEST (max-min squared euclidean) from the chosen
+    centers.  Distances quantize to integer micros before min/argmax,
+    so the trajectory is pure-integer cross-engine; the reported
+    radius_micro per step is the chosen point's distance to the
+    previous centers — the classic decreasing coverage-radius curve.
+
+    Scale: each of the k-1 steps is one full-scan projection updating
+    a RUNNING min-distance column against only the newest center
+    (O(Nk) distance folds total — the textbook distributed greedy
+    k-center) followed by a TakeOrdered argmax; no pairwise table.
+    """
+    spark = emb.sparkSession
+
+    def vec_of(vid: int) -> list[float]:
+        return [
+            float(x)
+            for x in emb.where(F.col("vec_id") == vid)
+            .select("embedding")
+            .head()[0]
+        ]
+
+    def d2_micro(vec: list[float], col: Column) -> Column:
+        return F.round(diff2_fold(col, _vec_lit(vec)) * 1000000).cast("bigint")
+
+    picked = [(1, seed_vec_id, 0)]
+    latest_vec = vec_of(seed_vec_id)
+    rem = (
+        emb.where(F.col("vec_id") != seed_vec_id)
+        .select("vec_id", "embedding", d2_micro(latest_vec, F.col("embedding")).alias("mind"))
+        .localCheckpoint(eager=True)
+    )
+    for step in range(2, k + 1):
+        top = rem.orderBy(F.desc("mind"), F.asc("vec_id")).head()
+        picked.append((step, int(top["vec_id"]), int(top["mind"])))
+        if step < k:
+            latest_vec = [float(x) for x in top["embedding"]]
+            rem = (
+                rem.where(F.col("vec_id") != top["vec_id"])
+                .withColumn(
+                    "mind",
+                    F.least(
+                        F.col("mind"), d2_micro(latest_vec, F.col("embedding"))
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+    return spark.createDataFrame(
+        picked, "step int, vec_id bigint, radius_micro bigint"
+    )

@@ -679,3 +679,89 @@ def margin_bitext_sql(
         "round(margin * 1000000) / 1000000 AS margin "
         "FROM r WHERE ra = 1 AND rb = 1 ORDER BY a_id"
     )
+
+
+def _fold_cos_micro(u: str, v: str, dim: int = 64) -> str:
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{a}[i]::DOUBLE * {b}[i]::DOUBLE FOR i IN range(1, {dim + 1})]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return (
+        f"CAST(round(({dot(u, v)} / "
+        f"sqrt({dot(u, u)} * {dot(v, v)})) * 1000000) AS BIGINT)"
+    )
+
+
+def mmr_rerank_sql(
+    query_vec_id: int = 0,
+    n: int = 40,
+    k: int = 8,
+    lam_num: int = 7,
+    lam_rem: int = 3,
+    dim: int = 64,
+) -> str:
+    """Oracle for operators.similarity.mmr_rerank: the same integer-
+    micro greedy MMR trajectory as a recursive CTE — each step's
+    LATERAL argmax recomputes max-sim-to-selected from the carried
+    id list, which equals Spark's running-max column exactly."""
+    cos = _fold_cos_micro("e.embedding", "g.embedding", dim)
+    return (
+        "WITH RECURSIVE q AS "
+        f"(SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
+        "cand AS (SELECT vec_id, embedding, "
+        + _fold_cos_micro("embedding", "qv", dim)
+        + " AS rel "
+        f"FROM embeddings, q WHERE vec_id <> {query_vec_id} "
+        f"ORDER BY rel DESC, vec_id LIMIT {n}), "
+        "sel AS ((SELECT 1 AS step, vec_id, rel, CAST(0 AS BIGINT) AS maxsim, "
+        "[vec_id] AS ids FROM cand ORDER BY rel DESC, vec_id LIMIT 1) "
+        "UNION ALL "
+        "SELECT s.step + 1, c.vec_id, c.rel, c.maxsim, "
+        "list_append(s.ids, c.vec_id) "
+        "FROM sel s, LATERAL ("
+        f"SELECT e.vec_id, e.rel, max({cos}) AS maxsim, "
+        f"{lam_num} * e.rel - {lam_rem} * max({cos}) AS score "
+        "FROM cand e JOIN cand g ON list_contains(s.ids, g.vec_id) "
+        "WHERE NOT list_contains(s.ids, e.vec_id) "
+        "GROUP BY e.vec_id, e.rel "
+        "ORDER BY score DESC, e.vec_id ASC LIMIT 1) c "
+        f"WHERE s.step < {k}) "
+        "SELECT CAST(step AS INTEGER) AS step, vec_id, rel AS rel_micro, "
+        "maxsim AS maxsim_micro, "
+        f"{lam_num} * rel - {lam_rem} * maxsim AS mmr_score "
+        "FROM sel ORDER BY step"
+    )
+
+
+def kcenter_coreset_sql(seed_vec_id: int = 0, k: int = 6, dim: int = 64) -> str:
+    """Oracle for operators.similarity.kcenter_coreset: greedy
+    farthest-point traversal as a recursive CTE over the carried
+    center-id list, min-distance recomputed per step (equals Spark's
+    running-min column exactly — both quantize each pairwise squared
+    distance to micros BEFORE the min)."""
+    d2 = (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[(e.embedding[i]::DOUBLE - g.embedding[i]::DOUBLE) * "
+        f"(e.embedding[i]::DOUBLE - g.embedding[i]::DOUBLE) "
+        f"FOR i IN range(1, {dim + 1})]), (acc, x) -> acc + x)"
+    )
+    return (
+        "WITH RECURSIVE sel AS ("
+        f"(SELECT 1 AS step, CAST({seed_vec_id} AS BIGINT) AS vec_id, "
+        f"CAST(0 AS BIGINT) AS radius_micro, "
+        f"[CAST({seed_vec_id} AS BIGINT)] AS ids) "
+        "UNION ALL "
+        "SELECT s.step + 1, c.vec_id, c.mind, list_append(s.ids, c.vec_id) "
+        "FROM sel s, LATERAL ("
+        f"SELECT e.vec_id, min(CAST(round({d2} * 1000000) AS BIGINT)) AS mind "
+        "FROM embeddings e JOIN embeddings g ON list_contains(s.ids, g.vec_id) "
+        "WHERE NOT list_contains(s.ids, e.vec_id) "
+        "GROUP BY e.vec_id "
+        "ORDER BY mind DESC, e.vec_id ASC LIMIT 1) c "
+        f"WHERE s.step < {k}) "
+        "SELECT CAST(step AS INTEGER) AS step, vec_id, radius_micro "
+        "FROM sel ORDER BY step"
+    )

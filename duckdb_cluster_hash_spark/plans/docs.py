@@ -2198,3 +2198,328 @@ def docs_string_functions_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "docs_ngram_novelty",
+    oracle=(
+        "WITH d AS (SELECT doc_id, source, "
+        "regexp_extract_all(lower(text), '[a-z]+') AS ts FROM documents), "
+        "tri0 AS (SELECT doc_id, source, "
+        "unnest([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] "
+        "FOR i IN range(1, len(ts) - 1)]) AS tri "
+        "FROM d WHERE len(ts) >= 3), "
+        "tri AS (SELECT DISTINCT doc_id, source, tri FROM tri0), "
+        "firstseen AS (SELECT tri, min(doc_id) AS fd FROM tri GROUP BY tri) "
+        "SELECT t.doc_id, t.source, CAST(count(*) AS BIGINT) AS n_tri, "
+        "CAST(sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_novel, "
+        "(CAST(sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) "
+        "* 10000) // CAST(count(*) AS BIGINT) AS novel_bp "
+        "FROM tri t JOIN firstseen f USING (tri) "
+        "GROUP BY t.doc_id, t.source "
+        "ORDER BY novel_bp ASC, t.doc_id ASC LIMIT 15"
+    ),
+)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring for incremental corpus curation (the
+    "what does this document add" signal behind contribution-aware
+    data selection): every document is scored by the fraction of its
+    DISTINCT trigrams whose first occurrence in the corpus (min
+    doc_id over an ingestion-ordered stream) is the document itself.
+    The graded output is the 15 LEAST novel documents — the redundant
+    tail a curation pass would drop first — in basis points.
+
+    Scale: trigram -> min(doc_id) is one map-side-combining groupBy
+    on the trigram key (the heavy shuffle, but keyed on a high-
+    cardinality key so it spreads); the join back is trigram-keyed
+    and the per-doc rollup re-shuffles only (doc, flag) pairs; the
+    final top-15 is TakeOrderedAndProject.  Integer basis points keep
+    the grade float-free.
+    """
+    # n_chars >= 5 is a parquet-pushable superset of the exact
+    # size(ts) >= 3 filter (three [a-z]+ tokens need >= 5 chars), so
+    # sub-trigram docs are pruned at the scan instead of post-explode.
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("ts"),
+        )
+    )
+    tri = (
+        d.where(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 2), "
+                    "i -> concat_ws(' ', ts[i-1], ts[i], ts[i+1]))"
+                )
+            ).alias("tri"),
+        )
+        .distinct()
+    )
+    firstseen = tri.groupBy("tri").agg(F.min("doc_id").alias("fd"))
+    return (
+        tri.join(firstseen, "tri")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tri"),
+            F.sum((F.col("fd") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tri",
+            "n_novel",
+            F.expr("(n_novel * 10000) div n_tri").alias("novel_bp"),
+        )
+        .orderBy(F.asc("novel_bp"), F.asc("doc_id"))
+        .limit(15)
+    )
+
+
+# Zipf-fit OLS, shared formula strings over exact-integer milli-bit sums:
+# A/B and A^2/(B*C) are the only double ops, each a single correctly-
+# rounded step on identical inputs, so both engines agree bit-for-bit.
+_ZF_A = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_ZF_B = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_ZF_C = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+_ZF_OUT = (
+    "lang",
+    "CAST(n AS BIGINT) AS n_ranks",
+    f"CAST(CASE WHEN {_ZF_B} = 0.0 THEN NULL ELSE "
+    f"round(({_ZF_A} / {_ZF_B}) * 1000000) END AS BIGINT) AS slope_micro",
+    f"CAST(CASE WHEN {_ZF_B} = 0.0 OR {_ZF_C} = 0.0 THEN NULL ELSE "
+    f"round((({_ZF_A} * {_ZF_A}) / ({_ZF_B} * {_ZF_C})) * 1000000) END "
+    "AS BIGINT) AS r2_micro",
+)
+_ZF_SUMS = (
+    "CAST(count(*) AS BIGINT) AS n",
+    "CAST(sum(xr) AS BIGINT) AS sx",
+    "CAST(sum(yf) AS BIGINT) AS sy",
+    "CAST(sum(xr * yf) AS BIGINT) AS sxy",
+    "CAST(sum(xr * xr) AS BIGINT) AS sxx",
+    "CAST(sum(yf * yf) AS BIGINT) AS syy",
+)
+
+
+def _zipf_oracle_sql(top: int = 64) -> str:
+    keys = "lang, rnk, w"
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"s{i} AS (SELECT {keys}, e, {m}, {f_} FROM s{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    return (
+        "WITH t AS (SELECT lang, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS tok FROM documents), "
+        "tc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS freq "
+        "FROM t GROUP BY lang, tok), "
+        "rk AS (SELECT lang, freq, row_number() OVER "
+        "(PARTITION BY lang ORDER BY freq DESC, tok ASC) AS rnk FROM tc "
+        f"QUALIFY rnk <= {top}), "
+        "tall AS (SELECT lang, rnk, 'xr' AS w, rnk << 20 AS x FROM rk "
+        "UNION ALL SELECT lang, rnk, 'yf' AS w, freq << 20 AS x FROM rk), "
+        f"s0 AS (SELECT {keys}, {seed} FROM tall), "
+        + ", ".join(steps)
+        + ", piv AS (SELECT lang, rnk, "
+        f"max(CASE WHEN w = 'xr' THEN e * 1024 + f{_MLOG2_STEPS} END) AS xr, "
+        f"max(CASE WHEN w = 'yf' THEN e * 1024 + f{_MLOG2_STEPS} END) AS yf "
+        f"FROM s{_MLOG2_STEPS} GROUP BY lang, rnk), "
+        "sums AS (SELECT lang, " + ", ".join(_ZF_SUMS) + " FROM piv GROUP BY lang) "
+        "SELECT " + ", ".join(_ZF_OUT) + " FROM sums ORDER BY lang"
+    )
+
+
+@query("docs_zipf_fit", oracle=_zipf_oracle_sql())
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: OLS slope (and r^2) of log2(freq)
+    against log2(rank) over each language's top-64 token ranks — the
+    corpus-health diagnostic (natural text sits near slope -1; a
+    synthetic or deduplicated corpus drifts).  Both logs run the
+    repo's PURE-INTEGER milli-bit log2 chain (floating logs are
+    banned for cross-engine bit drift), so every OLS moment is an
+    exact BIGINT and only the final slope/r^2 divisions touch
+    doubles — single correctly-rounded IEEE steps over identical
+    formula strings in both engines.
+
+    Scale: token counting is one map-side-combining groupBy; the
+    per-language rank window tops out at 64 rows per language via
+    row_number + filter (TakeOrdered-shaped, never a global sort);
+    the log chain runs on the 128 surviving (lang, rank) rows x 2
+    series, i.e. constant work regardless of corpus size.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), F.asc("tok"))
+    rk = (
+        tc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 64)
+        .select("lang", "freq", "rnk")
+    )
+    tall = rk.selectExpr(
+        "lang", "rnk", "'xr' AS w", "rnk << 20 AS x"
+    ).unionAll(rk.selectExpr("lang", "rnk", "'yf' AS w", "freq << 20 AS x"))
+    keys = ["lang", "rnk", "w"]
+    s = tall.selectExpr(*keys, *_MLOG2_SEED_EXPRS)
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr(*keys, "e", m, f_)
+    piv = s.groupBy("lang", "rnk").agg(
+        F.expr(
+            f"max(CASE WHEN w = 'xr' THEN e * 1024 + f{_MLOG2_STEPS} END)"
+        ).alias("xr"),
+        F.expr(
+            f"max(CASE WHEN w = 'yf' THEN e * 1024 + f{_MLOG2_STEPS} END)"
+        ).alias("yf"),
+    )
+    sums = piv.groupBy("lang").agg(
+        *[
+            F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
+            for e in _ZF_SUMS
+        ]
+    )
+    return sums.selectExpr(*_ZF_OUT).orderBy("lang")
+
+
+def _dsir_oracle_sql(top: int = 15) -> str:
+    keys = "tok, w"
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"t{i} AS (SELECT {keys}, e, {m}, {f_} FROM t{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    return (
+        "WITH toks AS (SELECT doc_id, source, unnest(regexp_extract_all("
+        "lower(text), '[a-z]+')) AS tok FROM documents), "
+        "cr AS (SELECT tok, CAST(count(*) AS BIGINT) AS cr FROM toks GROUP BY tok), "
+        "ct AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM toks "
+        "WHERE source = 'src0' GROUP BY tok), "
+        "consts AS (SELECT CAST(count(*) AS BIGINT) AS nr, "
+        "CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nt, "
+        "CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks), "
+        "tt AS (SELECT cr.tok AS tok, 'a' AS w, "
+        "(COALESCE(ct.ct, 0) + 1) << 20 AS x FROM cr LEFT JOIN ct USING (tok) "
+        "UNION ALL SELECT cr.tok AS tok, 'b' AS w, (cr.cr + 1) << 20 AS x FROM cr "
+        "UNION ALL SELECT '' AS tok, 'a' AS w, (nt + v) << 20 AS x FROM consts "
+        "UNION ALL SELECT '' AS tok, 'b' AS w, (nr + v) << 20 AS x FROM consts), "
+        f"t0 AS (SELECT {keys}, {seed} FROM tt), "
+        + ", ".join(steps)
+        + ", piv AS (SELECT tok, "
+        f"max(CASE WHEN w = 'a' THEN e * 1024 + f{_MLOG2_STEPS} END) AS la, "
+        f"max(CASE WHEN w = 'b' THEN e * 1024 + f{_MLOG2_STEPS} END) AS lb "
+        f"FROM t{_MLOG2_STEPS} GROUP BY tok), "
+        "delta AS (SELECT tok, la - lb AS d FROM piv WHERE tok <> ''), "
+        "cdelta AS (SELECT la - lb AS cd FROM piv WHERE tok = ''), "
+        "perdoc AS (SELECT t.doc_id, t.source, "
+        "CAST(count(*) AS BIGINT) AS n_toks, "
+        "CAST(sum(d.d) AS BIGINT) AS s FROM toks t JOIN delta d USING (tok) "
+        "GROUP BY t.doc_id, t.source) "
+        "SELECT doc_id, source, n_toks, "
+        "CAST(s - n_toks * cd AS BIGINT) AS score1024 "
+        "FROM perdoc, cdelta "
+        f"ORDER BY score1024 DESC, doc_id ASC LIMIT {top}"
+    )
+
+
+@query("docs_dsir_importance", oracle=_dsir_oracle_sql())
+def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    2023) over unigram features: every document is scored by its
+    log-likelihood ratio between a Laplace-smoothed target-domain
+    unigram LM (source = 'src0') and the raw-corpus LM — the signal
+    DSIR resamples by to tilt a 100 TB crawl toward a target domain.
+    Logs run the repo's pure-integer milli-bit log2 chain, so each
+    doc's score is an exact BIGINT: score1024 = sum over token
+    occurrences of [L(ct+1) - L(cr+1)] - n_toks * [L(Nt+V) - L(Nr+V)]
+    in 1/1024-bit units.  Graded output: the 15 most target-like docs.
+
+    Scale: both LMs are vocab-bounded tables built by one map-side-
+    combining groupBy each; the log chain runs once per DISTINCT
+    vocab entry (not per token occurrence) plus one 2-row constant
+    chain; scoring is a broadcast join of the per-token deltas onto
+    the token stream followed by a per-doc partial aggregate; top-15
+    is TakeOrderedAndProject.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    cr = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("cr"))
+    ct = (
+        toks.where(F.col("source") == "src0")
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("ct"))
+    )
+    consts = toks.selectExpr(
+        "CAST(count(*) AS BIGINT) AS nr",
+        "CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS nt",
+        "CAST(count(DISTINCT tok) AS BIGINT) AS v",
+    )
+    base = cr.join(ct, "tok", "left")
+    tall = (
+        base.selectExpr("tok", "'a' AS w", "(COALESCE(ct, 0) + 1) << 20 AS x")
+        .unionAll(base.selectExpr("tok", "'b' AS w", "(cr + 1) << 20 AS x"))
+        .unionAll(consts.selectExpr("'' AS tok", "'a' AS w", "(nt + v) << 20 AS x"))
+        .unionAll(consts.selectExpr("'' AS tok", "'b' AS w", "(nr + v) << 20 AS x"))
+        # Lineage barrier: without it Catalyst pushes the 10 chained
+        # log2 projections through the 4-way union, and the per-branch
+        # alias substitution (each step references its mantissa 3x)
+        # blows the expression tree up ~3^10 — the optimizer itself
+        # hangs.  The table is vocab-bounded (2|V| + 2 rows).
+        .localCheckpoint(eager=True)
+    )
+    keys = ["tok", "w"]
+    s = tall.selectExpr(*keys, *_MLOG2_SEED_EXPRS)
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr(*keys, "e", m, f_)
+    piv = s.groupBy("tok").agg(
+        F.expr(
+            f"max(CASE WHEN w = 'a' THEN e * 1024 + f{_MLOG2_STEPS} END)"
+        ).alias("la"),
+        F.expr(
+            f"max(CASE WHEN w = 'b' THEN e * 1024 + f{_MLOG2_STEPS} END)"
+        ).alias("lb"),
+    )
+    delta = piv.where(F.col("tok") != "").selectExpr("tok", "la - lb AS d")
+    cdelta = piv.where(F.col("tok") == "").selectExpr("la - lb AS cd")
+    perdoc = (
+        toks.join(F.broadcast(delta), "tok")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_toks"),
+            F.sum("d").cast("bigint").alias("s"),
+        )
+    )
+    return (
+        perdoc.crossJoin(F.broadcast(cdelta))
+        .selectExpr(
+            "doc_id", "source", "n_toks",
+            "CAST(s - n_toks * cd AS BIGINT) AS score1024",
+        )
+        .orderBy(F.desc("score1024"), F.asc("doc_id"))
+        .limit(15)
+    )

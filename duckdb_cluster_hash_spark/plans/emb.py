@@ -575,3 +575,31 @@ def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id")
     )
+
+
+@query("emb_mmr_diverse_topk", oracle=_ot.mmr_rerank_sql(0, 40, 8))
+def emb_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking (C5 retrieval): MMR-select 8 results from
+    the 40-candidate cosine pool of vec_id 0 — the retrieval-quality
+    step between ANN candidate generation and a RAG context window.
+    The full greedy trajectory (pick, relevance, max-sim-to-selected,
+    score) is graded against a recursive-CTE oracle in exact integer
+    micros; see operators/similarity.py:mmr_rerank for the O(nk)
+    running-max formulation that avoids any pairwise table."""
+    return _sim.mmr_rerank(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, n=40, k=8
+    )
+
+
+@query("emb_kcenter_coreset", oracle=_ot.kcenter_coreset_sql(0, 6))
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreset selection (C5 / training-data curation): greedy
+    farthest-point k-center over the embedding table from seed
+    vec_id 0 — the diversity-first selection that seeds clustering
+    and data-pruning pipelines.  The decreasing coverage-radius
+    trajectory is graded in exact integer micros against a
+    recursive-CTE oracle; see operators/similarity.py:
+    kcenter_coreset for the O(Nk) running-min formulation."""
+    return _sim.kcenter_coreset(
+        _t(spark, sf_dir, "embeddings"), seed_vec_id=0, k=6
+    )

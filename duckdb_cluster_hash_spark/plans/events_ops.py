@@ -975,3 +975,166 @@ def events_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("event_id", "user_id", "event_type", "ts_epoch")
     )
+
+
+# Welch's t-test, shared expression strings: both engines evaluate the
+# IDENTICAL formula shape over exact-integer moments, so every double op
+# is a single correctly-rounded IEEE step on identical inputs.  Values
+# quantize to cents BEFORE any moment (the statistic is defined on the
+# quantized stream): cents keep q = sum(vc^2) < 2^53, so all three
+# moments per arm are exact BIGINTs that convert to doubles losslessly.
+_W_MA = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))"
+_W_MB = "(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))"
+_W_VA = (
+    "((CAST(qa AS DOUBLE) - (CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) "
+    "/ CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1.0))"
+)
+_W_VB = (
+    "((CAST(qb AS DOUBLE) - (CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) "
+    "/ CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1.0))"
+)
+_W_SEA = f"({_W_VA} / CAST(na AS DOUBLE))"
+_W_SEB = f"({_W_VB} / CAST(nb AS DOUBLE))"
+_W_SE2 = f"({_W_SEA} + {_W_SEB})"
+_W_T = f"(({_W_MA} - {_W_MB}) / sqrt({_W_SE2}))"
+_W_DF = (
+    f"(({_W_SE2} * {_W_SE2}) / "
+    f"(({_W_SEA} * {_W_SEA}) / (CAST(na AS DOUBLE) - 1.0) + "
+    f"({_W_SEB} * {_W_SEB}) / (CAST(nb AS DOUBLE) - 1.0)))"
+)
+_W_MOMENTS = (
+    "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na",
+    "CAST(sum(CASE WHEN event_type = 'purchase' THEN vc ELSE 0 END) AS BIGINT) AS sa",
+    "CAST(sum(CASE WHEN event_type = 'purchase' THEN vc * vc ELSE 0 END) AS BIGINT) AS qa",
+    "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS nb",
+    "CAST(sum(CASE WHEN event_type = 'click' THEN vc ELSE 0 END) AS BIGINT) AS sb",
+    "CAST(sum(CASE WHEN event_type = 'click' THEN vc * vc ELSE 0 END) AS BIGINT) AS qb",
+)
+_W_OUT = (
+    "na AS n_purchase",
+    "nb AS n_click",
+    f"round(({_W_MA} - {_W_MB}) * 1000000) / 1000000 AS mean_diff_cents",
+    f"round({_W_T} * 1000000) / 1000000 AS t_stat",
+    f"round({_W_DF} * 1000) / 1000 AS df_welch",
+    f"CAST(CASE WHEN abs({_W_T}) > 1.959964 THEN 1 ELSE 0 END AS BIGINT) "
+    "AS significant_95",
+)
+
+
+@query(
+    "events_ab_welch_ttest",
+    oracle=(
+        "WITH v AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc "
+        "FROM events WHERE event_type IN ('purchase', 'click')), "
+        "m AS (SELECT " + ", ".join(_W_MOMENTS) + " FROM v) "
+        "SELECT " + ", ".join(_W_OUT) + " FROM m"
+    ),
+)
+def events_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between the purchase and click
+    arms' event values — the experiment-analysis primitive (two-sample
+    mean comparison with Welch–Satterthwaite degrees of freedom, the
+    default over Student's t since variances are never equal in the
+    wild).  Both engines evaluate the SAME formula strings over exact
+    integer moments (n, sum, sum-of-squares in cents), so t and df are
+    bit-identical before the output rounding.
+
+    Scale: one filtered scan feeding a 6-counter conditional partial
+    aggregate — the classic map-side-combine shape; exactly one 6-col
+    row crosses the exchange per upstream partition, and the t/df math
+    runs once on the driver-side single row.  The same moment triple
+    extends to any number of arms or strata (GROUP BY arm) without
+    changing the shuffle shape.
+    """
+    ev = _t(spark, sf_dir, "events")
+    v = ev.where(F.col("event_type").isin("purchase", "click")).selectExpr(
+        "event_type", "CAST(round(value * 100) AS BIGINT) AS vc"
+    )
+    m = v.selectExpr(*_W_MOMENTS)
+    return m.selectExpr(*_W_OUT)
+
+
+def _ewma_exprs(intdiv: str, over: str = "w") -> tuple[str, str, list[str]]:
+    """(num, den, lag-exprs) for the binary-weight EWMA kernel.
+
+    Weights are w_j = 2^-j over the 8 PRIOR events, evaluated in pure
+    integer arithmetic: term_j = (v_{i-j} * 1024) intdiv 2^j, den_j =
+    2^(10-j) when the lag exists — truncating integer division is
+    identical in both engines for non-negative operands, so the whole
+    statistic is bit-free of floats.  ``over`` is the window reference:
+    a named WINDOW for the oracle, an inline spec for Spark selectExpr
+    (which has no WINDOW clause).
+    """
+    num, den, lags = [], [], []
+    for j in range(1, 9):
+        num.append(
+            f"CASE WHEN lag{j} IS NOT NULL THEN (lag{j} * 1024) "
+            f"{intdiv} {1 << j} ELSE 0 END"
+        )
+        den.append(f"CASE WHEN lag{j} IS NOT NULL THEN {1 << (10 - j)} ELSE 0 END")
+        lags.append(f"lag(vc, {j}) OVER {over} AS lag{j}")
+    return " + ".join(num), " + ".join(den), lags
+
+
+def _ewma_oracle_sql() -> str:
+    num, den, lags = _ewma_exprs("//")
+    return (
+        "WITH v AS (SELECT user_id, event_id, ts, "
+        "CAST(round(value * 100) AS BIGINT) AS vc FROM events), "
+        "l AS (SELECT user_id, "
+        "row_number() OVER w AS seq, vc, " + ", ".join(lags) + " FROM v "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        f"s AS (SELECT user_id, seq, vc, ({num}) AS num, ({den}) AS den "
+        "FROM l WHERE lag3 IS NOT NULL) "
+        "SELECT user_id, CAST(seq AS BIGINT) AS seq, vc AS v_cents, "
+        "CAST(num AS BIGINT) AS ewma_num, CAST(den AS BIGINT) AS ewma_den, "
+        "(vc * den * 1000) // num AS ratio_x1000 "
+        "FROM s ORDER BY ratio_x1000 DESC, user_id ASC, seq ASC LIMIT 15"
+    )
+
+
+@query("events_ewma_anomaly", oracle=_ewma_oracle_sql())
+def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA spike detection over per-user event streams (the classic
+    monitoring primitive: compare each value to an exponentially-
+    weighted mean of its recent history): the smoothing kernel uses
+    BINARY weights 2^-j over the 8 prior events so the whole recurrence
+    collapses to integer shifts — no float accumulates across rows, so
+    Spark and DuckDB agree bit-for-bit.  Graded output: the 15 largest
+    value-to-EWMA ratios (x1000) among events with >= 3 priors.
+
+    Scale: one keyed window (PARTITION BY user_id) — per-user history
+    is bounded, the 8 lags are a single window-frame pass, and the
+    top-15 is TakeOrderedAndProject; no self-join, no global sort.
+    The binary kernel is the point at 100 TB: a true recursive EWMA
+    needs an ordered sequential scan per key, while the truncated
+    2^-j kernel (error < 2^-8 of the weight mass) is a fixed-width
+    window expression inside whole-stage codegen.
+    """
+    spec = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    num, den, lags = _ewma_exprs("div", over=spec)
+    ev = _t(spark, sf_dir, "events")
+    v = ev.selectExpr(
+        "user_id", "event_id", "ts", "CAST(round(value * 100) AS BIGINT) AS vc"
+    )
+    l = v.selectExpr(
+        "user_id",
+        f"row_number() OVER {spec} AS seq",
+        "vc",
+        *lags,
+    ).where("lag3 IS NOT NULL")
+    return (
+        l.selectExpr(
+            "user_id", "seq", "vc", f"({num}) AS num", f"({den}) AS den"
+        )
+        .selectExpr(
+            "user_id",
+            "CAST(seq AS BIGINT) AS seq",
+            "vc AS v_cents",
+            "CAST(num AS BIGINT) AS ewma_num",
+            "CAST(den AS BIGINT) AS ewma_den",
+            "(vc * den * 1000) div num AS ratio_x1000",
+        )
+        .orderBy(F.desc("ratio_x1000"), F.asc("user_id"), F.asc("seq"))
+        .limit(15)
+    )

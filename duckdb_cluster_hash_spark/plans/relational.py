@@ -1550,3 +1550,101 @@ def orders_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(cnt(a.subtract(b), "n_except_distinct"))
         .crossJoin(cnt(a.union(b).distinct(), "n_union_distinct"))
     )
+
+
+def _kcore_oracle_sql(rounds: int = 3) -> str:
+    parts = [
+        "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
+        "e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2 "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p), "
+        "kv AS (SELECT CAST((sum(d) // count(*)) + 1 AS BIGINT) AS k FROM "
+        "(SELECT p, count(*) AS d FROM (SELECT p1 AS p FROM e0 "
+        "UNION ALL SELECT p2 AS p FROM e0) GROUP BY p))"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f", d{r - 1} AS (SELECT p, count(*) AS d FROM "
+            f"(SELECT p1 AS p FROM e{r - 1} UNION ALL SELECT p2 AS p FROM e{r - 1}) "
+            f"GROUP BY p)"
+            f", v{r} AS (SELECT p FROM d{r - 1}, kv WHERE d >= kv.k)"
+            f", e{r} AS (SELECT p1, p2 FROM e{r - 1} "
+            f"WHERE p1 IN (SELECT p FROM v{r}) AND p2 IN (SELECT p FROM v{r}))"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {r} AS peel_round, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM v{r}) AS n_vertices, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges, "
+        "(SELECT k FROM kv) AS kcore_k"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + " " + rows + " ORDER BY peel_round"
+
+
+@query("parts_kcore_decomposition", oracle=_kcore_oracle_sql())
+def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the part co-purchase graph (Seidman
+    1983; the third iterative graph operator next to PageRank and
+    label-propagation components): repeatedly strip vertices whose
+    degree falls below k until only the dense core survives.  The
+    threshold is SCALE-RELATIVE — k = mean degree + 1, in integer
+    arithmetic — so the peel does real work at every sf and on the
+    fuzz gate's random star schemas; three unrolled rounds are graded
+    on (n_vertices, n_edges) per round, which pins the whole peeling
+    trajectory cross-engine.
+
+    Scale: edges build once from the DISTINCT (order, part) table
+    keyed on the order (basket-bounded, never all-pairs) and are
+    checkpointed; each round is a degree groupBy plus two key-equality
+    semi-joins — the standard iterative-dataflow shape whose shuffles
+    shrink monotonically as the graph peels.  The scalar k is a 1-row
+    collect of a global aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("p1").alias("p"))
+            .unionAll(e.select(F.col("p2").alias("p")))
+            .groupBy("p")
+            .agg(F.count("*").cast("bigint").alias("d"))
+        )
+
+    k = int(
+        degrees(edges)
+        .selectExpr("(sum(d) div count(*)) + 1 AS k")
+        .head()[0]
+    )
+    rows = []
+    cur = edges
+    for r in range(1, 4):
+        keep = degrees(cur).where(F.col("d") >= k).select("p")
+        cur = (
+            cur.join(keep.withColumnRenamed("p", "p1"), "p1", "leftsemi")
+            .join(keep.withColumnRenamed("p", "p2"), "p2", "leftsemi")
+            .select("p1", "p2")
+            .localCheckpoint(eager=True)
+        )
+        rows.append(
+            keep.agg(F.count("*").cast("bigint").alias("n_vertices"))
+            .crossJoin(cur.agg(F.count("*").cast("bigint").alias("n_edges")))
+            .select(
+                F.lit(r).alias("peel_round"),
+                "n_vertices",
+                "n_edges",
+                F.lit(k).cast("bigint").alias("kcore_k"),
+            )
+        )
+    out = rows[0]
+    for r_df in rows[1:]:
+        out = out.unionAll(r_df)
+    return out.orderBy("peel_round")

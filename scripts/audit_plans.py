@@ -37,6 +37,19 @@ WAIVERS: dict[str, str] = {
         "BatchEvalPython over a constant-sized generator is size-independent"
     ),
     "cluster_skew_report": "final scalar rollup of <=32 partial-agg rows",
+    "events_ab_welch_ttest": (
+        "global 6-counter conditional aggregate = SinglePartition merge "
+        "of map-side partials (one row total crosses the exchange)"
+    ),
+    "parts_kcore_decomposition": (
+        "the nested-loops / 6 SinglePartition exchanges stitch the three "
+        "per-round (n_vertices, n_edges) scalar rollups into graded rows; "
+        "the peel itself is keyed groupBys + keyed semi-joins"
+    ),
+    "docs_dsir_importance": (
+        "the nested-loop is the 1-row broadcast corpus-constant "
+        "L(Nt+V)-L(Nr+V) shift; LM deltas join on the vocab key"
+    ),
     "docs_exact_dedup": "final scalar rollup of partial-agg rows",
     "formats_text_roundtrip": "final scalar rollup of partial-agg rows",
     "formats_schema_evolution": "final scalar rollup of partial-agg rows",
