@@ -802,3 +802,75 @@ def dedup_decisions(pairs: DataFrame) -> DataFrame:
         "component",
         (F.col("doc_id") == F.col("component")).alias("keep"),
     )
+
+
+def containment_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric containment near-dup: pairs where either document's
+    word-n-gram set is >= ``threshold`` contained in the other's
+    (Broder 1997's containment coefficient C(A,B) = |A∩B|/|A|).
+    Catches SUBSET duplication — a short doc embedded inside a longer
+    one — which symmetric Jaccard misses entirely (a 100-shingle doc
+    fully inside a 10,000-shingle doc has jacc < 0.01 but containment
+    1.0); the quote/boilerplate/excerpt case in crawl curation.
+
+    Same inverted-index plan (and the SAME memoized shingle table) as
+    :func:`ngram_jaccard_pairs`: the only shuffle is keyed on the
+    shingle, candidates are exactly the pairs sharing >= 1 shingle,
+    and containment >= t > 0 implies >= 1 shared shingle, so recall
+    is exact.  Returns (doc_a, doc_b, inter, size_a, size_b,
+    cont_a_in_b, cont_b_in_a) with doc_a < doc_b, 4-dp-rounded
+    containments, where max(containment) >= threshold.
+    """
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (disjoint pairs never materialize)")
+    sh = _shared_checkpoint(
+        df,
+        ("shingles", id_col, text_col, n),
+        lambda: shingle_table(df, id_col, text_col, n),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    cab = F.round(F.col("inter") / F.col("size_a") * 10000) / 10000
+    cba = F.round(F.col("inter") / F.col("size_b") * 10000) / 10000
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            F.col("size_a").cast("bigint").alias("size_a"),
+            F.col("size_b").cast("bigint").alias("size_b"),
+            cab.alias("cont_a_in_b"),
+            cba.alias("cont_b_in_a"),
+        )
+        .where(
+            (F.col("cont_a_in_b") >= threshold)
+            | (F.col("cont_b_in_a") >= threshold)
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -805,12 +805,15 @@ def mmr_rerank(
     so the greedy trajectory is pure-integer and bit-identical to the
     recursive-CTE oracle.
 
-    Scale: the candidate pool is a TakeOrderedAndProject over the full
-    scan (never a global sort); each greedy step is one projection +
-    filter + TakeOrdered over the n-row pool with a RUNNING max-sim
-    column updated against only the latest pick — O(nk) sims total,
-    no n x n pairwise table, no nested-loop join; the k 1-row collects
-    are the same bounded-argmax pattern as the BPE trainer.
+    Scale: candidate generation is the distributed part — a
+    TakeOrderedAndProject over the full scan on the Spark-fold
+    rel_micro key (never a global sort).  The greedy re-rank then runs
+    driver-side over the BOUNDED n-row pool (n*k = 320 sims; same
+    bounded-collect pattern as the PQ codebook), using the identical
+    sequential float64 fold the SQL engines run, so the integer-micro
+    trajectory cannot diverge.  One Spark job end-to-end instead of
+    2k sequential argmax jobs — under a contended scheduler that is
+    the difference between ~1 s and ~25 s.
     """
     spark = emb.sparkSession
     qvec = [
@@ -819,7 +822,7 @@ def mmr_rerank(
         .select("embedding")
         .head()[0]
     ]
-    cand = (
+    pool = (
         emb.where(F.col("vec_id") != query_vec_id)
         .select(
             "vec_id",
@@ -828,35 +831,46 @@ def mmr_rerank(
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(n)
-        # Below -1e6 micros (cos >= -1): the first greatest() update
-        # replaces the sentinel with the true (possibly NEGATIVE) sim,
-        # which a 0 floor would silently clamp.
-        .withColumn("maxsim", F.lit(-2000000).cast("bigint"))
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    latest = cand.orderBy(F.desc("rel"), F.asc("vec_id")).head()
-    picked = [(1, latest["vec_id"], latest["rel"], 0)]
-    rem = cand
-    for step in range(2, k + 1):
-        lvec = [float(x) for x in latest["embedding"]]
-        rem = (
-            rem.where(F.col("vec_id") != latest["vec_id"])
-            .withColumn(
-                "maxsim",
-                F.greatest(
-                    F.col("maxsim"), _cos_micro_to(lvec, F.col("embedding"))
-                ),
-            )
-            .localCheckpoint(eager=True)
+
+    def fold_dot_py(u: list[float], v: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(u, v):  # same sequential fold the engines run
+            acc = acc + float(x) * float(y)
+        return acc
+
+    import math
+
+    vecs = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in pool}
+    rel = {int(r["vec_id"]): int(r["rel"]) for r in pool}
+    norm = {vid: fold_dot_py(v, v) for vid, v in vecs.items()}
+
+    def sim_micro(a: int, b: int) -> int:
+        c = fold_dot_py(vecs[a], vecs[b]) / math.sqrt(norm[a] * norm[b])
+        # Python round() is half-to-even; SQL round() is half-away —
+        # match the engines' semantics explicitly.
+        return int(math.floor(c * 1000000 + 0.5)) if c >= 0 else -int(
+            math.floor(-c * 1000000 + 0.5)
         )
-        latest = rem.orderBy(
-            F.desc(F.expr(f"{lam_num} * rel - {lam_rem} * maxsim")),
-            F.asc("vec_id"),
-        ).head()
-        picked.append((step, latest["vec_id"], latest["rel"], latest["maxsim"]))
+
+    first = max(rel, key=lambda v: (rel[v], -v))
+    picked = [(1, first, rel[first], 0)]
+    maxsim = {v: None for v in rel if v != first}
+    for step in range(2, k + 1):
+        latest = picked[-1][1]
+        for v in maxsim:
+            s = sim_micro(v, latest)
+            if maxsim[v] is None or s > maxsim[v]:
+                maxsim[v] = s
+        best = max(
+            maxsim,
+            key=lambda v: (lam_num * rel[v] - lam_rem * maxsim[v], -v),
+        )
+        picked.append((step, best, rel[best], maxsim[best]))
+        del maxsim[best]
     rows = [
-        (s, int(v), int(r), int(m), lam_num * int(r) - lam_rem * int(m))
-        for s, v, r, m in picked
+        (s, v, r, m, lam_num * r - lam_rem * m) for s, v, r, m in picked
     ]
     return spark.createDataFrame(
         rows,
@@ -897,26 +911,91 @@ def kcenter_coreset(
 
     picked = [(1, seed_vec_id, 0)]
     latest_vec = vec_of(seed_vec_id)
-    rem = (
-        emb.where(F.col("vec_id") != seed_vec_id)
-        .select("vec_id", "embedding", d2_micro(latest_vec, F.col("embedding")).alias("mind"))
-        .localCheckpoint(eager=True)
+    # No per-step checkpoints: the running-min lineage is LINEAR (one
+    # added fold per step, k <= 6), so recomputing from the scan is
+    # O(N k^2/2) folds total — far cheaper under a contended scheduler
+    # than k blocking checkpoint jobs.
+    rem = emb.where(F.col("vec_id") != seed_vec_id).select(
+        "vec_id",
+        "embedding",
+        d2_micro(latest_vec, F.col("embedding")).alias("mind"),
     )
     for step in range(2, k + 1):
         top = rem.orderBy(F.desc("mind"), F.asc("vec_id")).head()
         picked.append((step, int(top["vec_id"]), int(top["mind"])))
         if step < k:
             latest_vec = [float(x) for x in top["embedding"]]
-            rem = (
-                rem.where(F.col("vec_id") != top["vec_id"])
-                .withColumn(
-                    "mind",
-                    F.least(
-                        F.col("mind"), d2_micro(latest_vec, F.col("embedding"))
-                    ),
-                )
-                .localCheckpoint(eager=True)
+            rem = rem.where(F.col("vec_id") != top["vec_id"]).withColumn(
+                "mind",
+                F.least(
+                    F.col("mind"), d2_micro(latest_vec, F.col("embedding"))
+                ),
             )
     return spark.createDataFrame(
         picked, "step int, vec_id bigint, radius_micro bigint"
+    )
+
+
+def pca_power_iteration(
+    emb: DataFrame,
+    dim: int = 64,
+    iters: int = 3,
+    vscale: int = 16384,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Leading principal direction of the (uncentered) Gram matrix by
+    power iteration over EXACT integer sufficient statistics — the
+    distributed-PCA pattern: one scan reduces the corpus to the
+    dim x dim matrix A[i,j] = sum over rows of round(x_i * x_j * 1e6)
+    (each per-row product quantizes to micros BEFORE the sum, so the
+    matrix is an order-independent exact BIGINT reduction), then the
+    O(dim^2) power iteration runs on that bounded statistic in pure
+    integer arithmetic (matvec, then rescale to +-vscale by the max
+    magnitude with symmetric truncation) — bit-identical to the
+    oracle's unrolled SQL by construction.
+
+    Scale: the scan emits dim^2 = 4096 (i, j, micro) cells per row
+    into a map-side-combining groupBy — the shuffle carries at most
+    4096 rows per upstream partition regardless of corpus size; the
+    iteration itself touches only the 4096-cell matrix (driver-side,
+    the sufficient-statistics pattern).  vscale = 2^14 keeps the
+    matvec below 2^63 out to ~10^8 rows x |x| <= 4.
+    """
+    spark = emb.sparkSession
+    cells = F.explode(
+        F.flatten(
+            F.expr(
+                f"transform(sequence(1, {dim}), i -> "
+                f"transform(sequence(1, {dim}), j -> "
+                f"struct(i AS i, j AS j, "
+                f"CAST(round(CAST(element_at({vec_col}, i) AS DOUBLE) * "
+                f"CAST(element_at({vec_col}, j) AS DOUBLE) * 1000000) "
+                f"AS BIGINT) AS p)))"
+            )
+        )
+    )
+    amat = (
+        emb.select(cells.alias("c"))
+        .select("c.i", "c.j", "c.p")
+        .groupBy("i", "j")
+        .agg(F.sum("p").cast("bigint").alias("a"))
+        .collect()
+    )
+    a = {(int(r["i"]), int(r["j"])): int(r["a"]) for r in amat}
+    v = [vscale] * dim
+    for _ in range(iters):
+        u = [
+            sum(a.get((i + 1, j + 1), 0) * v[j] for j in range(dim))
+            for i in range(dim)
+        ]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            v = u
+        else:
+            v = [
+                (x * vscale) // m if x >= 0 else -(((-x) * vscale) // m)
+                for x in u
+            ]
+    return spark.createDataFrame(
+        [(i + 1, v[i]) for i in range(dim)], "pos int, v_scaled bigint"
     )

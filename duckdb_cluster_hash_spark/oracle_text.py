@@ -765,3 +765,55 @@ def kcenter_coreset_sql(seed_vec_id: int = 0, k: int = 6, dim: int = 64) -> str:
         "SELECT CAST(step AS INTEGER) AS step, vec_id, radius_micro "
         "FROM sel ORDER BY step"
     )
+
+
+def containment_neardup_pairs_sql(n: int = 3, threshold: float = 0.5) -> str:
+    """All-pairs containment oracle for
+    operators.dedup.containment_neardup_pairs (cross-join baseline —
+    the Spark side must reach identical pairs via the inverted index)."""
+    cab = "(round((CAST(inter AS DOUBLE) / size_a) * 10000) / 10000)"
+    cba = "(round((CAST(inter AS DOUBLE) / size_b) * 10000) / 10000)"
+    return (
+        f"WITH {shingles_cte(n)}, "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter, "
+        "CAST(len(a.sh) AS BIGINT) AS size_a, "
+        "CAST(len(b.sh) AS BIGINT) AS size_b "
+        "FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id) "
+        f"SELECT doc_a, doc_b, inter, size_a, size_b, "
+        f"{cab} AS cont_a_in_b, {cba} AS cont_b_in_a "
+        f"FROM pairs WHERE {cab} >= {threshold} OR {cba} >= {threshold} "
+        "ORDER BY doc_a, doc_b"
+    )
+
+
+def pca_power_iteration_sql(
+    dim: int = 64, iters: int = 3, vscale: int = 16384
+) -> str:
+    """Oracle for operators.similarity.pca_power_iteration: the same
+    exact-integer Gram reduction and unrolled integer power iteration
+    (symmetric-truncation rescale, so negative components divide
+    identically in both engines)."""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(
+            f"u{t} AS (SELECT a.i AS j, CAST(sum(a.a * v{t - 1}.v) AS BIGINT) "
+            f"AS u FROM a JOIN v{t - 1} ON a.j = v{t - 1}.j GROUP BY a.i), "
+            f"m{t} AS (SELECT max(abs(u)) AS m FROM u{t}), "
+            f"v{t} AS (SELECT j, CASE WHEN m{t}.m = 0 THEN u ELSE "
+            f"(CASE WHEN u >= 0 THEN (u * {vscale}) // m{t}.m "
+            f"ELSE -(((-u) * {vscale}) // m{t}.m) END) END AS v "
+            f"FROM u{t}, m{t})"
+        )
+    return (
+        "WITH a AS (SELECT ii.i AS i, jj.j AS j, "
+        "CAST(sum(CAST(round(e.embedding[ii.i]::DOUBLE * "
+        "e.embedding[jj.j]::DOUBLE * 1000000) AS BIGINT)) AS BIGINT) AS a "
+        f"FROM embeddings e, range(1, {dim + 1}) ii(i), "
+        f"range(1, {dim + 1}) jj(j) GROUP BY ii.i, jj.j), "
+        f"v0 AS (SELECT CAST(j AS BIGINT) AS j, CAST({vscale} AS BIGINT) AS v "
+        f"FROM range(1, {dim + 1}) t(j)), "
+        + ", ".join(steps)
+        + f" SELECT CAST(j AS INTEGER) AS pos, CAST(v AS BIGINT) AS v_scaled "
+        f"FROM v{iters} ORDER BY pos"
+    )

@@ -518,3 +518,19 @@ def docs_set_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("jac_milli"))
     )
+
+
+@query(
+    "docs_containment_neardup",
+    oracle=_ot.containment_neardup_pairs_sql(3, 0.5),
+)
+def docs_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (C4): pairs where one doc's
+    3-gram set is >= 50% inside the other's — the subset-duplication
+    (excerpt / boilerplate / quote) case symmetric Jaccard
+    structurally misses.  Shares the memoized shingle table with the
+    Jaccard and MinHash queries; the oracle cross-joins, the Spark
+    plan never does (inverted-index join keyed on the shingle)."""
+    return _dd.containment_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )

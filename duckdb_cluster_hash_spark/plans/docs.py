@@ -2523,3 +2523,76 @@ def docs_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score1024"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+# Burstiness (index of dispersion), shared formula strings over exact
+# integer moments: mean and VMR are the only double ops, identical
+# expression shape in both engines.
+_BU_MEAN = "(CAST(s AS DOUBLE) / CAST(nd AS DOUBLE))"
+_BU_VMR = (
+    f"(((CAST(k2 AS DOUBLE) / CAST(nd AS DOUBLE)) - {_BU_MEAN} * {_BU_MEAN})"
+    f" / {_BU_MEAN})"
+)
+_BU_OUT = (
+    "token",
+    "CAST(s AS BIGINT) AS total_count",
+    "CAST(df AS BIGINT) AS doc_freq",
+    f"CAST(round({_BU_VMR} * 1000000) AS BIGINT) AS vmr_micro",
+)
+
+
+@query(
+    "docs_token_burstiness",
+    oracle=(
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS token FROM documents), "
+        "dc AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS c "
+        "FROM t GROUP BY token, doc_id), "
+        "tc AS (SELECT token, CAST(sum(c) AS BIGINT) AS s, "
+        "CAST(sum(c * c) AS BIGINT) AS k2, CAST(count(*) AS BIGINT) AS df "
+        "FROM dc GROUP BY token ORDER BY s DESC, token ASC LIMIT 32), "
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents) "
+        "SELECT " + ", ".join(_BU_OUT) + " FROM tc, nd "
+        "ORDER BY total_count DESC, token ASC"
+    ),
+)
+def docs_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (Church & Gale 1995's index of dispersion,
+    VMR = variance/mean of per-document counts with absent docs
+    counting zero): function words sit near the Poisson VMR of 1
+    while topical/bursty words exceed it — a corpus-health and
+    keyword-ness diagnostic that complements the Zipf fit.  Moments
+    are exact integers; the two-step mean/VMR division is a shared
+    double formula string, so both engines agree bit-for-bit.
+
+    Scale: two map-side-combining groupBys ((token, doc) then token)
+    and a 32-row TakeOrderedAndProject; the doc-count scalar is a
+    1-row broadcast.  Zero-count docs never materialize — the VMR
+    expands E[c^2]-E[c]^2 over the implicit zeros algebraically.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("token"),
+    )
+    dc = t.groupBy("token", "doc_id").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tc = (
+        dc.groupBy("token")
+        .agg(
+            F.sum("c").cast("bigint").alias("s"),
+            F.sum(F.expr("c * c")).cast("bigint").alias("k2"),
+            F.count("*").cast("bigint").alias("df"),
+        )
+        .orderBy(F.desc("s"), F.asc("token"))
+        .limit(32)
+    )
+    nd = docs.agg(F.count("*").cast("bigint").alias("nd"))
+    return (
+        tc.crossJoin(F.broadcast(nd))
+        .selectExpr(*_BU_OUT)
+        .orderBy(F.desc("total_count"), F.asc("token"))
+    )

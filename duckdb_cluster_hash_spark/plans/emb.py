@@ -603,3 +603,78 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.kcenter_coreset(
         _t(spark, sf_dir, "embeddings"), seed_vec_id=0, k=6
     )
+
+
+@query(
+    "emb_label_maxsim_retrieval",
+    oracle=(
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "scored AS (SELECT label, vec_id, "
+        + _ot._fold_cos_micro("embedding", "qv", 64)
+        + " AS rel FROM embeddings, q WHERE vec_id <> 0), "
+        "agg AS (SELECT label, max(rel) AS maxsim_micro, "
+        "CAST(count(*) AS BIGINT) AS n_vecs FROM scored GROUP BY label), "
+        "best AS (SELECT s.label, min(s.vec_id) AS best_vec_id "
+        "FROM scored s JOIN agg a ON s.label = a.label "
+        "AND s.rel = a.maxsim_micro GROUP BY s.label) "
+        "SELECT a.label, a.maxsim_micro, b.best_vec_id, a.n_vecs "
+        "FROM agg a JOIN best b ON a.label = b.label "
+        "ORDER BY a.maxsim_micro DESC, a.label ASC LIMIT 5"
+    ),
+)
+def emb_label_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-pooling grouped retrieval (the single-query-vector core of
+    ColBERT-style late interaction / multi-vector search): each label
+    group is scored by the MAX cosine of its member vectors to the
+    query, and the top-5 groups are returned with their best-matching
+    member.  Sims quantize to integer micros before the max/argmax,
+    so grading is float-free.
+
+    Scale: one scan computing the fold-cosine per vector, one
+    map-side-combining groupBy on the label key (max + count partials),
+    an argmax resolved as a broadcast self-join on (label, max), and a
+    5-row TakeOrderedAndProject — no all-pairs anything.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+    scored = emb.where(F.col("vec_id") != 0).select(
+        "label",
+        "vec_id",
+        _sim._cos_micro_to(qvec, F.col("embedding")).alias("rel"),
+    )
+    agg = scored.groupBy("label").agg(
+        F.max("rel").alias("maxsim_micro"),
+        F.count("*").cast("bigint").alias("n_vecs"),
+    )
+    best = (
+        scored.join(
+            F.broadcast(
+                agg.select("label", F.col("maxsim_micro").alias("rel"))
+            ),
+            ["label", "rel"],
+        )
+        .groupBy("label")
+        .agg(F.min("vec_id").alias("best_vec_id"))
+    )
+    return (
+        agg.join(F.broadcast(best), "label")
+        .select("label", "maxsim_micro", "best_vec_id", "n_vecs")
+        .orderBy(F.desc("maxsim_micro"), F.asc("label"))
+        .limit(5)
+    )
+
+
+@query("emb_pca_power_iteration", oracle=_ot.pca_power_iteration_sql(64, 3))
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA, leading direction (C5 / embedding analytics):
+    one scan reduces the corpus to an exact-integer 64x64 Gram matrix
+    (per-row products quantized to micros before the order-independent
+    sum), then three integer power-iteration steps extract the top
+    principal direction — graded bit-for-bit against the oracle's
+    unrolled SQL.  The whitening/drift diagnostic for embedding
+    pipelines; see operators/similarity.py:pca_power_iteration for
+    the sufficient-statistics scale story."""
+    return _sim.pca_power_iteration(_t(spark, sf_dir, "embeddings"))

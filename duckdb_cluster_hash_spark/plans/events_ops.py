@@ -1138,3 +1138,95 @@ def events_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ratio_x1000"), F.asc("user_id"), F.asc("seq"))
         .limit(15)
     )
+
+
+# CUPED shared formula strings (same exact-integer-moments discipline as
+# the Welch block above): user pre/post totals quantize to DOLLARS so
+# every second moment stays < 2^53 (exact in BIGINT and in the one
+# double conversion); theta and the variance-reduction ratio are the
+# only double ops, identical formula shape in both engines.
+_CU_TH_NUM = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+_CU_TH_DEN = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+_CU_VY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+_CU_THETA = f"({_CU_TH_NUM} / {_CU_TH_DEN})"
+_CU_OUT = (
+    "CAST(n AS BIGINT) AS n_users",
+    f"round({_CU_THETA} * 1000000) / 1000000 AS theta_micro",
+    # fraction of post-variance removed by the covariate = rho^2
+    f"CAST(CASE WHEN {_CU_TH_DEN} = 0.0 OR {_CU_VY} = 0.0 THEN NULL ELSE "
+    f"round((({_CU_TH_NUM} * {_CU_TH_NUM}) / ({_CU_TH_DEN} * {_CU_VY})) "
+    "* 10000) END AS BIGINT) AS var_reduction_bp",
+)
+_CU_MOMENTS = (
+    "CAST(count(*) AS BIGINT) AS n",
+    "CAST(sum(pre_d) AS BIGINT) AS sx",
+    "CAST(sum(post_d) AS BIGINT) AS sy",
+    "CAST(sum(pre_d * post_d) AS BIGINT) AS sxy",
+    "CAST(sum(pre_d * pre_d) AS BIGINT) AS sxx",
+    "CAST(sum(post_d * post_d) AS BIGINT) AS syy",
+)
+
+
+def _cuped_oracle_sql() -> str:
+    return (
+        "WITH b AS (SELECT CAST(min(epoch(ts)) AS BIGINT) AS lo, "
+        "CAST(max(epoch(ts)) AS BIGINT) AS hi FROM events), "
+        "u AS (SELECT user_id, "
+        "CAST(sum(CASE WHEN 2 * CAST(epoch(ts) AS BIGINT) <= b.lo + b.hi "
+        "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre_c, "
+        "CAST(sum(CASE WHEN 2 * CAST(epoch(ts) AS BIGINT) > b.lo + b.hi "
+        "THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS post_c "
+        "FROM events, b GROUP BY user_id), "
+        "d AS (SELECT (pre_c + 50) // 100 AS pre_d, (post_c + 50) // 100 "
+        "AS post_d FROM u), "
+        "m AS (SELECT " + ", ".join(_CU_MOMENTS) + " FROM d) "
+        "SELECT " + ", ".join(_CU_OUT) + " FROM m"
+    )
+
+
+@query("events_cuped_adjustment", oracle=_cuped_oracle_sql())
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, the standard
+    experimentation-platform trick): per-user spend in the first half
+    of the observation window (the pre-period covariate X) predicts
+    the second half (the metric Y); theta = cov(X,Y)/var(X) and the
+    graded var_reduction_bp = rho^2 in basis points quantify how much
+    experiment variance the covariate removes.  All moments are exact
+    integer dollars; theta and rho^2 are single shared-string double
+    expressions, so both engines agree bit-for-bit.
+
+    Scale: one scan -> per-user conditional partial aggregate (the
+    split point is a broadcast 1-row min/max epoch) -> one 6-counter
+    global rollup; the same shape stratifies by experiment arm with a
+    GROUP BY, never changing the shuffle structure.
+    """
+    ev = _t(spark, sf_dir, "events")
+    b = ev.selectExpr(
+        "CAST(min(unix_timestamp(ts)) AS BIGINT) AS lo",
+        "CAST(max(unix_timestamp(ts)) AS BIGINT) AS hi",
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .selectExpr(
+            "user_id",
+            "lo",
+            "hi",
+            "CAST(unix_timestamp(ts) AS BIGINT) AS ep",
+            "CAST(round(value * 100) AS BIGINT) AS vc",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(sum(CASE WHEN 2 * ep <= lo + hi THEN vc ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("pre_c"),
+            F.expr(
+                "CAST(sum(CASE WHEN 2 * ep > lo + hi THEN vc ELSE 0 END) "
+                "AS BIGINT)"
+            ).alias("post_c"),
+        )
+    )
+    d = u.selectExpr(
+        "(pre_c + 50) div 100 AS pre_d", "(post_c + 50) div 100 AS post_d"
+    )
+    return d.selectExpr(*_CU_MOMENTS).selectExpr(*_CU_OUT)

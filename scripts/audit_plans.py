@@ -37,6 +37,15 @@ WAIVERS: dict[str, str] = {
         "BatchEvalPython over a constant-sized generator is size-independent"
     ),
     "cluster_skew_report": "final scalar rollup of <=32 partial-agg rows",
+    "events_cuped_adjustment": (
+        "the nested-loop / SinglePartition pair is the 1-row broadcast "
+        "min/max-epoch split point plus the final 6-counter scalar "
+        "rollup; the covariate build is one keyed per-user aggregate"
+    ),
+    "docs_token_burstiness": (
+        "the nested-loop is the 1-row broadcast corpus doc-count; the "
+        "SinglePartition exchange is the 32-row TakeOrdered merge"
+    ),
     "events_ab_welch_ttest": (
         "global 6-counter conditional aggregate = SinglePartition merge "
         "of map-side partials (one row total crosses the exchange)"
