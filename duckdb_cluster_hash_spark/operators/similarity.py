@@ -999,3 +999,94 @@ def pca_power_iteration(
     return spark.createDataFrame(
         [(i + 1, v[i]) for i in range(dim)], "pos int, v_scaled bigint"
     )
+
+
+def _jl_signs(k_dims: int, dim: int) -> list[list[float]]:
+    """The +-1 Achlioptas sign matrix, derived from the repo's md5
+    convention (parity of the 60-bit 'jl:d|i' digest) so the DuckDB
+    oracle recomputes it bit-for-bit in SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(
+                hashlib.md5(f"jl:{d}|{i}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1.0
+            for i in range(1, dim + 1)
+        ]
+        for d in range(1, k_dims + 1)
+    ]
+
+
+def jl_projection_quality(
+    emb: DataFrame, k_dims: int = 16, n_cand: int = 20, dim: int = 64
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign-projection quality probe: project the
+    64-dim embeddings to ``k_dims`` dims with a deterministic +-1 sign
+    matrix (Achlioptas 2003's database-friendly random projection, md5-
+    derived so both engines build the same matrix), then report, for
+    the top-``n_cand`` exact neighbors of vec_id 0, the exact cosine
+    next to the projected-space cosine — the distortion a JL sketch
+    would introduce at 4x dimensionality reduction.  All folds are
+    sequential (zip_with + aggregate vs the oracle's ordered-list
+    list_reduce), so every micro is bit-identical.
+
+    Scale: candidate selection is the distributed TakeOrdered scan;
+    the 16 projections are per-row map expressions (at 100 TB the
+    projection IS the point — ship 16 doubles per row instead of 64);
+    only the bounded candidate pool computes both-space cosines.
+    """
+    signs = _jl_signs(k_dims, dim)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    ]
+
+    def fold_signed_py(vec: list[float], w: list[float]) -> float:
+        acc = 0.0
+        for x, s in zip(vec, w):  # same sequential fold the engines run
+            acc = acc + float(x) * s
+        return acc
+
+    pq = [fold_signed_py(qvec, signs[d]) for d in range(k_dims)]
+    pq_norm = _norm_sq_py(pq)
+
+    cand = (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "embedding",
+            _cos_micro_to(qvec, F.col("embedding")).alias("rel_micro"),
+        )
+        .orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+        .limit(n_cand)
+    )
+    proj_cols = [
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(s) for s in signs[d]]),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"p{d}")
+        for d in range(k_dims)
+    ]
+    projected = cand.select("vec_id", "rel_micro", *proj_cols).withColumn(
+        "pv", F.array(*[F.col(f"p{d}") for d in range(k_dims)])
+    )
+    pq_lit = F.array(*[F.lit(x) for x in pq])
+    pdot = dot_fold(F.col("pv"), pq_lit)
+    pnorm = dot_fold(F.col("pv"), F.col("pv"))
+    prel = F.round(
+        pdot / F.sqrt(pnorm * F.lit(pq_norm)) * 1000000
+    ).cast("bigint")
+    return (
+        projected.select("vec_id", "rel_micro", prel.alias("proj_rel_micro"))
+        .orderBy(F.desc("rel_micro"), F.asc("vec_id"))
+    )

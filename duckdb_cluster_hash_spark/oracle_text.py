@@ -817,3 +817,72 @@ def pca_power_iteration_sql(
         + f" SELECT CAST(j AS INTEGER) AS pos, CAST(v AS BIGINT) AS v_scaled "
         f"FROM v{iters} ORDER BY pos"
     )
+
+
+def jl_projection_quality_sql(
+    k_dims: int = 16, n_cand: int = 20, dim: int = 64
+) -> str:
+    """Oracle for operators.similarity.jl_projection_quality: the same
+    md5-parity sign matrix, the same sequential folds (ordered-list
+    list_reduce), the same micro quantization."""
+    def dot(u: str, v: str, d: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{u}[i]::DOUBLE * {v}[i]::DOUBLE FOR i IN range(1, {d + 1})]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return (
+        "WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), "
+        "cand AS (SELECT vec_id, embedding, "
+        f"CAST(round(({dot('embedding', 'qv', dim)} / "
+        f"sqrt({dot('embedding', 'embedding', dim)} * {dot('qv', 'qv', dim)}))"
+        " * 1000000) AS BIGINT) AS rel "
+        "FROM embeddings, q WHERE vec_id <> 0 "
+        f"ORDER BY rel DESC, vec_id LIMIT {n_cand}), "
+        "pool AS (SELECT vec_id, embedding FROM cand "
+        "UNION ALL SELECT 0, qv FROM q), "
+        "signs AS (SELECT d.d AS d, i.i AS i, "
+        "CASE WHEN ('0x' || substr(md5('jl:' || d.d || '|' || i.i), 1, 15))"
+        "::BIGINT % 2 = 0 THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END AS w "
+        f"FROM range(1, {k_dims + 1}) d(d), range(1, {dim + 1}) i(i)), "
+        "proj AS (SELECT p.vec_id, s.d, "
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        "list(p.embedding[s.i]::DOUBLE * s.w ORDER BY s.i)), "
+        "(acc, x) -> acc + x) AS pr "
+        "FROM pool p, signs s GROUP BY p.vec_id, s.d), "
+        "pvec AS (SELECT vec_id, list(pr ORDER BY d) AS pv "
+        "FROM proj GROUP BY vec_id), "
+        "qp AS (SELECT pv AS pq FROM pvec WHERE vec_id = 0) "
+        "SELECT c.vec_id, c.rel AS rel_micro, "
+        f"CAST(round(({dot('pv', 'pq', k_dims)} / "
+        f"sqrt({dot('pv', 'pv', k_dims)} * {dot('pq', 'pq', k_dims)})) "
+        "* 1000000) AS BIGINT) AS proj_rel_micro "
+        "FROM cand c JOIN pvec ON c.vec_id = pvec.vec_id, qp "
+        "ORDER BY rel_micro DESC, c.vec_id"
+    )
+
+
+def kmeans_lloyd_step_sql(dim: int = 64, n_cells: int = 16) -> str:
+    """Oracle for plans.emb.emb_kmeans_lloyd_step: md5-IVF assignment
+    (shared _ivf_assign_ctes machinery), exact-integer per-cell dim
+    sums, sign-safe truncating mean, and the integer squared centroid
+    shift."""
+    return (
+        "WITH " + _ivf_assign_ctes(dim, n_cells) + ", "
+        "x AS (SELECT a.cell, CAST(generate_subscripts(e.embedding, 1) "
+        "AS INTEGER) AS d, "
+        "CAST(round(unnest(e.embedding)::DOUBLE * 1000000) AS BIGINT) AS xm "
+        "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id), "
+        "sums AS (SELECT cell, d, CAST(sum(xm) AS BIGINT) AS s, "
+        "CAST(count(*) AS BIGINT) AS n FROM x GROUP BY cell, d), "
+        "mean AS (SELECT cell, d, n, CASE WHEN s >= 0 THEN s // n "
+        "ELSE -((-s) // n) END AS m FROM sums), "
+        "shift AS (SELECT mean.cell, mean.n, "
+        "mean.m - CAST(round(c.w[mean.d] * 1000000) AS BIGINT) AS diff "
+        "FROM mean JOIN cents c ON mean.cell = c.c) "
+        "SELECT CAST(cell AS INTEGER) AS cell, "
+        "CAST(max(n) AS BIGINT) AS n_members, "
+        "CAST(sum(diff * diff) AS BIGINT) AS shift_sq_micro2 "
+        "FROM shift GROUP BY cell ORDER BY cell"
+    )

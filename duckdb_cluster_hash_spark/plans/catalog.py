@@ -51,6 +51,23 @@ _DRIVER_WINDOW_FIRST = [
     "docs_perplexity_filter",  # never stamped
     "emb_margin_bitext_pairs",  # never stamped
     "docs_y4m_video_stats",  # never stamped
+    "parts_kcore_decomposition",  # never stamped
+    "events_ab_welch_ttest",  # never stamped
+    "events_ewma_anomaly",  # never stamped
+    "events_cuped_adjustment",  # never stamped
+    "docs_ngram_novelty",  # never stamped
+    "docs_zipf_fit",  # never stamped
+    "docs_dsir_importance",  # never stamped
+    "docs_token_burstiness",  # never stamped
+    "docs_containment_neardup",  # never stamped
+    "emb_mmr_diverse_topk",  # never stamped
+    "emb_kcenter_coreset",  # never stamped
+    "emb_label_maxsim_retrieval",  # never stamped
+    "emb_pca_power_iteration",  # never stamped
+    "events_session_paths",  # never stamped
+    "docs_keyword_extraction",  # never stamped
+    "emb_jl_projection_quality",  # never stamped
+    "emb_kmeans_lloyd_step",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -79,23 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "docs_media_byte_features",  # newest stamp: r3
     "docs_eval_contamination",  # newest stamp: r3
     "docs_train_val_test_split",  # newest stamp: r3
-    "docs_repetition_quality",  # newest stamp: r3
-    "docs_tfidf_top_terms",  # newest stamp: r3
-    "docs_mixture_epochs",  # newest stamp: r3
-    "docs_neardup_components",  # newest stamp: r3
-    "docs_chunk_dedup_histogram",  # newest stamp: r3
-    "formats_csv_roundtrip",  # newest stamp: r3
-    "formats_json_roundtrip",  # newest stamp: r3
-    "formats_orc_roundtrip",  # newest stamp: r3
-    "emb_label_centroids",  # newest stamp: r3
-    "emb_neardup_pairs",  # newest stamp: r3
-    "emb_ann_topk",  # newest stamp: r3
-    "emb_int8_quantize_stats",  # newest stamp: r3
-    "emb_semantic_dedup",  # newest stamp: r3
-    "emb_ivf_kmeans_recall",  # newest stamp: r3
-    "cluster_resharding_key_impact",  # newest stamp: r5
-    "orders_bucketed_coloc_join",  # newest stamp: r5
-    "parts_copurchase_affinity",  # newest stamp: r5
 ]
 
 

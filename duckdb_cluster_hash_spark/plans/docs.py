@@ -2596,3 +2596,95 @@ def docs_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_BU_OUT)
         .orderBy(F.desc("total_count"), F.asc("token"))
     )
+
+
+def _keyword_oracle_sql(top: int = 15) -> str:
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"k{i} AS (SELECT df, e, {m}, {f_} FROM k{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    return (
+        "WITH t AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        "'[a-z]+')) AS tok FROM documents), "
+        "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf "
+        "FROM t GROUP BY doc_id, tok), "
+        "dfv AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM t GROUP BY tok), "
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+        "dx AS (SELECT DISTINCT df, (nd.n << 20) // df AS x FROM dfv, nd), "
+        f"k0 AS (SELECT df, {seed} FROM dx), "
+        + ", ".join(steps)
+        + f", idf AS (SELECT df, e * 1024 + f{_MLOG2_STEPS} AS idf1024 "
+        f"FROM k{_MLOG2_STEPS}), "
+        "scored AS (SELECT tf.doc_id, tf.tok, tf.tf, "
+        "CAST(tf.tf * idf.idf1024 AS BIGINT) AS score1024, "
+        "row_number() OVER (PARTITION BY tf.doc_id "
+        "ORDER BY tf.tf * idf.idf1024 DESC, tf.tok ASC) AS rn "
+        "FROM tf JOIN dfv ON tf.tok = dfv.tok JOIN idf ON dfv.df = idf.df) "
+        "SELECT doc_id, tok AS keyword, tf, score1024 FROM scored "
+        f"WHERE rn = 1 ORDER BY score1024 DESC, doc_id ASC LIMIT {top}"
+    )
+
+
+@query("docs_keyword_extraction", oracle=_keyword_oracle_sql())
+def docs_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: each document's top TF-IDF
+    term (the tagging/routing primitive; complements the corpus-level
+    docs_tfidf_top_terms), graded on the 15 strongest keywords
+    corpus-wide.  IDF = log2(N/df) through the pure-integer milli-bit
+    chain, run once per DISTINCT document frequency (not per token,
+    not per posting), so the score tf * idf1024 is an exact BIGINT
+    and the per-doc argmax is integer-deterministic.
+
+    Scale: two map-side-combining groupBys build the postings (tf)
+    and vocabulary (df) tables; the log chain runs on the <=|distinct
+    df| values table; scoring is a broadcast join of the vocab onto
+    the postings; the per-doc argmax is a keyed window and the final
+    top-15 a TakeOrderedAndProject.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    tf = t.groupBy("doc_id", "tok").agg(F.count("*").cast("bigint").alias("tf"))
+    dfv = t.groupBy("tok").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    nd = docs.agg(F.count("*").cast("bigint").alias("n"))
+    dx = (
+        dfv.select("df")
+        .distinct()
+        .crossJoin(F.broadcast(nd))
+        .selectExpr("df", "(n << 20) div df AS x")
+    )
+    s = dx.selectExpr("df", *_MLOG2_SEED_EXPRS)
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr("df", "e", m, f_)
+    idf = s.selectExpr("df", f"e * 1024 + f{_MLOG2_STEPS} AS idf1024")
+    scored = (
+        tf.join(F.broadcast(dfv), "tok")
+        .join(F.broadcast(idf), "df")
+        .selectExpr(
+            "doc_id",
+            "tok",
+            "tf",
+            "CAST(tf * idf1024 AS BIGINT) AS score1024",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score1024"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("keyword"), "tf", "score1024")
+        .orderBy(F.desc("score1024"), F.asc("doc_id"))
+        .limit(15)
+    )

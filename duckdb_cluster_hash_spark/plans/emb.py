@@ -678,3 +678,81 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines; see operators/similarity.py:pca_power_iteration for
     the sufficient-statistics scale story."""
     return _sim.pca_power_iteration(_t(spark, sf_dir, "embeddings"))
+
+
+@query("emb_jl_projection_quality", oracle=_ot.jl_projection_quality_sql())
+def emb_jl_projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss 4x dimensionality reduction, distortion-
+    graded (C5): a deterministic md5-parity +-1 sign matrix projects
+    64 -> 16 dims; the top-20 exact neighbors of vec 0 are reported
+    with exact AND projected-space cosine micros so the grade pins
+    the whole projection machinery, not a summary.  See
+    operators/similarity.py:jl_projection_quality."""
+    return _sim.jl_projection_quality(_t(spark, sf_dir, "embeddings"))
+
+
+@query("emb_kmeans_lloyd_step", oracle=_ot.kmeans_lloyd_step_sql(64, 16))
+def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exactly-graded Lloyd iteration of distributed k-means
+    (complementing emb_ivf_kmeans_recall, whose trained quantizer is
+    graded by a recall CONTRACT): vectors assign to the md5-derived
+    coarse centroids by the bit-deterministic fold argmax, per-cell
+    per-dim sums reduce in exact integer micros, the recomputed mean
+    uses a sign-safe truncating division, and the graded output is
+    each cell's membership count and integer squared centroid shift —
+    the convergence signal a k-means driver loop watches.
+
+    Scale: assignment is one Arrow-vectorized map pass; the update is
+    a (cell, dim)-keyed map-side-combining groupBy carrying at most
+    n_cells x dim rows per upstream partition — the canonical
+    distributed k-means shuffle shape at any corpus size.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=16)
+    x = assigned.select(
+        "cell", F.posexplode("embedding").alias("d0", "xv")
+    ).selectExpr(
+        "cell",
+        "CAST(d0 + 1 AS INTEGER) AS d",
+        "CAST(round(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS xm",
+    )
+    sums = x.groupBy("cell", "d").agg(
+        F.sum("xm").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    import math
+
+    def _half_away(x: float) -> int:
+        # SQL round() is half AWAY FROM ZERO; python round() is
+        # half-to-even — match the engines explicitly.
+        return (
+            int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+        )
+
+    cents = _sim.ivf_centroid_weights(64, 16)
+    cent_rows = [
+        (c, d + 1, _half_away(float(cents[c, d]) * 1000000.0))
+        for c in range(16)
+        for d in range(64)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, d int, wm bigint")
+    mean = sums.selectExpr(
+        "cell",
+        "d",
+        "n",
+        "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END AS m",
+    )
+    shift = mean.join(F.broadcast(cent_df), ["cell", "d"]).selectExpr(
+        "cell", "n", "m - wm AS diff"
+    )
+    return (
+        shift.groupBy("cell")
+        .agg(
+            F.max("n").cast("bigint").alias("n_members"),
+            F.sum(F.expr("diff * diff")).cast("bigint").alias("shift_sq_micro2"),
+        )
+        .selectExpr(
+            "CAST(cell AS INTEGER) AS cell", "n_members", "shift_sq_micro2"
+        )
+        .orderBy("cell")
+    )

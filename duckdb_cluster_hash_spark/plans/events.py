@@ -1232,3 +1232,89 @@ def events_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_rows_to_suppress"),
     )
+
+
+@query(
+    "events_session_paths",
+    oracle=(
+        "WITH o AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN lag(ts) OVER w IS NULL "
+        "OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "s0 AS (SELECT user_id, ts, event_id, event_type, sum(new_s) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+        "AS sid FROM o), "
+        "s AS (SELECT user_id, event_type, sid, row_number() OVER "
+        "(PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn FROM s0), "
+        "p AS (SELECT user_id, sid, concat_ws(' > ', "
+        "max(CASE WHEN rn = 1 THEN event_type END), "
+        "max(CASE WHEN rn = 2 THEN event_type END), "
+        "max(CASE WHEN rn = 3 THEN event_type END)) AS path, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM s WHERE rn <= 3 GROUP BY user_id, sid) "
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions, "
+        "CAST(sum(n_events) AS BIGINT) AS n_head_events "
+        "FROM p GROUP BY path ORDER BY n_sessions DESC, path ASC LIMIT 10"
+    ),
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream path mining: the top-10 session-opening paths (first
+    up to three event types of each 30-minute-gap session, joined with
+    ' > ') — the entry-funnel shape product analytics teams read first.
+    Reuses the catalog's session convention (lag-gap flag, running-sum
+    session id) with an explicit (ts, event_id) tiebreak so the path
+    heads are deterministic cross-engine.
+
+    Scale: everything happens inside one per-user window pass (two
+    stacked window functions over the same keyed sort), a per-session
+    3-row conditional rollup, and a 5^3-bounded path key aggregate —
+    no self-joins, and the final top-10 is TakeOrderedAndProject.
+    """
+    ev = _t(spark, sf_dir, "events")
+    spec = "(PARTITION BY user_id ORDER BY ts, event_id)"
+    o = ev.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        f"CASE WHEN lag(ts) OVER {spec} IS NULL "
+        f"OR ts - lag(ts) OVER {spec} > INTERVAL 30 MINUTE "
+        "THEN 1 ELSE 0 END AS new_s",
+    )
+    s0 = o.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS sid",
+    )
+    s = s0.selectExpr(
+        "user_id",
+        "event_type",
+        "sid",
+        "row_number() OVER (PARTITION BY user_id, sid "
+        "ORDER BY ts, event_id) AS rn",
+    )
+    p = (
+        s.where(F.col("rn") <= 3)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.expr(
+                "concat_ws(' > ', "
+                "max(CASE WHEN rn = 1 THEN event_type END), "
+                "max(CASE WHEN rn = 2 THEN event_type END), "
+                "max(CASE WHEN rn = 3 THEN event_type END))"
+            ).alias("path"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+    )
+    return (
+        p.groupBy("path")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_head_events"),
+        )
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )

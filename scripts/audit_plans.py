@@ -194,6 +194,17 @@ WAIVERS: dict[str, str] = {
         "(computed column, unknowable to the scan); at scale the cell is a "
         "parquet partition column (ivf_write_index) and prunes at the source"
     ),
+    "docs_keyword_extraction": (
+        "the nested-loop is the 1-row broadcast corpus doc-count onto the "
+        "distinct-df table; the SinglePartition exchange computes that "
+        "count (one row crosses); postings/vocab build via keyed "
+        "map-side-combining groupBys"
+    ),
+    "emb_jl_projection_quality": (
+        "the SinglePartition step carries only the top-20 candidate pool "
+        "into the 16 projection map expressions (bounded by n_cand, not "
+        "data); candidate selection is the distributed TakeOrdered scan"
+    ),
 }
 
 
