@@ -954,29 +954,50 @@ def pca_power_iteration(
     magnitude with symmetric truncation) — bit-identical to the
     oracle's unrolled SQL by construction.
 
-    Scale: the scan emits dim^2 = 4096 (i, j, micro) cells per row
-    into a map-side-combining groupBy — the shuffle carries at most
-    4096 rows per upstream partition regardless of corpus size; the
+    Scale: one Arrow-vectorized mapInPandas pass reduces each input
+    batch to dim^2 = 4096 (i, j, partial-sum) cells (numpy outer
+    products, each per-row product rounded half-away-from-zero —
+    std::round semantics, matching both engines' round() on the same
+    float64 — BEFORE the exact int64 batch sum), then a
+    map-side-combining groupBy merges partials — the shuffle carries
+    at most 4096 rows per batch regardless of corpus size; the
     iteration itself touches only the 4096-cell matrix (driver-side,
     the sufficient-statistics pattern).  vscale = 2^14 keeps the
     matvec below 2^63 out to ~10^8 rows x |x| <= 4.
     """
     spark = emb.sparkSession
-    cells = F.explode(
-        F.flatten(
-            F.expr(
-                f"transform(sequence(1, {dim}), i -> "
-                f"transform(sequence(1, {dim}), j -> "
-                f"struct(i AS i, j AS j, "
-                f"CAST(round(CAST(element_at({vec_col}, i) AS DOUBLE) * "
-                f"CAST(element_at({vec_col}, j) AS DOUBLE) * 1000000) "
-                f"AS BIGINT) AS p)))"
-            )
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        ii, jj = np.meshgrid(
+            np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
         )
-    )
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(-1, dim)
+            acc = np.zeros((dim, dim), dtype=np.int64)
+            for lo in range(0, x.shape[0], 2048):  # bound the temporaries
+                xc = x[lo : lo + 2048]
+                p = xc[:, :, None] * xc[:, None, :] * 1e6
+                # round half AWAY FROM ZERO, bit-exact on the float64
+                # (the rint+trunc fixup avoids the floor(x+0.5) carry
+                # bug): both engines' round() agrees with this on every
+                # double.
+                r = np.rint(p)
+                t = np.trunc(p)
+                halves = np.abs(p - t) == 0.5  # p - trunc(p) is exact
+                r[halves] = t[halves] + np.sign(p[halves])
+                acc += r.astype(np.int64).sum(axis=0)
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "p": acc.ravel()}
+            )
+
     amat = (
-        emb.select(cells.alias("c"))
-        .select("c.i", "c.j", "c.p")
+        emb.select(vec_col)
+        .mapInPandas(gram_partials, "i int, j int, p bigint")
         .groupBy("i", "j")
         .agg(F.sum("p").cast("bigint").alias("a"))
         .collect()
