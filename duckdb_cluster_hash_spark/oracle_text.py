@@ -886,3 +886,34 @@ def kmeans_lloyd_step_sql(dim: int = 64, n_cells: int = 16) -> str:
         "CAST(sum(diff * diff) AS BIGINT) AS shift_sq_micro2 "
         "FROM shift GROUP BY cell ORDER BY cell"
     )
+
+
+def ivf_cell_health_sql(dim: int = 64, n_cells: int = 16) -> str:
+    """Oracle for plans.emb.emb_ivf_cell_health: md5-IVF assignment
+    (shared _ivf_assign_ctes), exact integer-micro squared distances
+    to the owning centroid, and each centroid's squared distance to
+    its nearest other centroid."""
+    wm1 = "CAST(round(c1.w[i] * 1000000) AS BIGINT)"
+    wm2 = "CAST(round(c2.w[i] * 1000000) AS BIGINT)"
+    return (
+        "WITH " + _ivf_assign_ctes(dim, n_cells) + ", "
+        "x AS (SELECT a.cell, CAST(generate_subscripts(e.embedding, 1) "
+        "AS INTEGER) AS d, "
+        "CAST(round(unnest(e.embedding)::DOUBLE * 1000000) AS BIGINT) AS xm "
+        "FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id), "
+        "cm AS (SELECT c, CAST(generate_subscripts(w, 1) AS INTEGER) AS d, "
+        "CAST(round(unnest(w) * 1000000) AS BIGINT) AS wm FROM cents), "
+        "dif AS (SELECT x.cell, x.xm - cm.wm AS df "
+        "FROM x JOIN cm ON x.cell = cm.c AND x.d = cm.d), "
+        f"agg AS (SELECT cell, CAST(count(*) // {dim} AS BIGINT) AS n_members, "
+        "CAST(sum(df * df) AS BIGINT) AS tot_d2 FROM dif GROUP BY cell), "
+        "sep AS (SELECT c1.c AS cell, min(list_reduce(list_prepend("
+        "CAST(0 AS BIGINT), "
+        f"[({wm1} - {wm2}) * ({wm1} - {wm2}) FOR i IN range(1, {dim + 1})]), "
+        "(acc, v) -> acc + v)) AS nn_sep FROM cents c1 JOIN cents c2 "
+        "ON c1.c <> c2.c GROUP BY c1.c) "
+        "SELECT CAST(agg.cell AS INTEGER) AS cell, agg.n_members, "
+        "CAST(agg.tot_d2 // agg.n_members AS BIGINT) AS mean_d2_micro2, "
+        "CAST(sep.nn_sep AS BIGINT) AS nn_sep_micro2 "
+        "FROM agg JOIN sep ON agg.cell = sep.cell ORDER BY cell"
+    )

@@ -68,6 +68,12 @@ _DRIVER_WINDOW_FIRST = [
     "docs_keyword_extraction",  # never stamped
     "emb_jl_projection_quality",  # never stamped
     "emb_kmeans_lloyd_step",  # never stamped
+    "cluster_rendezvous_placement",  # never stamped
+    "cluster_hashring_vnodes",  # never stamped
+    "docs_gopher_repetition",  # never stamped
+    "parts_link_prediction",  # never stamped
+    "docs_source_contamination",  # never stamped
+    "emb_ivf_cell_health",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -90,12 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "events_hot_type_salted_counts",  # newest stamp: r3
     "events_enriched_by_segment",  # newest stamp: r3
     "docs_token_top20",  # newest stamp: r3
-    "docs_corpus_curation",  # newest stamp: r3
-    "docs_stratified_sample",  # newest stamp: r3
-    "docs_token_shards",  # newest stamp: r3
-    "docs_media_byte_features",  # newest stamp: r3
-    "docs_eval_contamination",  # newest stamp: r3
-    "docs_train_val_test_split",  # newest stamp: r3
 ]
 
 

@@ -592,3 +592,195 @@ def sql_null_semantics_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("always_null").cast("bigint").alias("n_count_always_null"),
         F.countDistinct("s").cast("bigint").alias("n_distinct_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Alternative placement schemes: rendezvous (HRW) hashing and a
+# vnode consistent-hash ring, graded against the slot-based map.
+# The reference's domain is Redis-cluster key placement
+# (clusterhash_extension.cpp:52-84); these are the two classic
+# alternatives every placement design doc compares against.
+# ---------------------------------------------------------------------------
+
+_HRW_N = 6
+_CUST_KEY_SQL = "'cust:' || c_custkey::VARCHAR"
+
+
+def _hrw_d_sql(n: int) -> str:
+    return (
+        f"(('0x' || substr(md5('hrw:{n}|' || key), 1, 15))::BIGINT)"
+    )
+
+
+@query(
+    "cluster_rendezvous_placement",
+    oracle=(
+        f"WITH k AS (SELECT {_CUST_KEY_SQL} AS key FROM customer), "
+        "d AS (SELECT key, "
+        + ", ".join(f"{_hrw_d_sql(n)} AS d{n}" for n in range(1, _HRW_N + 1))
+        + f", {node_sql('key')} AS slot_node FROM k), "
+        "w AS (SELECT key, slot_node, CASE "
+        + " ".join(
+            f"WHEN d{n} = greatest(d1, d2, d3, d4, d5, d6) THEN {n}"
+            for n in range(1, _HRW_N + 1)
+        )
+        + " END AS hrw_node FROM d), "
+        "ah AS (SELECT hrw_node AS node_id, CAST(count(*) AS BIGINT) AS hrw_keys, "
+        "CAST(sum(CASE WHEN slot_node <> hrw_node THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS moved_in_keys FROM w GROUP BY hrw_node), "
+        "asl AS (SELECT slot_node AS node_id, CAST(count(*) AS BIGINT) "
+        "AS slot_keys FROM w GROUP BY slot_node) "
+        "SELECT ah.node_id, ah.hrw_keys, asl.slot_keys, ah.moved_in_keys "
+        "FROM ah JOIN asl ON ah.node_id = asl.node_id ORDER BY ah.node_id"
+    ),
+)
+def cluster_rendezvous_placement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing vs the slot map
+    (Thaler & Ravishankar 1998): each key joins the node whose
+    md5('hrw:<n>|<key>') digest is largest — no shared table, no
+    resharding ranges, and adding a node moves only 1/n of keys.
+    Graded per node: HRW key count, slot-map key count, and how many
+    HRW-placed keys sit on a different node than the slot map puts
+    them (the migration cost of switching schemes).
+
+    Scale: placement is six map-side digest columns + greatest() +
+    a CASE argmax — zero shuffles per key; the two 6-row placement
+    censuses are map-side-combining groupBys joined on node_id.
+    """
+    key = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    d = _t(spark, sf_dir, "customer").select(
+        key.alias("key"),
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"hrw:{n}|"), key)), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias(f"d{n}")
+            for n in range(1, _HRW_N + 1)
+        ],
+        node_udf_col(key).alias("slot_node"),
+    )
+    m = F.greatest(*[F.col(f"d{n}") for n in range(1, _HRW_N + 1)])
+    hrw = F.when(F.col("d1") == m, 1)
+    for n in range(2, _HRW_N + 1):
+        hrw = hrw.when(F.col(f"d{n}") == m, n)
+    w = d.select("slot_node", hrw.alias("hrw_node"))
+    ah = w.groupBy(F.col("hrw_node").alias("node_id")).agg(
+        F.count("*").cast("bigint").alias("hrw_keys"),
+        F.sum(F.when(F.col("slot_node") != F.col("hrw_node"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("moved_in_keys"),
+    )
+    asl = w.groupBy(F.col("slot_node").alias("node_id")).agg(
+        F.count("*").cast("bigint").alias("slot_keys")
+    )
+    return (
+        ah.join(asl, "node_id")
+        .select("node_id", "hrw_keys", "slot_keys", "moved_in_keys")
+        .orderBy("node_id")
+    )
+
+
+@query(
+    "cluster_hashring_vnodes",
+    oracle=(
+        "WITH vn AS (SELECT t.n AS n, "
+        "('0x' || substr(md5('ring:' || t.n || '|' || s.v), 1, 15))::BIGINT "
+        "AS pos FROM range(1, 7) t(n), range(1, 33) s(v)), "
+        "seg AS (SELECT n, lag(pos, 1, -1) OVER (ORDER BY pos) AS lo, "
+        "pos AS hi FROM vn), "
+        "wrap AS (SELECT (SELECT n FROM vn ORDER BY pos LIMIT 1) AS n, "
+        "(SELECT max(pos) FROM vn) AS lo, ((1::BIGINT) << 62) AS hi), "
+        "segs AS (SELECT * FROM seg UNION ALL SELECT * FROM wrap), "
+        f"k AS (SELECT ('0x' || substr(md5('key:' || {_CUST_KEY_SQL}), 1, 15))"
+        "::BIGINT AS kpos FROM customer), "
+        "a AS (SELECT s.n AS node_id, CAST(count(*) AS BIGINT) AS n_keys "
+        "FROM k JOIN segs s ON k.kpos > s.lo AND k.kpos <= s.hi "
+        "GROUP BY s.n), "
+        "tot AS (SELECT sum(n_keys) AS t FROM a) "
+        "SELECT CAST(a.node_id AS INTEGER) AS node_id, a.n_keys, "
+        "CAST((10000 * a.n_keys) // tot.t AS BIGINT) AS share_bp "
+        "FROM a, tot ORDER BY node_id"
+    ),
+)
+def cluster_hashring_vnodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring with 32 virtual nodes per node (Karger et
+    al. 1997 / the memcached ketama layout): vnode positions are md5
+    digests on a 2^60 ring, each key belongs to the first vnode
+    clockwise, and the wraparound arc goes to the globally first
+    vnode.  Graded per node: key count and share in basis points —
+    the balance-vs-vnode-count tradeoff placement docs measure.
+
+    Scale: the ring has a FIXED 192 vnodes however large the key
+    corpus is, so the successor lookup is a broadcast non-equi join
+    of keys against the 193-row segment table (one match per key),
+    and the census is a map-side-combining groupBy; only 6 rows reach
+    the final share window.
+    """
+    from pyspark.sql.window import Window
+
+    vn = (
+        spark.range(0, 192)
+        .selectExpr(
+            "CAST(id div 32 + 1 AS BIGINT) AS n",
+            "CAST(id % 32 + 1 AS BIGINT) AS v",
+        )
+        .select(
+            "n",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ring:"),
+                            F.col("n").cast("string"),
+                            F.lit("|"),
+                            F.col("v").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("pos"),
+        )
+    )
+    seg = vn.select(
+        "n",
+        F.expr("lag(pos, 1, -1) OVER (ORDER BY pos)").alias("lo"),
+        F.col("pos").alias("hi"),
+    )
+    first = vn.orderBy("pos").limit(1).select("n")
+    wrap = first.crossJoin(
+        vn.agg(F.max("pos").alias("lo"))
+    ).select("n", "lo", F.lit(1 << 62).alias("hi"))
+    segs = seg.unionByName(wrap)
+    key = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    k = _t(spark, sf_dir, "customer").select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("key:"), key)), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("kpos")
+    )
+    a = (
+        k.join(
+            F.broadcast(segs),
+            (F.col("kpos") > F.col("lo")) & (F.col("kpos") <= F.col("hi")),
+        )
+        .groupBy(F.col("n").alias("node_id"))
+        .agg(F.count("*").cast("bigint").alias("n_keys"))
+    )
+    total = F.sum("n_keys").over(Window.partitionBy())
+    num = (10000 * F.col("n_keys")).cast("long")
+    return a.select(
+        F.col("node_id").cast("int").alias("node_id"),
+        "n_keys",
+        ((num - F.pmod(num, total)) / total).cast("long").alias("share_bp"),
+    ).orderBy("node_id")

@@ -2688,3 +2688,78 @@ def docs_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score1024"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+@query(
+    "docs_gopher_repetition",
+    oracle=(
+        "WITH t AS (SELECT doc_id, source, "
+        "regexp_extract_all(lower(text), '[a-z]+') AS w FROM documents), "
+        "b AS (SELECT doc_id, source, "
+        "unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg "
+        "FROM t WHERE len(w) >= 2), "
+        "c AS (SELECT doc_id, source, bg, CAST(count(*) AS BIGINT) AS c "
+        "FROM b GROUP BY doc_id, source, bg), "
+        "m AS (SELECT doc_id, source, max(c) AS mx, sum(c) AS nb "
+        "FROM c GROUP BY doc_id, source), "
+        "r AS (SELECT doc_id, source, "
+        "CAST((10000 * mx) // nb AS BIGINT) AS rep_bp FROM m) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN rep_bp >= 2000 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_flagged, CAST(max(rep_bp) AS BIGINT) AS max_rep_bp, "
+        "CAST(sum(rep_bp) // count(*) AS BIGINT) AS avg_rep_bp "
+        "FROM r GROUP BY source ORDER BY source"
+    ),
+)
+def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate (Rae et al. 2021 §A1.1):
+    per document, the fraction of word-bigrams taken by the single
+    most frequent bigram, in basis points — the degenerate-/looped-
+    text signal; a doc whose top bigram exceeds 20% of all bigrams is
+    flagged.  Rolled up per source: doc count, flagged count, max and
+    integer-mean rep_bp, so the grade pins every per-doc fraction.
+
+    Scale: bigrams materialize map-side off each token array (no
+    self-join), the per-doc histogram and its argmax are two keyed
+    map-side-combining groupBys on doc_id, and only the
+    source-bounded rollup crosses the final exchange.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("w"),
+    ).where(F.size("w") >= 2)
+    b = t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> element_at(w, i) || ' ' || element_at(w, i + 1))"
+            )
+        ).alias("bg"),
+    )
+    c = b.groupBy("doc_id", "source", "bg").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m = c.groupBy("doc_id", "source").agg(
+        F.max("c").alias("mx"), F.sum("c").alias("nb")
+    )
+    r = m.selectExpr(
+        "doc_id", "source", "CAST((10000 * mx) div nb AS BIGINT) AS rep_bp"
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("rep_bp") >= 2000, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.max("rep_bp").cast("bigint").alias("max_rep_bp"),
+            F.expr("CAST(sum(rep_bp) div count(*) AS BIGINT)").alias(
+                "avg_rep_bp"
+            ),
+        )
+        .orderBy("source")
+    )

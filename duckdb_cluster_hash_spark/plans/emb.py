@@ -756,3 +756,78 @@ def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query("emb_ivf_cell_health", oracle=_ot.ivf_cell_health_sql(64, 16))
+def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report (the ops view an ANN service watches):
+    per cell, the member count, the mean exact squared distance to
+    the owning centroid (integer micro^2 — quantization error), and
+    the squared distance to the nearest OTHER centroid (separation) —
+    crowded cells with low separation are where recall dies and
+    re-training starts.  Assignment is the shared bit-deterministic
+    md5-IVF fold argmax; every distance is an exact integer-micro
+    sum, so the report matches the oracle bit-for-bit.  (At corpus
+    scales where a cell's d2 sum nears int64, both engines would
+    reduce modulo a shared prime at the same final step.)
+
+    Scale: assignment is one Arrow-vectorized map pass; the spread
+    aggregate is a (cell, dim)-keyed map-side-combining groupBy (at
+    most n_cells x dim rows per upstream partition); centroid
+    separation is computed once from the 16 x 64 centroid constants
+    and broadcast back as a 16-row table.
+    """
+    import math
+
+    def _half_away(x: float) -> int:
+        return (
+            int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+        )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=16)
+    x = assigned.select(
+        "cell", F.posexplode("embedding").alias("d0", "xv")
+    ).selectExpr(
+        "cell",
+        "CAST(d0 + 1 AS INTEGER) AS d",
+        "CAST(round(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS xm",
+    )
+    cents = _sim.ivf_centroid_weights(64, 16)
+    wm = [
+        [_half_away(float(cents[c, d]) * 1000000.0) for d in range(64)]
+        for c in range(16)
+    ]
+    cent_rows = [(c, d + 1, wm[c][d]) for c in range(16) for d in range(64)]
+    cent_df = spark.createDataFrame(cent_rows, "cell int, d int, wm bigint")
+    agg = (
+        x.join(F.broadcast(cent_df), ["cell", "d"])
+        .selectExpr("cell", "xm - wm AS df")
+        .groupBy("cell")
+        .agg(
+            F.expr("CAST(count(*) div 64 AS BIGINT)").alias("n_members"),
+            F.sum(F.expr("df * df")).cast("bigint").alias("tot_d2"),
+        )
+    )
+    sep_rows = [
+        (
+            c,
+            min(
+                sum((wm[c][d] - wm[o][d]) ** 2 for d in range(64))
+                for o in range(16)
+                if o != c
+            ),
+        )
+        for c in range(16)
+    ]
+    sep_df = spark.createDataFrame(sep_rows, "cell int, nn_sep bigint")
+    return (
+        agg.join(F.broadcast(sep_df), "cell")
+        .selectExpr(
+            "CAST(cell AS INTEGER) AS cell",
+            "n_members",
+            "CAST(tot_d2 div n_members AS BIGINT) AS mean_d2_micro2",
+            "CAST(nn_sep AS BIGINT) AS nn_sep_micro2",
+        )
+        .orderBy("cell")
+    )

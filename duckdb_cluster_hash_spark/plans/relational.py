@@ -1661,3 +1661,119 @@ def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "peel_round int, n_vertices bigint, n_edges bigint, kcore_k bigint"
     ).orderBy("peel_round")
+
+
+def _link_prediction_oracle_sql(top: int = 15) -> str:
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _MLOG2_STEPS,
+        _mlog2_step_exprs,
+    )
+
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"k{i} AS (SELECT d, e, {m}, {f_} FROM k{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    return (
+        "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p "
+        "FROM lineitem), "
+        "e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2 "
+        "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p), "
+        "nbr AS (SELECT p1 AS v, p2 AS u FROM e0 "
+        "UNION ALL SELECT p2 AS v, p1 AS u FROM e0), "
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY v), "
+        "dx AS (SELECT DISTINCT d, d << 20 AS x FROM deg WHERE d >= 2), "
+        f"k0 AS (SELECT d, {seed} FROM dx), "
+        + ", ".join(steps)
+        + f", lg AS (SELECT d, (e * 1024 + f{_MLOG2_STEPS}) - 20480 AS l1024 "
+        f"FROM k{_MLOG2_STEPS}), "
+        "w AS (SELECT n1.u AS a, n2.u AS b, "
+        "CAST((1 << 20) // lg.l1024 AS BIGINT) AS wv "
+        "FROM nbr n1 JOIN nbr n2 ON n1.v = n2.v AND n1.u < n2.u "
+        "JOIN deg ON deg.v = n1.v JOIN lg ON lg.d = deg.d), "
+        "aa AS (SELECT a, b, CAST(sum(wv) AS BIGINT) AS aa_pts, "
+        "CAST(count(*) AS BIGINT) AS n_common FROM w GROUP BY a, b), "
+        "cand AS (SELECT aa.* FROM aa LEFT JOIN e0 "
+        "ON aa.a = e0.p1 AND aa.b = e0.p2 WHERE e0.p1 IS NULL) "
+        "SELECT a AS p1, b AS p2, n_common, aa_pts FROM cand "
+        f"ORDER BY aa_pts DESC, a, b LIMIT {top}"
+    )
+
+
+@query("parts_link_prediction", oracle=_link_prediction_oracle_sql())
+def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction on the part co-purchase graph
+    (Adamic & Adar 2003): score non-adjacent part pairs by
+    sum over common neighbors v of 1/log2(deg(v)), rarer mutual
+    friends counting more — the 'frequently bought together'
+    candidate generator.  The weight is the pure-integer milli-bit
+    log2 chain ((1 << 20) // l1024, computed once per DISTINCT
+    degree), so scores are exact BIGINTs and the top-15 ranking is
+    deterministic cross-engine.
+
+    Scale: wedges come from the adjacency self-join keyed on the
+    MIDDLE vertex, so the blow-up per vertex is its degree pair
+    count, never all-pairs over parts (a degree cap on hub vertices
+    is the standard knob when a corpus has power-law hubs); existing
+    edges drop via one keyed anti-join; the log chain runs on the
+    |distinct degrees| table and broadcast-joins back.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a_, b_ = op.alias("a"), op.alias("b")
+    e0 = (
+        a_.join(b_, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+    )
+    nbr = e0.selectExpr("p1 AS v", "p2 AS u").unionByName(
+        e0.selectExpr("p2 AS v", "p1 AS u")
+    )
+    deg = nbr.groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _MLOG2_STEPS,
+        _mlog2_step_exprs,
+    )
+
+    s = (
+        deg.where(F.col("d") >= 2)
+        .select("d")
+        .distinct()
+        .selectExpr("d", "d << 20 AS x")
+        .selectExpr("d", *_MLOG2_SEED_EXPRS)
+    )
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr("d", "e", m, f_)
+    lg = s.selectExpr("d", f"(e * 1024 + f{_MLOG2_STEPS}) - 20480 AS l1024")
+    n1, n2 = nbr.alias("n1"), nbr.alias("n2")
+    w = (
+        n1.join(n2, (F.col("n1.v") == F.col("n2.v")) & (F.col("n1.u") < F.col("n2.u")))
+        .select(F.col("n1.v").alias("v"), F.col("n1.u").alias("a"), F.col("n2.u").alias("b"))
+        .join(deg, "v")
+        .join(F.broadcast(lg), "d")
+        .selectExpr("a", "b", "CAST((1 << 20) div l1024 AS BIGINT) AS wv")
+    )
+    aa = w.groupBy("a", "b").agg(
+        F.sum("wv").cast("bigint").alias("aa_pts"),
+        F.count("*").cast("bigint").alias("n_common"),
+    )
+    cand = aa.join(
+        e0,
+        (aa.a == e0.p1) & (aa.b == e0.p2),
+        "left_anti",
+    )
+    return (
+        cand.select(
+            F.col("a").alias("p1"),
+            F.col("b").alias("p2"),
+            "n_common",
+            "aa_pts",
+        )
+        .orderBy(F.desc("aa_pts"), F.asc("p1"), F.asc("p2"))
+        .limit(15)
+    )

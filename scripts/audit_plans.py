@@ -200,6 +200,18 @@ WAIVERS: dict[str, str] = {
         "count (one row crosses); postings/vocab build via keyed "
         "map-side-combining groupBys"
     ),
+    "cluster_hashring_vnodes": (
+        "the nested-loops are the 193-row ring-segment broadcast (the "
+        "successor lookup, one match per key) and the 1-row wrap-arc "
+        "stitch; the SinglePartition exchanges order/aggregate the "
+        "192-row vnode table and the 6-row census — all vnode-bounded, "
+        "never data-bounded"
+    ),
+    "docs_gopher_repetition": (
+        "the unpushed filter is size(tokens) >= 2 over the tokenized "
+        "array (computed column, unknowable to the scan); map-side, no "
+        "shuffle before it (same shape as docs_bigram_collocations)"
+    ),
     "emb_jl_projection_quality": (
         "the SinglePartition step carries only the top-20 candidate pool "
         "into the 16 projection map expressions (bounded by n_cand, not "
