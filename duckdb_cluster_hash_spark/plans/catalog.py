@@ -74,6 +74,10 @@ _DRIVER_WINDOW_FIRST = [
     "parts_link_prediction",  # never stamped
     "docs_source_contamination",  # never stamped
     "emb_ivf_cell_health",  # never stamped
+    "events_kmv_distinct_jaccard",  # never stamped
+    "events_ams_f2_moment",  # never stamped
+    "events_kendall_tau_daily",  # never stamped
+    "events_bitmap_distinct_rollup",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -92,10 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "events_asof_purchase_view",  # newest stamp: r3
     "events_range_join_error_followers",  # newest stamp: r3
     "events_dedup_ingest",  # newest stamp: r3
-    "events_click_purchase_attribution",  # newest stamp: r3
-    "events_hot_type_salted_counts",  # newest stamp: r3
-    "events_enriched_by_segment",  # newest stamp: r3
-    "docs_token_top20",  # newest stamp: r3
 ]
 
 

@@ -6,7 +6,7 @@ window, and rotation stay in catalog.py.
 """
 
 from __future__ import annotations
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from duckdb_cluster_hash_spark.functions.clusterhash import cluster_node_col
 from duckdb_cluster_hash_spark.plans._registry import _t, query
@@ -1230,3 +1230,527 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(pre_c + 50) div 100 AS pre_d", "(post_c + 50) div 100 AS post_d"
     )
     return d.selectExpr(*_CU_MOMENTS).selectExpr(*_CU_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch family, exact-deterministic edition: KMV bottom-k and
+# AMS F2 share the md5 digest convention (the only hash both engines
+# implement identically), so unlike HLL — whose estimates are
+# implementation-specific and graded as a tolerance CONTRACT — every
+# column here is a plain integer both engines must reproduce bit-for-bit.
+
+_KMV_K = 64
+_KMV_DOMAIN = 16**12  # 12-hex-char digest prefix = 2^48 hash space
+# A user-day element keyed on the md5 of "user@dayofmonth": every-user-
+# hits-every-type in the synthetic corpus, so raw user-id sets would make
+# every Jaccard exactly 1.0; user-day activity sets actually differ.
+_UDAY_MD5 = "md5(CAST(user_id AS STRING) || '@' || CAST(day(ts) AS STRING))"
+
+
+def _kmv_oracle_sql() -> str:
+    k, m = _KMV_K, _KMV_DOMAIN
+    return (
+        "WITH base AS (SELECT DISTINCT event_type, "
+        "('0x' || substr(md5(user_id::VARCHAR || '@' || day(ts)::VARCHAR), "
+        "1, 12))::BIGINT AS hv "
+        "FROM events WHERE event_type IN ('click', 'purchase')), "
+        "rk AS (SELECT event_type, hv, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY hv) AS rn FROM base), "
+        f"sk AS (SELECT event_type, hv FROM rk WHERE rn <= {k}), "
+        "per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, "
+        "max(hv) AS kth FROM sk GROUP BY event_type), "
+        f"est AS (SELECT event_type, CASE WHEN cnt < {k} THEN cnt "
+        f"ELSE ({k - 1} * {m}::BIGINT) // kth END AS est FROM per), "
+        "pv AS (SELECT CAST(coalesce(max(CASE WHEN event_type = 'click' "
+        "THEN est END), 0) AS BIGINT) AS kmv_est_click, "
+        "CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN est END), "
+        "0) AS BIGINT) AS kmv_est_purchase FROM est), "
+        "ex AS (SELECT CAST(count(CASE WHEN event_type = 'click' THEN 1 END) "
+        "AS BIGINT) AS exact_click, "
+        "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) "
+        "AS exact_purchase FROM base), "
+        "iv AS (SELECT CAST(count(*) AS BIGINT) AS inter FROM "
+        "(SELECT hv FROM base GROUP BY hv HAVING count(*) = 2)), "
+        "uk AS (SELECT hv FROM (SELECT hv, row_number() OVER (ORDER BY hv) "
+        f"AS rn FROM (SELECT DISTINCT hv FROM sk)) WHERE rn <= {k}), "
+        "ux AS (SELECT CAST(count(*) AS BIGINT) AS u_cnt, "
+        "CAST(count(CASE WHEN ina = 1 AND inb = 1 THEN 1 END) AS BIGINT) "
+        "AS x FROM (SELECT u.hv, "
+        "max(CASE WHEN s.event_type = 'click' THEN 1 ELSE 0 END) AS ina, "
+        "max(CASE WHEN s.event_type = 'purchase' THEN 1 ELSE 0 END) AS inb "
+        "FROM uk u JOIN sk s ON u.hv = s.hv GROUP BY u.hv)) "
+        f"SELECT CAST({k} AS INTEGER) AS k, exact_click, exact_purchase, "
+        "kmv_est_click, kmv_est_purchase, "
+        "CAST(CASE WHEN exact_click + exact_purchase - inter > 0 THEN "
+        "(1000 * inter) // (exact_click + exact_purchase - inter) "
+        "ELSE 0 END AS BIGINT) AS exact_jaccard_permille, "
+        "CAST(CASE WHEN u_cnt > 0 THEN (1000 * x) // u_cnt ELSE 0 END "
+        "AS BIGINT) AS kmv_jaccard_permille "
+        "FROM ex, iv, pv, ux"
+    )
+
+
+@query("events_kmv_distinct_jaccard", oracle=_kmv_oracle_sql())
+def events_kmv_distinct_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with set
+    resemblance (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07): per
+    event type, keep the 64 smallest md5 user-day digests; the k-th
+    minimum estimates distinct cardinality as (k-1)*M/h_(k), and the
+    bottom-k of the UNION — the KMV merge, which is how these sketches
+    compose across shards — estimates Jaccard as the fraction of union-
+    sketch members present in both sides.  Unlike HLL, md5 makes every
+    number here engine-portable, so the estimates themselves (not a
+    tolerance contract) are value-hashed, alongside the exact counts.
+
+    Scale: the candidate set is first cut to distinct (type, digest)
+    pairs by a map-side-combining dedup, then bottom-k is TWO-LEVEL —
+    per (type, digest mod 8) partial top-k, then final top-k over the
+    <=8k survivors — so no sort partition ever exceeds k rows times the
+    salt fan-in, regardless of corpus size (the single-level sort the
+    oracle runs would be a per-type global sort at 100 TB).  Everything
+    after the sketches is <=128-row arithmetic.
+    """
+    ev = _t(spark, sf_dir, "events")
+    k = _KMV_K
+    base = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "event_type",
+            F.conv(F.substring(F.expr(_UDAY_MD5), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("hv"),
+        )
+        .distinct()
+    )
+    lvl1 = (
+        base.withColumn("salt", F.col("hv") % 8)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type", "salt").orderBy("hv")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    sk = (
+        lvl1.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("event_type").orderBy("hv")),
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    per = sk.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("cnt"), F.max("hv").alias("kth")
+    )
+    est = per.selectExpr(
+        "event_type",
+        f"CASE WHEN cnt < {k} THEN cnt "
+        f"ELSE CAST({k - 1} AS BIGINT) * {_KMV_DOMAIN} div kth END AS est",
+    )
+    pv = est.agg(
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN event_type = 'click' THEN est END), "
+            "0) AS BIGINT)"
+        ).alias("kmv_est_click"),
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN est "
+            "END), 0) AS BIGINT)"
+        ).alias("kmv_est_purchase"),
+    )
+    ex = base.agg(
+        F.expr(
+            "CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)"
+        ).alias("exact_click"),
+        F.expr(
+            "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) "
+            "AS BIGINT)"
+        ).alias("exact_purchase"),
+    )
+    iv = (
+        base.groupBy("hv")
+        .agg(F.count("*").alias("nt"))
+        .filter("nt = 2")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    uk = (
+        sk.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("hv")))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    ux = (
+        uk.join(sk, "hv")
+        .groupBy("hv")
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "ina"
+            ),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("inb"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("u_cnt"),
+            F.expr(
+                "CAST(count(CASE WHEN ina = 1 AND inb = 1 THEN 1 END) "
+                "AS BIGINT)"
+            ).alias("x"),
+        )
+    )
+    return (
+        ex.crossJoin(F.broadcast(iv))
+        .crossJoin(F.broadcast(pv))
+        .crossJoin(F.broadcast(ux))
+        .selectExpr(
+            f"CAST({k} AS INTEGER) AS k",
+            "exact_click",
+            "exact_purchase",
+            "kmv_est_click",
+            "kmv_est_purchase",
+            "CAST(CASE WHEN exact_click + exact_purchase - inter > 0 THEN "
+            "(1000 * inter) div (exact_click + exact_purchase - inter) "
+            "ELSE 0 END AS BIGINT) AS exact_jaccard_permille",
+            "CAST(CASE WHEN u_cnt > 0 THEN (1000 * x) div u_cnt ELSE 0 END "
+            "AS BIGINT) AS kmv_jaccard_permille",
+        )
+    )
+
+
+def _ams_oracle_sql() -> str:
+    return (
+        "WITH cu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c "
+        "FROM events GROUP BY user_id), "
+        "sj AS (SELECT g.j, cu.c, "
+        "CASE WHEN ('0x' || substr(md5(g.j::VARCHAR || '#' || "
+        "cu.user_id::VARCHAR), 1, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END "
+        "AS s FROM cu, generate_series(0, 15) g(j)), "
+        "px AS (SELECT j, CAST(sum(s * c) AS BIGINT) AS x "
+        "FROM sj GROUP BY j), "
+        "e AS (SELECT CAST(x * x AS BIGINT) AS e FROM px), "
+        "m AS (SELECT CAST(sum(e) AS BIGINT) // 16 AS mean_e, "
+        "CAST(min(e) AS BIGINT) AS mn, CAST(max(e) AS BIGINT) AS mx FROM e), "
+        "ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2 FROM cu) "
+        "SELECT CAST(16 AS INTEGER) AS n_estimators, f2 AS exact_f2, "
+        "mean_e AS ams_mean_f2, mn AS ams_min_f2, mx AS ams_max_f2, "
+        "CAST(CASE WHEN f2 > 0 THEN (1000 * abs(mean_e - f2)) // f2 "
+        "ELSE 0 END AS BIGINT) AS err_permille "
+        "FROM ex, m"
+    )
+
+
+@query("events_ams_f2_moment", oracle=_ams_oracle_sql())
+def events_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy,
+    STOC'96): F2 = sum over users of (event count)^2 — the self-join
+    size, the statistic behind join-cardinality and repeat-rate
+    estimation — estimated by 16 independent +/-1 projections: each
+    estimator draws a deterministic sign per user from one md5 hex
+    nibble of "seed#user", sums sign*count, and squares the total.
+    md5 determinism makes every estimator value engine-portable, so
+    the mean/min/max of the 16 estimators (and the exact F2 they
+    estimate) are value-hashed directly, not tolerance-gated.
+
+    Scale: one keyed per-user partial aggregate (the same shuffle the
+    exact F2 needs anyway), then a broadcast 16-row seed panel fans the
+    |users| table into 16 sign-sums that combine map-side — the sketch
+    state is 16 integers no matter the corpus, which is the point: at
+    100 TB each shard ships 16 numbers, and estimator sums merge by
+    addition.
+    """
+    ev = _t(spark, sf_dir, "events")
+    cu = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("c"))
+    seeds = spark.range(16).select(F.col("id").alias("j"))
+    px = (
+        cu.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "s",
+            F.expr(
+                "CASE WHEN CAST(conv(substring(md5(CAST(j AS STRING) || '#' "
+                "|| CAST(user_id AS STRING)), 1, 1), 16, 10) AS BIGINT) % 2 "
+                "= 0 THEN 1 ELSE -1 END"
+            ),
+        )
+        .groupBy("j")
+        .agg(F.expr("CAST(sum(s * c) AS BIGINT)").alias("x"))
+    )
+    m = px.select(F.expr("CAST(x * x AS BIGINT)").alias("e")).agg(
+        F.expr("CAST(sum(e) AS BIGINT) div 16").alias("mean_e"),
+        F.expr("CAST(min(e) AS BIGINT)").alias("mn"),
+        F.expr("CAST(max(e) AS BIGINT)").alias("mx"),
+    )
+    ex = cu.agg(F.expr("CAST(sum(c * c) AS BIGINT)").alias("f2"))
+    return ex.crossJoin(F.broadcast(m)).selectExpr(
+        "CAST(16 AS INTEGER) AS n_estimators",
+        "f2 AS exact_f2",
+        "mean_e AS ams_mean_f2",
+        "mn AS ams_min_f2",
+        "mx AS ams_max_f2",
+        "CAST(CASE WHEN f2 > 0 THEN (1000 * abs(mean_e - f2)) div f2 "
+        "ELSE 0 END AS BIGINT) AS err_permille",
+    )
+
+
+def _kendall_exprs(intdiv: str) -> tuple[str, str]:
+    """Shared tau-b arithmetic; only the integer-division spelling
+    differs between engines (Spark ``div``, DuckDB ``//``).  The double
+    expression is a single shared string over exact integer pair
+    counts, so IEEE sqrt/divide make both engines agree bit-for-bit."""
+    n0 = f"((n_days * (n_days - 1)) {intdiv} 2)"
+    guard = f"{n0} - ties_x > 0 AND {n0} - ties_y > 0"
+    tau = (
+        "CAST(round((1000.0 * (concordant - discordant)) / "
+        f"sqrt(CAST({n0} - ties_x AS DOUBLE) * "
+        f"CAST({n0} - ties_y AS DOUBLE))) AS BIGINT)"
+    )
+    return guard, tau
+
+
+def _kendall_oracle_sql() -> str:
+    guard, tau = _kendall_exprs("//")
+    return (
+        "WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) "
+        "// 86400 AS dd, "
+        "CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) "
+        "AS x, "
+        "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) "
+        "AS y FROM events GROUP BY 1), "
+        "p AS (SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2 "
+        "FROM d a JOIN d b ON a.dd < b.dd), "
+        "s AS (SELECT "
+        "CAST(count(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 END) "
+        "AS BIGINT) AS concordant, "
+        "CAST(count(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 END) "
+        "AS BIGINT) AS discordant, "
+        "CAST(count(CASE WHEN x1 = x2 THEN 1 END) AS BIGINT) AS ties_x, "
+        "CAST(count(CASE WHEN y1 = y2 THEN 1 END) AS BIGINT) AS ties_y "
+        "FROM p), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d) "
+        "SELECT n_days, concordant, discordant, ties_x, ties_y, "
+        f"CAST(CASE WHEN {guard} THEN {tau} ELSE 0 END AS BIGINT) "
+        "AS tau_b_permille FROM s, n"
+    )
+
+
+@query("events_kendall_tau_daily", oracle=_kendall_oracle_sql())
+def events_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation (Kendall 1945, the tie-adjusted
+    form) between the daily click and purchase volumes: every day-pair
+    is classified concordant / discordant / tied, and tau-b =
+    (C - D) / sqrt((n0 - t_x)(n0 - t_y)) — the nonparametric
+    complement to the catalog's Spearman (docs_spearman_chars_tokens),
+    robust to the heavy ties integer daily counts produce, where
+    Pearson-on-ranks misleads.
+
+    Scale: the O(n^2) pairing runs on the DAILY PROFILE, not events —
+    the raw table collapses to one row per day in a single conditional
+    keyed aggregate, and the ~30x30 self-pairing of that profile is a
+    broadcast join of a fixed-size table (a year is 66k pairs; the
+    profile stays metadata-sized no matter how many trillion events
+    fold into it).  Pair counts are exact integers; only the final
+    scalar tau is a (shared-string) double.
+    """
+    guard, tau = _kendall_exprs("div")
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.selectExpr(
+            "CAST(unix_timestamp(date_trunc('DAY', ts)) AS BIGINT) div 86400 "
+            "AS dd",
+            "event_type",
+        )
+        .groupBy("dd")
+        .agg(
+            F.expr(
+                "CAST(count(CASE WHEN event_type = 'click' THEN 1 END) "
+                "AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) "
+                "AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    p = a.join(F.broadcast(b), F.col("a.dd") < F.col("b.dd")).select(
+        F.col("a.x").alias("x1"),
+        F.col("a.y").alias("y1"),
+        F.col("b.x").alias("x2"),
+        F.col("b.y").alias("y2"),
+    )
+    s = p.agg(
+        F.expr(
+            "CAST(count(CASE WHEN (x1 - x2) * (y1 - y2) > 0 THEN 1 END) "
+            "AS BIGINT)"
+        ).alias("concordant"),
+        F.expr(
+            "CAST(count(CASE WHEN (x1 - x2) * (y1 - y2) < 0 THEN 1 END) "
+            "AS BIGINT)"
+        ).alias("discordant"),
+        F.expr("CAST(count(CASE WHEN x1 = x2 THEN 1 END) AS BIGINT)").alias(
+            "ties_x"
+        ),
+        F.expr("CAST(count(CASE WHEN y1 = y2 THEN 1 END) AS BIGINT)").alias(
+            "ties_y"
+        ),
+    )
+    n = d.agg(F.count("*").cast("bigint").alias("n_days"))
+    return s.crossJoin(F.broadcast(n)).selectExpr(
+        "n_days",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        f"CAST(CASE WHEN {guard} THEN {tau} ELSE 0 END AS BIGINT) "
+        "AS tau_b_permille",
+    )
+
+
+def _bitmap_oracle_sql() -> str:
+    return (
+        "WITH base AS (SELECT event_type, user_id * 32 + (day(ts) - 1) "
+        "AS uday FROM events WHERE event_type IN ('click', 'purchase')), "
+        "wt AS (SELECT event_type, uday // 60 AS word, "
+        "bit_or(1::BIGINT << CAST(uday % 60 AS INTEGER)) AS w "
+        "FROM base GROUP BY event_type, uday // 60), "
+        "pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(bit_count(w)) AS BIGINT) AS bm FROM wt "
+        "GROUP BY event_type), "
+        "ex AS (SELECT event_type, CAST(count(DISTINCT uday) AS BIGINT) "
+        "AS exact_ud FROM base GROUP BY event_type), "
+        "iv AS (SELECT CAST(coalesce(sum(bit_count(a.w & b.w)), 0) "
+        "AS BIGINT) AS inter FROM "
+        "(SELECT word, w FROM wt WHERE event_type = 'click') a JOIN "
+        "(SELECT word, w FROM wt WHERE event_type = 'purchase') b "
+        "ON a.word = b.word), "
+        "pv AS (SELECT "
+        "CAST(coalesce(max(CASE WHEN pt.event_type = 'click' THEN n_words "
+        "END), 0) AS BIGINT) AS n_words_click, "
+        "CAST(coalesce(max(CASE WHEN pt.event_type = 'purchase' THEN "
+        "n_words END), 0) AS BIGINT) AS n_words_purchase, "
+        "CAST(coalesce(max(CASE WHEN pt.event_type = 'click' THEN bm END), "
+        "0) AS BIGINT) AS bitmap_click_userdays, "
+        "CAST(coalesce(max(CASE WHEN pt.event_type = 'purchase' THEN bm "
+        "END), 0) AS BIGINT) AS bitmap_purchase_userdays FROM pt), "
+        "pe AS (SELECT "
+        "CAST(coalesce(max(CASE WHEN event_type = 'click' THEN exact_ud "
+        "END), 0) AS BIGINT) AS exact_click_userdays, "
+        "CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN exact_ud "
+        "END), 0) AS BIGINT) AS exact_purchase_userdays FROM ex) "
+        "SELECT n_words_click, n_words_purchase, bitmap_click_userdays, "
+        "bitmap_purchase_userdays, exact_click_userdays, "
+        "exact_purchase_userdays, inter AS inter_userdays, "
+        "bitmap_click_userdays + bitmap_purchase_userdays - inter "
+        "AS union_userdays, "
+        "CAST(CASE WHEN bitmap_click_userdays + bitmap_purchase_userdays "
+        "- inter > 0 THEN (1000 * inter) // (bitmap_click_userdays + "
+        "bitmap_purchase_userdays - inter) ELSE 0 END AS BIGINT) "
+        "AS jaccard_permille "
+        "FROM pv, pe, iv"
+    )
+
+
+@query("events_bitmap_distinct_rollup", oracle=_bitmap_oracle_sql())
+def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-bitmap EXACT distinct counting (the Roaring/groupBitmap
+    pattern of ClickHouse and Druid; Chambi et al. 2016): user-day
+    elements map to (word = id div 60, bit = id mod 60), each (type,
+    word) group ORs its bits into one 60-bit BIGINT lane, and distinct
+    = sum of popcounts — set ALGEBRA without materializing sets:
+    intersection is a word-keyed join with AND+popcount, union is
+    inclusion-exclusion, giving the exact Jaccard the KMV sketch
+    (events_kmv_distinct_jaccard) only estimates.  The exact
+    count-distinct rides along and must equal the bitmap count — the
+    graded proof the encoding is lossless.  60 bits per lane keeps the
+    sign bit (and engine-specific >>63 behavior) out of play.
+
+    Scale: bit_or and popcount-sum both combine map-side, so the
+    shuffled state is |active words| BIGINTs — a 64x compression of
+    the id space — and bitmap words merge across shards by OR, which
+    is how a 1000-executor rollup composes; the word-keyed
+    intersection join never touches raw ids.
+    """
+    ev = _t(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type").isin("click", "purchase")).selectExpr(
+        "event_type", "user_id * 32 + (day(ts) - 1) AS uday"
+    )
+    wt = (
+        base.selectExpr(
+            "event_type", "uday div 60 AS word", "CAST(uday % 60 AS INT) AS bit"
+        )
+        .groupBy("event_type", "word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("w")
+        )
+    )
+    pt = wt.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.expr("CAST(sum(bit_count(w)) AS BIGINT)").alias("bm"),
+    )
+    ex = base.groupBy("event_type").agg(
+        F.countDistinct("uday").cast("bigint").alias("exact_ud")
+    )
+    iv = (
+        wt.filter("event_type = 'click'")
+        .select("word", F.col("w").alias("wa"))
+        .join(
+            wt.filter("event_type = 'purchase'").select(
+                "word", F.col("w").alias("wb")
+            ),
+            "word",
+        )
+        .agg(
+            F.expr("CAST(coalesce(sum(bit_count(wa & wb)), 0) AS BIGINT)").alias(
+                "inter"
+            )
+        )
+    )
+    pv = pt.agg(
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN event_type = 'click' THEN n_words "
+            "END), 0) AS BIGINT)"
+        ).alias("n_words_click"),
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN "
+            "n_words END), 0) AS BIGINT)"
+        ).alias("n_words_purchase"),
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN event_type = 'click' THEN bm END), "
+            "0) AS BIGINT)"
+        ).alias("bitmap_click_userdays"),
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN bm "
+            "END), 0) AS BIGINT)"
+        ).alias("bitmap_purchase_userdays"),
+    )
+    pe = ex.agg(
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN event_type = 'click' THEN exact_ud "
+            "END), 0) AS BIGINT)"
+        ).alias("exact_click_userdays"),
+        F.expr(
+            "CAST(coalesce(max(CASE WHEN event_type = 'purchase' THEN "
+            "exact_ud END), 0) AS BIGINT)"
+        ).alias("exact_purchase_userdays"),
+    )
+    return (
+        pv.crossJoin(F.broadcast(pe))
+        .crossJoin(F.broadcast(iv))
+        .selectExpr(
+            "n_words_click",
+            "n_words_purchase",
+            "bitmap_click_userdays",
+            "bitmap_purchase_userdays",
+            "exact_click_userdays",
+            "exact_purchase_userdays",
+            "inter AS inter_userdays",
+            "bitmap_click_userdays + bitmap_purchase_userdays - inter "
+            "AS union_userdays",
+            "CAST(CASE WHEN bitmap_click_userdays + bitmap_purchase_userdays "
+            "- inter > 0 THEN (1000 * inter) div (bitmap_click_userdays + "
+            "bitmap_purchase_userdays - inter) ELSE 0 END AS BIGINT) "
+            "AS jaccard_permille",
+        )
+    )

@@ -217,6 +217,28 @@ WAIVERS: dict[str, str] = {
         "into the 16 projection map expressions (bounded by n_cand, not "
         "data); candidate selection is the distributed TakeOrdered scan"
     ),
+    "events_kmv_distinct_jaccard": (
+        "the SinglePartition exchanges sort only sketch state — the "
+        "two-level bottom-k caps every sorted set at k*8 = 512 rows (the "
+        "salted level-1 top-k is the distributed pass) — and the "
+        "nested-loops stitch four 1-row sketch summaries into the graded "
+        "row; sketch state is 64 BIGINTs per side regardless of corpus"
+    ),
+    "events_ams_f2_moment": (
+        "the nested-loop is the broadcast 16-row seed panel (fixed "
+        "estimator count) plus the 1-row exact-F2 stitch; sign-sums "
+        "combine map-side, sketch state is 16 integers total"
+    ),
+    "events_kendall_tau_daily": (
+        "the O(n^2) pairing and its scalar rollup run on the per-day "
+        "profile (<=366 rows/year of data, broadcast), never on events; "
+        "the raw table collapses in one keyed map-side-combined aggregate"
+    ),
+    "events_bitmap_distinct_rollup": (
+        "the nested-loops / SinglePartition exchanges stitch three 1-row "
+        "popcount rollups into the graded row; bitmap words bit_or "
+        "map-side and the intersection join is word-keyed"
+    ),
 }
 
 
