@@ -1716,8 +1716,14 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     MIDDLE vertex, so the blow-up per vertex is its degree pair
     count, never all-pairs over parts (a degree cap on hub vertices
     is the standard knob when a corpus has power-law hubs); existing
-    edges drop via one keyed anti-join; the log chain runs on the
-    |distinct degrees| table and broadcast-joins back.
+    edges drop via one keyed anti-join.  The middle vertex's weight
+    is resolved on the |directed edges| adjacency table BEFORE the
+    self-join (deg join + broadcast log chain on 2.4M rows, not the
+    O(sum d^2) wedge table — at sf0.1 that is 2.4M vs 148M rows
+    through a keyed join), and each wedge ships as two packed
+    BIGINTs ((a << 32) | b, weight), so the one unavoidable
+    O(wedges) exchange — the (a,b) partial-aggregated group-by —
+    carries the narrowest possible rows.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.select(
@@ -1750,27 +1756,36 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         m, f_ = _mlog2_step_exprs(i)
         s = s.selectExpr("d", "e", m, f_)
     lg = s.selectExpr("d", f"(e * 1024 + f{_MLOG2_STEPS}) - 20480 AS l1024")
-    n1, n2 = nbr.alias("n1"), nbr.alias("n2")
-    w = (
-        n1.join(n2, (F.col("n1.v") == F.col("n2.v")) & (F.col("n1.u") < F.col("n2.u")))
-        .select(F.col("n1.v").alias("v"), F.col("n1.u").alias("a"), F.col("n2.u").alias("b"))
-        .join(deg, "v")
+    # Resolve the middle vertex's weight on the adjacency table (|2E|
+    # rows) before the wedge blow-up; the inner lg join also drops
+    # d=1 middles, which generate no wedges anyway.
+    nbrw = (
+        nbr.join(deg, "v")
         .join(F.broadcast(lg), "d")
-        .selectExpr("a", "b", "CAST((1 << 20) div l1024 AS BIGINT) AS wv")
+        .selectExpr("v", "u", "CAST((1 << 20) div l1024 AS BIGINT) AS wv")
     )
-    aa = w.groupBy("a", "b").agg(
+    n1, n2 = nbrw.alias("n1"), nbr.alias("n2")
+    w = n1.join(
+        n2, (F.col("n1.v") == F.col("n2.v")) & (F.col("n1.u") < F.col("n2.u"))
+    ).selectExpr(
+        "shiftleft(CAST(n1.u AS BIGINT), 32) | CAST(n2.u AS BIGINT) AS ab",
+        "n1.wv AS wv",
+    )
+    aa = w.groupBy("ab").agg(
         F.sum("wv").cast("bigint").alias("aa_pts"),
         F.count("*").cast("bigint").alias("n_common"),
     )
     cand = aa.join(
-        e0,
-        (aa.a == e0.p1) & (aa.b == e0.p2),
+        e0.selectExpr(
+            "shiftleft(CAST(p1 AS BIGINT), 32) | CAST(p2 AS BIGINT) AS ab"
+        ),
+        "ab",
         "left_anti",
     )
     return (
-        cand.select(
-            F.col("a").alias("p1"),
-            F.col("b").alias("p2"),
+        cand.selectExpr(
+            "shiftright(ab, 32) AS p1",
+            "ab & 4294967295 AS p2",
             "n_common",
             "aa_pts",
         )

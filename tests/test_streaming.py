@@ -43,7 +43,12 @@ def _run_to_memory(spark, stream_df, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination(timeout) returns False on timeout WITHOUT raising;
+    # under full-suite contention an availableNow replay can exceed any
+    # fixed budget, and reading the sink early fails the test on a
+    # partially-filled table.  Assert completion instead of racing it.
+    finished = q.awaitTermination(600)
+    assert finished, f"stream {name} still running after 600s"
     return spark.table(name)
 
 
