@@ -1722,8 +1722,19 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(sum d^2) wedge table — at sf0.1 that is 2.4M vs 148M rows
     through a keyed join), and each wedge ships as two packed
     BIGINTs ((a << 32) | b, weight), so the one unavoidable
-    O(wedges) exchange — the (a,b) partial-aggregated group-by —
-    carries the narrowest possible rows.
+    O(wedges) exchange — the (a,b) group-by — carries the narrowest
+    possible rows.  Two measured fixes on that exchange (sf0.1):
+    the edge set is localCheckpoint'ed once (it feeds FOUR plan
+    branches — both union legs of the adjacency, deg, and the
+    anti-join — and re-deriving the order self-join + distinct per
+    branch dominated the wall), and the wedge group-by is explicitly
+    repartitioned to 4x defaultParallelism on the pair key before
+    aggregating: the pair key is nearly unique (101M groups from
+    148M wedges, 1.46x), so map-side partial aggregation cannot
+    shrink the exchange and the win is smaller per-task hash maps
+    that stay cache/memory-resident (24.5s -> 9.5s for the agg).
+    At true 100 TB the checkpoint is a materialized edge table and
+    the repartition count follows cluster parallelism.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.select(
@@ -1734,6 +1745,7 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_.join(b_, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nbr = e0.selectExpr("p1 AS v", "p2 AS u").unionByName(
         e0.selectExpr("p2 AS v", "p1 AS u")
@@ -1771,7 +1783,8 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shiftleft(CAST(n1.u AS BIGINT), 32) | CAST(n2.u AS BIGINT) AS ab",
         "n1.wv AS wv",
     )
-    aa = w.groupBy("ab").agg(
+    n_agg = spark.sparkContext.defaultParallelism * 4
+    aa = w.repartition(n_agg, "ab").groupBy("ab").agg(
         F.sum("wv").cast("bigint").alias("aa_pts"),
         F.count("*").cast("bigint").alias("n_common"),
     )
