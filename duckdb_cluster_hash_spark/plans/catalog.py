@@ -78,6 +78,9 @@ _DRIVER_WINDOW_FIRST = [
     "events_ams_f2_moment",  # never stamped
     "events_kendall_tau_daily",  # never stamped
     "events_bitmap_distinct_rollup",  # never stamped
+    "docs_token_entropy",  # never stamped
+    "docs_quality_auc",  # never stamped
+    "docs_labeler_agreement_kappa",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -93,9 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q12_priority_shipping",  # newest stamp: r3
     "orders_trailing_3mo_revenue",  # newest stamp: r3
     "part_size_unpivot_profile",  # newest stamp: r3
-    "events_asof_purchase_view",  # newest stamp: r3
-    "events_range_join_error_followers",  # newest stamp: r3
-    "events_dedup_ingest",  # newest stamp: r3
 ]
 
 

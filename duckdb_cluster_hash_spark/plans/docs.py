@@ -2763,3 +2763,256 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-health statistics wave: unigram entropy, filter AUC, labeler
+# agreement — the three numbers a curation pipeline reads before trusting
+# its own heuristics.  All pure-integer (the shared mlog2 chain where a
+# log is needed), so every column is value-hashed bit-for-bit.
+
+
+def _token_entropy_oracle_sql() -> str:
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"s{i} AS (SELECT d, e, {m}, {f_} FROM s{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    return (
+        "WITH tok AS (SELECT lang, "
+        "unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok "
+        "FROM documents), "
+        "cnt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c "
+        "FROM tok GROUP BY lang, tok), "
+        "tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n, "
+        "CAST(count(*) AS BIGINT) AS v FROM cnt GROUP BY lang), "
+        "vals AS (SELECT DISTINCT c AS d FROM cnt "
+        "UNION SELECT n FROM tot UNION SELECT v FROM tot), "
+        "dx AS (SELECT d, d << 20 AS x FROM vals), "
+        f"s0 AS (SELECT d, {seed} FROM dx), "
+        + ", ".join(steps)
+        + f", lg AS (SELECT d, (e * 1024 + f{_MLOG2_STEPS}) - 20480 AS l "
+        f"FROM s{_MLOG2_STEPS}), "
+        "sw AS (SELECT cnt.lang, CAST(sum(cnt.c * lg.l) AS BIGINT) AS s "
+        "FROM cnt JOIN lg ON cnt.c = lg.d GROUP BY cnt.lang) "
+        "SELECT tot.lang, tot.n AS n_tokens, tot.v AS vocab, "
+        "CAST(ln.l - sw.s // tot.n AS BIGINT) AS entropy_1024, "
+        "CAST(CASE WHEN lv.l = 0 THEN 1000 "
+        "ELSE (1000 * (ln.l - sw.s // tot.n)) // lv.l END AS BIGINT) "
+        "AS efficiency_permille "
+        "FROM tot JOIN sw ON sw.lang = tot.lang "
+        "JOIN lg ln ON ln.d = tot.n JOIN lg lv ON lv.d = tot.v "
+        "ORDER BY tot.lang"
+    )
+
+
+@query("docs_token_entropy", oracle=_token_entropy_oracle_sql())
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy of the unigram distribution in
+    1/1024-bit units (H = log2 N - (1/N) sum c_t log2 c_t), plus
+    entropy efficiency H / log2(V) in permille — the corpus-diversity
+    dial curation watches across mixture changes (a collapsing
+    efficiency means a few tokens are taking over).  Logs run the
+    shared integer mlog2 chain (plans/docs.py:_mlog2_step_exprs),
+    identical text in both engines, so entropy is an exact BIGINT.
+
+    Scale: token counting is one map-side-combining groupBy (lang,
+    tok); the log chain runs on the DISTINCT count values (bounded
+    far below vocab: count multiplicities collapse) and broadcast-
+    joins back — the same distinct-value-log pattern as
+    parts_link_prediction; per-language rollups carry one row per
+    (lang, count-value), never per token.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+        ).alias("tok"),
+    )
+    cnt = toks.groupBy("lang", "tok").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    vals = (
+        cnt.select(F.col("c").alias("d"))
+        .unionByName(tot.select(F.col("n").alias("d")))
+        .unionByName(tot.select(F.col("v").alias("d")))
+        .distinct()
+    )
+    s = vals.selectExpr("d", "d << 20 AS x").selectExpr(
+        "d", *_MLOG2_SEED_EXPRS
+    )
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr("d", "e", m, f_)
+    lg = s.selectExpr("d", f"(e * 1024 + f{_MLOG2_STEPS}) - 20480 AS l")
+    sw = (
+        cnt.join(F.broadcast(lg), cnt.c == lg.d)
+        .selectExpr("lang", "c * l AS cl")
+        .groupBy("lang")
+        .agg(F.sum("cl").cast("bigint").alias("s"))
+    )
+    ln_ = lg.selectExpr("d AS n", "l AS ln_l")
+    lv_ = lg.selectExpr("d AS v", "l AS lv_l")
+    return (
+        tot.join(sw, "lang")
+        .join(F.broadcast(ln_), "n")
+        .join(F.broadcast(lv_), "v")
+        .selectExpr(
+            "lang",
+            "n AS n_tokens",
+            "v AS vocab",
+            "CAST(ln_l - s div n AS BIGINT) AS entropy_1024",
+            "CAST(CASE WHEN lv_l = 0 THEN 1000 "
+            "ELSE (1000 * (ln_l - s div n)) div lv_l END AS BIGINT) "
+            "AS efficiency_permille",
+        )
+        .orderBy("lang")
+    )
+
+
+_AUC_ORACLE = (
+    "WITH h AS (SELECT n_chars AS sc, md5(text) AS dig FROM documents), "
+    "dd AS (SELECT dig FROM h GROUP BY dig HAVING count(*) > 1), "
+    "l AS (SELECT h.sc, CASE WHEN dd.dig IS NULL THEN 0 ELSE 1 END AS y "
+    "FROM h LEFT JOIN dd ON h.dig = dd.dig), "
+    "g AS (SELECT sc, CAST(count(*) AS BIGINT) AS cnt, "
+    "CAST(sum(y) AS BIGINT) AS pos FROM l GROUP BY sc), "
+    "o AS (SELECT sc, cnt, pos, sum(cnt) OVER (ORDER BY sc) AS cum FROM g), "
+    "r AS (SELECT CAST(sum(pos) AS BIGINT) AS p, "
+    "CAST(sum(cnt) AS BIGINT) AS nt, "
+    "CAST(sum(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r2 FROM o) "
+    "SELECT p AS n_pos, CAST(nt - p AS BIGINT) AS n_neg, "
+    "CAST(CASE WHEN p = 0 OR nt = p THEN 500000 "
+    "ELSE (1000000 * (r2 - p * (p + 1))) // (2 * p * (nt - p)) END "
+    "AS BIGINT) AS auc_micro FROM r"
+)
+
+
+@query("docs_quality_auc", oracle=_AUC_ORACLE)
+def docs_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (Mann–Whitney rank-sum with midrank tie
+    handling) of document length as a duplicate detector: positives
+    are exact-dup members (md5 body digest seen more than once), the
+    score is n_chars, and AUC answers 'does this cheap feature
+    separate dups from uniques?' — the calibration readout a pipeline
+    computes before trusting any filter threshold.  AUC in exact
+    integer micros via 2x-scaled midrank sums (every quantity stays
+    a BIGINT; AUC = (R2 - P(P+1)) / (2 P N)).
+
+    Scale: ranking never sorts documents — scores collapse to a
+    per-distinct-score (cnt, pos) table first (map-side combine),
+    and the cumulative rank offset runs ordered_prefix_sum's
+    range-partition + broadcast-offsets pattern (only the <=256-row
+    per-bucket totals table is ever globally ordered).
+    """
+    from duckdb_cluster_hash_spark.operators.ranking import (
+        ordered_prefix_sum,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.selectExpr("n_chars AS sc", "md5(text) AS dig")
+    dd = (
+        h.groupBy("dig")
+        .agg(F.count("*").alias("m"))
+        .filter(F.col("m") > 1)
+        .select("dig")
+    )
+    lab = h.join(dd.withColumn("y1", F.lit(1)), "dig", "left").selectExpr(
+        "sc", "coalesce(y1, 0) AS y"
+    )
+    g = lab.groupBy("sc").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    o = ordered_prefix_sum(g, [F.col("sc")], "cnt", out_col="cum")
+    r = o.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("cnt").cast("bigint").alias("nt"),
+        F.sum(F.expr("pos * (2 * (cum - cnt) + cnt + 1)"))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return r.selectExpr(
+        "p AS n_pos",
+        "CAST(nt - p AS BIGINT) AS n_neg",
+        "CAST(CASE WHEN p = 0 OR nt = p THEN 500000 "
+        "ELSE (1000000 * (r2 - p * (p + 1))) div (2 * p * (nt - p)) END "
+        "AS BIGINT) AS auc_micro",
+    )
+
+
+_KAPPA_LA = "CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END"
+_KAPPA_TOKS = "regexp_extract_all(lower(text), '[a-z]+')"
+_KAPPA_ORACLE = (
+    "WITH lab AS (SELECT "
+    f"{_KAPPA_LA} AS la, "
+    f"CASE WHEN 2 * length(list_distinct({_KAPPA_TOKS})) >= "
+    f"length({_KAPPA_TOKS}) THEN 1 ELSE 0 END AS lb FROM documents), "
+    "ct AS (SELECT CAST(sum(la * lb) AS BIGINT) AS both_pos, "
+    "CAST(sum(la * (1 - lb)) AS BIGINT) AS a_only, "
+    "CAST(sum((1 - la) * lb) AS BIGINT) AS b_only, "
+    "CAST(sum((1 - la) * (1 - lb)) AS BIGINT) AS both_neg, "
+    "CAST(count(*) AS BIGINT) AS n FROM lab), "
+    "k AS (SELECT *, "
+    "(both_pos + a_only) * (both_pos + b_only) "
+    "+ (b_only + both_neg) * (a_only + both_neg) AS pe_num FROM ct) "
+    "SELECT n AS n_docs, both_pos, a_only, b_only, both_neg, "
+    "CAST(CASE WHEN n * n = pe_num THEN 1000 "
+    "WHEN n * (both_pos + both_neg) >= pe_num THEN "
+    "(1000 * (n * (both_pos + both_neg) - pe_num)) // (n * n - pe_num) "
+    "ELSE -((1000 * (pe_num - n * (both_pos + both_neg))) "
+    "// (n * n - pe_num)) END AS BIGINT) AS kappa_permille FROM k"
+)
+
+
+@query("docs_labeler_agreement_kappa", oracle=_KAPPA_ORACLE)
+def docs_labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) between two independent cheap
+    quality labelers — length (n_chars >= 300) and lexical diversity
+    (type-token ratio >= 1/2) — the chance-corrected agreement a
+    pipeline reads before trusting weak labels as filter ground
+    truth (raw agreement flatters imbalanced labelers; kappa does
+    not).  Pure-integer permille with the sign-safe truncating
+    division (Spark div truncates toward zero, DuckDB // floors —
+    they agree only on non-negative operands, so the negative branch
+    negates explicitly; README 'Correctness model').
+
+    Scale: one map-side-combining aggregate over documents to a
+    four-cell contingency table; everything after is 1-row
+    arithmetic.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.selectExpr(
+        f"{_KAPPA_LA} AS la",
+        f"CASE WHEN 2 * size(array_distinct({_KAPPA_TOKS[:-1]}, 0))) >= "
+        f"size({_KAPPA_TOKS[:-1]}, 0)) THEN 1 ELSE 0 END AS lb",
+    )
+    ct = lab.agg(
+        F.sum(F.expr("la * lb")).cast("bigint").alias("both_pos"),
+        F.sum(F.expr("la * (1 - lb)")).cast("bigint").alias("a_only"),
+        F.sum(F.expr("(1 - la) * lb")).cast("bigint").alias("b_only"),
+        F.sum(F.expr("(1 - la) * (1 - lb)")).cast("bigint").alias("both_neg"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    k = ct.selectExpr(
+        "*",
+        "(both_pos + a_only) * (both_pos + b_only) "
+        "+ (b_only + both_neg) * (a_only + both_neg) AS pe_num",
+    )
+    return k.selectExpr(
+        "n AS n_docs",
+        "both_pos",
+        "a_only",
+        "b_only",
+        "both_neg",
+        "CAST(CASE WHEN n * n = pe_num THEN 1000 "
+        "WHEN n * (both_pos + both_neg) >= pe_num THEN "
+        "(1000 * (n * (both_pos + both_neg) - pe_num)) div (n * n - pe_num) "
+        "ELSE -((1000 * (pe_num - n * (both_pos + both_neg))) "
+        "div (n * n - pe_num)) END AS BIGINT) AS kappa_permille",
+    )

@@ -106,6 +106,18 @@ WAIVERS: dict[str, str] = {
         "single scalar rollup: nine conditional counters in one map-side "
         "partial aggregate"
     ),
+    "docs_quality_auc": (
+        "the SinglePartition exchanges are ordered_prefix_sum's 256-row "
+        "per-bucket offsets table plus the 1-row AUC rollup; documents "
+        "collapse map-side to the distinct-score (cnt, pos) table before "
+        "any ordering, and the unpushed filter is HAVING count > 1 over "
+        "the digest group (computed column, unknowable to the scan)"
+    ),
+    "docs_labeler_agreement_kappa": (
+        "final scalar rollup: one map-side-combining aggregate reduces "
+        "the corpus to a four-cell contingency row; everything after is "
+        "1-row arithmetic"
+    ),
     "events_k_anonymity_audit": (
         "final scalar rollup of the QI-domain-bounded group table "
         "(policy verdict row); the group aggregate itself partial-aggs "
