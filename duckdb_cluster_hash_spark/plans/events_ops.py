@@ -1754,3 +1754,127 @@ def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
             "AS jaccard_permille",
         )
     )
+
+
+_ARES_K = 32
+_ARES_DOMAIN = 16**12  # 48-bit md5-prefix hash space
+# u' uniform over [2^20, 2^48): the +2^20 floor keeps the shared mlog2
+# chain's seed precondition (x >= 2^20) total, and the modulus keeps
+# l1024(u') strictly below 48*1024 so the key stays positive.
+
+
+def _ares_oracle_sql() -> str:
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _MLOG2_STEPS,
+        _mlog2_step_exprs,
+    )
+
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(
+            f"s{i} AS (SELECT event_id, event_type, vc, e, {m}, {f_} "
+            f"FROM s{i - 1})"
+        )
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    u = (
+        f"(('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT "
+        f"% {_ARES_DOMAIN - 1048576}) + 1048576"
+    )
+    return (
+        "WITH base AS (SELECT event_id, event_type, "
+        "CAST(round(value * 100) AS BIGINT) + 1 AS vc, "
+        f"{u} AS x FROM events), "
+        f"s0 AS (SELECT event_id, event_type, vc, {seed} FROM base), "
+        + ", ".join(steps)
+        + f", ky AS (SELECT event_id, event_type, vc, "
+        f"(({48 * 1024} - (e * 1024 + f{_MLOG2_STEPS} - 20480)) << 30) "
+        "// vc AS k FROM "
+        f"s{_MLOG2_STEPS}), "
+        "rk AS (SELECT event_id, event_type, vc, k, row_number() OVER "
+        "(ORDER BY k, event_id) AS rnk FROM ky) "
+        "SELECT CAST(rnk AS BIGINT) AS rnk, event_id, event_type, "
+        f"CAST(vc AS BIGINT) AS weight_cents, CAST(k AS BIGINT) AS key_scaled "
+        f"FROM rk WHERE rnk <= {_ARES_K} ORDER BY rnk"
+    )
+
+
+@query("events_weighted_reservoir_sample", oracle=_ares_oracle_sql())
+def events_weighted_reservoir_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted reservoir sample without replacement (Efraimidis &
+    Spirakis 2006, A-Res): every event draws a deterministic md5
+    uniform u and survives with key (-log2 u) / w — the k smallest
+    keys ARE the weighted sample, and because the key is a pure
+    function of (event_id, value) the sample is reproducible and
+    mergeable across shards (take the k smallest of any union).
+    Weights are value-cents + 1; the log runs the shared integer
+    mlog2 chain so the keys — and therefore the selected set — are
+    bit-identical cross-engine.
+
+    Scale: the A-Res key is map-side arithmetic (no per-value log
+    table needed: the chain inlines into the projection), and the
+    k-smallest selection is TWO-LEVEL — per (event_id mod 8) salt
+    top-k, then final top-k over the <=8k survivors — so no sort
+    partition ever exceeds sample size times the salt fan-in,
+    identical to the KMV bottom-k shape above.
+    """
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _MLOG2_STEPS,
+        _mlog2_step_exprs,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    k = _ARES_K
+    u = (
+        f"(CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 12), "
+        f"16, 10) AS BIGINT) % {_ARES_DOMAIN - 1048576}) + 1048576"
+    )
+    base = ev.selectExpr(
+        "event_id",
+        "event_type",
+        "CAST(round(value * 100) AS BIGINT) + 1 AS vc",
+        f"{u} AS x",
+    )
+    s = base.selectExpr("event_id", "event_type", "vc", *_MLOG2_SEED_EXPRS)
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr("event_id", "event_type", "vc", "e", m, f_)
+    ky = s.selectExpr(
+        "event_id",
+        "event_type",
+        "vc",
+        # CAST before the shift: Spark's << wraps at the operand's
+        # 32-bit width on INT inputs, DuckDB promotes to BIGINT
+        f"(CAST({48 * 1024} - (e * 1024 + f{_MLOG2_STEPS} - 20480) "
+        "AS BIGINT) << 30) div vc AS k",
+    )
+    lvl1 = (
+        ky.withColumn("salt", F.col("event_id") % 8)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("salt").orderBy("k", "event_id")
+            ),
+        )
+        .filter(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    return (
+        lvl1.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy("k", "event_id")),
+        )
+        .filter(F.col("rnk") <= k)
+        .selectExpr(
+            "CAST(rnk AS BIGINT) AS rnk",
+            "event_id",
+            "event_type",
+            "CAST(vc AS BIGINT) AS weight_cents",
+            "CAST(k AS BIGINT) AS key_scaled",
+        )
+        .orderBy("rnk")
+    )
