@@ -82,6 +82,8 @@ _DRIVER_WINDOW_FIRST = [
     "docs_quality_auc",  # never stamped
     "docs_labeler_agreement_kappa",  # never stamped
     "events_weighted_reservoir_sample",  # never stamped
+    "events_hourly_autocorrelation",  # never stamped
+    "events_benford_digit_audit",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -94,8 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q11_important_parts",  # newest stamp: r3
     "tpch_q16_supplier_part_counts",  # newest stamp: r3
     "tpch_q20_promotable_suppliers",  # newest stamp: r3
-    "tpch_q12_priority_shipping",  # newest stamp: r3
-    "orders_trailing_3mo_revenue",  # newest stamp: r3
 ]
 
 

@@ -1878,3 +1878,158 @@ def events_weighted_reservoir_sample(
         )
         .orderBy("rnk")
     )
+
+
+_ACF_LAGS = (1, 24)
+
+
+def _autocorr_oracle_sql() -> str:
+    legs = " UNION ALL ".join(
+        f"SELECT {k} AS lag, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "CAST(CASE WHEN d.den = 0 THEN 0 ELSE "
+        f"(1000000 * sum(a.y * b.y)) // d.den END AS BIGINT) AS r_micro "
+        f"FROM y a JOIN y b ON b.t = a.t + {k} CROSS JOIN den d "
+        "GROUP BY d.den"
+        for k in _ACF_LAGS
+    )
+    return (
+        "WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
+        "// 3600 AS t, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY t), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS sx FROM h), "
+        "y AS (SELECT t, s.n * x - s.sx AS y FROM h CROSS JOIN s), "
+        "den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM y) "
+        f"SELECT * FROM ({legs}) ORDER BY lag"
+    )
+
+
+@query("events_hourly_autocorrelation", oracle=_autocorr_oracle_sql())
+def events_hourly_autocorrelation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact integer autocorrelation of the hourly event-count series
+    at lag 1 (hour-over-hour persistence) and lag 24 (daily
+    seasonality) — the periodicity screen run before trusting any
+    daily rollup or anomaly threshold.  Mean-centering stays integral
+    via y_t = n*x_t - S (n times the centered value), so numerator
+    and denominator are exact BIGINT sums and r arrives in micros by
+    one truncating division.  Bound: |y| <= n*max(x), so the
+    denominator stays under 2^63 out to ~10^7 events/hour on a
+    year-long profile; beyond that, quantize x to thousands first.
+
+    Scale: events collapse map-side to the hourly profile (<=8784
+    rows/year — metadata-sized at any corpus size); the lagged
+    self-join, the centering cross-join, and the final rollup all run
+    on that bounded profile.
+    """
+    ev = _t(spark, sf_dir, "events")
+    h = (
+        ev.selectExpr(
+            "CAST(unix_timestamp(date_trunc('HOUR', ts)) AS BIGINT) "
+            "div 3600 AS t"
+        )
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    s = h.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    y = h.crossJoin(F.broadcast(s)).selectExpr("t", "n * x - sx AS y")
+    den = y.agg(F.sum(F.expr("y * y")).cast("bigint").alias("den"))
+    a, b = y.alias("a"), y.alias("b")
+    legs = []
+    for k in _ACF_LAGS:
+        pairs = a.join(b, F.col("b.t") == F.col("a.t") + k).select(
+            F.expr("a.y * b.y").alias("yy")
+        )
+        legs.append(
+            pairs.crossJoin(F.broadcast(den)).groupBy("den").agg(
+                F.count("*").cast("bigint").alias("n_pairs"),
+                F.sum("yy").cast("bigint").alias("num"),
+            ).selectExpr(
+                f"CAST({k} AS INTEGER) AS lag",
+                "n_pairs",
+                "CAST(CASE WHEN den = 0 THEN 0 ELSE "
+                "(1000000 * num) div den END AS BIGINT) AS r_micro",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("lag")
+
+
+# Benford first-digit expected frequencies, permille (log10(1 + 1/d)
+# rounded to integers; the rounding IS the spec both engines share).
+_BENFORD_PERMILLE = (301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+
+def _benford_oracle_sql() -> str:
+    probs = " UNION ALL ".join(
+        f"SELECT {d + 1} AS digit, CAST({p} AS BIGINT) AS benford_permille"
+        for d, p in enumerate(_BENFORD_PERMILLE)
+    )
+    return (
+        "WITH vc AS (SELECT CAST(round(value * 100) AS BIGINT) AS v "
+        "FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 1), "
+        "fd AS (SELECT CAST(substr(v::VARCHAR, 1, 1) AS INTEGER) AS digit, "
+        "CAST(count(*) AS BIGINT) AS observed FROM vc GROUP BY 1), "
+        "n AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM fd), "
+        f"p AS ({probs}) "
+        "SELECT p.digit, n.n AS n_values, "
+        "CAST(coalesce(fd.observed, 0) AS BIGINT) AS observed, "
+        "CAST((1000 * coalesce(fd.observed, 0)) // n.n AS BIGINT) "
+        "AS share_permille, p.benford_permille, "
+        "CAST((1000 * coalesce(fd.observed, 0)) // n.n "
+        "- p.benford_permille AS BIGINT) AS dev_permille "
+        "FROM p LEFT JOIN fd ON fd.digit = p.digit CROSS JOIN n "
+        "ORDER BY p.digit"
+    )
+
+
+@query("events_benford_digit_audit", oracle=_benford_oracle_sql())
+def events_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of transaction values (Benford
+    1938; Nigrini's fraud/data-quality screen): the first significant
+    digit of genuine heavy-tailed amounts follows log10(1 + 1/d), and
+    a synthetic, truncated, or fabricated value column shows up as a
+    flat or spiked digit profile long before any model does.  The
+    expected frequencies ship as shared permille constants, so every
+    column is an exact integer in both engines.
+
+    Scale: one map-side-combining aggregate to the 9-row digit
+    profile; the Benford table is a 9-row literal; everything after
+    is arithmetic on those 9 rows.
+    """
+    ev = _t(spark, sf_dir, "events")
+    vc = ev.selectExpr("CAST(round(value * 100) AS BIGINT) AS v").filter(
+        F.col("v") >= 1
+    )
+    fd = (
+        vc.selectExpr(
+            "CAST(substring(CAST(v AS STRING), 1, 1) AS INTEGER) AS digit"
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("observed"))
+    )
+    n = fd.agg(F.sum("observed").cast("bigint").alias("n"))
+    p = spark.createDataFrame(
+        [(d + 1, pmil) for d, pmil in enumerate(_BENFORD_PERMILLE)],
+        "digit int, benford_permille bigint",
+    )
+    return (
+        p.join(fd, "digit", "left")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "digit",
+            "n AS n_values",
+            "CAST(coalesce(observed, 0) AS BIGINT) AS observed",
+            "CAST((1000 * coalesce(observed, 0)) div n AS BIGINT) "
+            "AS share_permille",
+            "benford_permille",
+            "CAST((1000 * coalesce(observed, 0)) div n "
+            "- benford_permille AS BIGINT) AS dev_permille",
+        )
+        .orderBy("digit")
+    )

@@ -118,6 +118,20 @@ WAIVERS: dict[str, str] = {
         "the corpus to a four-cell contingency row; everything after is "
         "1-row arithmetic"
     ),
+    "events_hourly_autocorrelation": (
+        "every flagged op runs on the hourly PROFILE, never on events: "
+        "the nested-loops are 1-row broadcast stitches (centering totals, "
+        "denominator), and the SinglePartition exchanges roll up the "
+        "<=8784-row/year profile and its two lag legs; the raw table "
+        "collapses in one keyed map-side-combined aggregate"
+    ),
+    "events_benford_digit_audit": (
+        "the nested-loop is the 1-row total-count stitch onto the 9-row "
+        "digit/Benford tables, the SinglePartition exchange is that same "
+        "9-row rollup, and the unpushed filter is vc >= 1 over the "
+        "computed value-cents column (unknowable to the scan); the raw "
+        "table collapses in one map-side-combined aggregate"
+    ),
     "events_k_anonymity_audit": (
         "final scalar rollup of the QI-domain-bounded group table "
         "(policy verdict row); the group aggregate itself partial-aggs "
