@@ -917,3 +917,53 @@ def ivf_cell_health_sql(dim: int = 64, n_cells: int = 16) -> str:
         "CAST(sep.nn_sep AS BIGINT) AS nn_sep_micro2 "
         "FROM agg JOIN sep ON agg.cell = sep.cell ORDER BY cell"
     )
+
+
+def hubness_audit_sql(
+    dim: int = 64, n_cells: int = 16, k: int = 5, top: int = 10
+) -> str:
+    """Oracle for the cell-local hubness audit: md5-derived IVF cells
+    (identical to ivf_topk_sql's assignment), per-source exact cosine
+    top-k over cell-mates, then k-occurrence counts — the hubs."""
+    w_expr = (
+        "('0x' || substr(md5('ivf|' || c::VARCHAR || '|' || i::VARCHAR), "
+        f"1, 15))::BIGINT / {2**59}.0 - 1.0"
+    )
+    cell_dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"[e.embedding[i]::DOUBLE * c.w[i] FOR i IN range(1, {dim + 1})]), "
+        "(acc, x) -> acc + x)"
+    )
+
+    def dot(u: str, v: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{u}[i]::DOUBLE * {v}[i]::DOUBLE FOR i IN range(1, {dim + 1})]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    cos = (
+        f"(round(({dot('a.embedding', 'b.embedding')} / "
+        f"sqrt({dot('a.embedding', 'a.embedding')} * "
+        f"{dot('b.embedding', 'b.embedding')})) * 1000000) / 1000000)"
+    )
+    return (
+        f"WITH cents AS (SELECT c, [{w_expr} FOR i IN range(1, {dim + 1})] "
+        f"AS w FROM range({n_cells}) t(c)), "
+        "assign AS (SELECT vec_id, cell FROM ("
+        "SELECT e.vec_id, c.c::INTEGER AS cell, "
+        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {cell_dot} "
+        "DESC, c.c) AS rn FROM embeddings e CROSS JOIN cents c) "
+        "WHERE rn = 1), "
+        "v AS (SELECT a.vec_id, a.cell, e.embedding FROM assign a "
+        "JOIN embeddings e ON e.vec_id = a.vec_id), "
+        "pr AS (SELECT b.vec_id AS src, a.vec_id AS nbr, a.cell, "
+        f"row_number() OVER (PARTITION BY b.vec_id ORDER BY {cos} DESC, "
+        "a.vec_id) AS rn "
+        "FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id <> b.vec_id), "
+        f"sel AS (SELECT nbr, cell FROM pr WHERE rn <= {k}), "
+        "occ AS (SELECT nbr AS vec_id, cell, CAST(count(*) AS BIGINT) AS "
+        "k_occurrence FROM sel GROUP BY nbr, cell) "
+        "SELECT vec_id, cell, k_occurrence FROM occ "
+        f"ORDER BY k_occurrence DESC, vec_id LIMIT {top}"
+    )

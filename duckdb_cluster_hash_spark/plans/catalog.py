@@ -84,6 +84,8 @@ _DRIVER_WINDOW_FIRST = [
     "events_weighted_reservoir_sample",  # never stamped
     "events_hourly_autocorrelation",  # never stamped
     "events_benford_digit_audit",  # never stamped
+    "emb_hubness_audit",  # never stamped
+    "events_markov_transition_entropy",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -94,8 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q2_min_cost_supplier",  # newest stamp: r3
     "tpch_q9_product_profit",  # newest stamp: r3
     "tpch_q11_important_parts",  # newest stamp: r3
-    "tpch_q16_supplier_part_counts",  # newest stamp: r3
-    "tpch_q20_promotable_suppliers",  # newest stamp: r3
 ]
 
 

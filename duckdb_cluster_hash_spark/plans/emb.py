@@ -831,3 +831,62 @@ def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@query("emb_hubness_audit", oracle=_ot.hubness_audit_sql(64, 16, 5, 10))
+def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit (Radovanović et al. JMLR 2010): in high-dimensional
+    embedding spaces a few 'hub' vectors appear in a disproportionate
+    share of other points' nearest-neighbor lists, silently skewing
+    k-NN retrieval, near-dup verdicts, and RAG context selection.
+    k-occurrence is counted CELL-LOCALLY — each vector's exact cosine
+    top-5 among its md5-IVF cell-mates (the neighbor pool an IVF-probed
+    ANN search actually sees) — and the ten most-hit vectors are the
+    graded hubs, ties to the lowest vec_id.
+
+    Scale: the only quadratic work is within-cell (the SemDeDup
+    sqrt(n)-cells story: cell count grows with the corpus so per-cell
+    membership stays bounded); the top-5 window partitions by source
+    vector inside the cell-blocked join, and the final hub count is a
+    map-side-combining groupBy plus a 10-row TakeOrdered.
+    """
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=16).select(
+        "vec_id", "cell", "embedding"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = _sim.dot_fold(F.col("a.embedding"), F.col("b.embedding")) / F.sqrt(
+        _sim.dot_fold(F.col("a.embedding"), F.col("a.embedding"))
+        * _sim.dot_fold(F.col("b.embedding"), F.col("b.embedding"))
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("b.vec_id").alias("src"),
+            F.col("a.vec_id").alias("nbr"),
+            F.col("a.cell").alias("cell"),
+            (F.round(cos * 1000000) / 1000000).alias("cos_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.desc("cos_sim"), F.asc("nbr")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+    return (
+        pr.groupBy("nbr", "cell")
+        .agg(F.count("*").cast("bigint").alias("k_occurrence"))
+        .selectExpr("nbr AS vec_id", "cell", "k_occurrence")
+        .orderBy(F.desc("k_occurrence"), F.asc("vec_id"))
+        .limit(10)
+    )

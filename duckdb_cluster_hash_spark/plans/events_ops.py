@@ -2033,3 +2033,120 @@ def events_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def _markov_entropy_oracle_sql() -> str:
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _MLOG2_STEPS,
+        _mlog2_step_exprs,
+    )
+
+    steps = []
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"s{i} AS (SELECT d, e, {m}, {f_} FROM s{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    return (
+        "WITH seq AS (SELECT user_id, event_type, "
+        "lead(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM events), "
+        "tr AS (SELECT event_type AS prev_type, nxt AS next_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM seq WHERE nxt IS NOT NULL "
+        "GROUP BY 1, 2), "
+        "rowt AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from, "
+        "CAST(count(*) AS BIGINT) AS n_next FROM tr GROUP BY prev_type), "
+        "vals AS (SELECT DISTINCT n AS d FROM tr "
+        "UNION SELECT n_from FROM rowt), "
+        "dx AS (SELECT d, d << 20 AS x FROM vals), "
+        f"s0 AS (SELECT d, {seed} FROM dx), "
+        + ", ".join(steps)
+        + f", lg AS (SELECT d, (e * 1024 + f{_MLOG2_STEPS}) - 20480 AS l "
+        f"FROM s{_MLOG2_STEPS}), "
+        "hs AS (SELECT tr.prev_type, "
+        "CAST(sum(tr.n * (lf.l - ln.l)) AS BIGINT) AS hnum "
+        "FROM tr JOIN rowt ON rowt.prev_type = tr.prev_type "
+        "JOIN lg lf ON lf.d = rowt.n_from JOIN lg ln ON ln.d = tr.n "
+        "GROUP BY tr.prev_type) "
+        "SELECT rowt.prev_type, rowt.n_from, rowt.n_next, "
+        "CAST(hs.hnum // rowt.n_from AS BIGINT) AS row_entropy_1024 "
+        "FROM rowt JOIN hs ON hs.prev_type = rowt.prev_type "
+        "ORDER BY rowt.prev_type"
+    )
+
+
+@query("events_markov_transition_entropy", oracle=_markov_entropy_oracle_sql())
+def events_markov_transition_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-state entropy of the first-order Markov transition matrix
+    over per-user event-type sequences (H_i = sum_j p_ij log2(1/p_ij))
+    — the predictability readout behind session modeling: a state
+    whose row entropy collapses means the next action is nearly
+    deterministic (a funnel), one near log2(n_types) means the state
+    carries no signal.  Logs run the shared integer mlog2 chain on
+    the transition-count values, so every row is an exact BIGINT in
+    1/1024-bit units.
+
+    Scale: sequences order per-user inside a user-partitioned window
+    (the session_paths shape — no global ordering), transitions
+    collapse map-side to the <= n_types^2 matrix, and the log chain
+    touches only that bounded matrix's distinct count values.
+    """
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _MLOG2_STEPS,
+        _mlog2_step_exprs,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    tr = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            F.col("nxt").alias("next_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rowt = tr.groupBy("prev_type").agg(
+        F.sum("n").cast("bigint").alias("n_from"),
+        F.count("*").cast("bigint").alias("n_next"),
+    )
+    vals = (
+        tr.select(F.col("n").alias("d"))
+        .unionByName(rowt.select(F.col("n_from").alias("d")))
+        .distinct()
+    )
+    s = vals.selectExpr("d", "d << 20 AS x").selectExpr(
+        "d", *_MLOG2_SEED_EXPRS
+    )
+    for i in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr("d", "e", m, f_)
+    lg = s.selectExpr("d", f"(e * 1024 + f{_MLOG2_STEPS}) - 20480 AS l")
+    lf = lg.selectExpr("d AS n_from", "l AS lf_l")
+    ln_ = lg.selectExpr("d AS n", "l AS ln_l")
+    hs = (
+        tr.join(rowt, "prev_type")
+        .join(F.broadcast(lf), "n_from")
+        .join(F.broadcast(ln_), "n")
+        .selectExpr("prev_type", "n * (lf_l - ln_l) AS h")
+        .groupBy("prev_type")
+        .agg(F.sum("h").cast("bigint").alias("hnum"))
+    )
+    return (
+        rowt.join(hs, "prev_type")
+        .selectExpr(
+            "prev_type",
+            "n_from",
+            "n_next",
+            "CAST(hnum div n_from AS BIGINT) AS row_entropy_1024",
+        )
+        .orderBy("prev_type")
+    )
