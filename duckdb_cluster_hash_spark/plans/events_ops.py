@@ -2150,3 +2150,67 @@ def events_markov_transition_entropy(
         )
         .orderBy("prev_type")
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle=(
+        "WITH d AS (SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) "
+        "// 86400 AS dd, CAST(count(*) AS BIGINT) AS x FROM events "
+        "GROUP BY dd), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(x) AS BIGINT) AS sx FROM d), "
+        "y AS (SELECT dd, s.n * x - s.sx AS y FROM d CROSS JOIN s), "
+        "p AS (SELECT dd, CAST(sum(y) OVER (ORDER BY dd) AS BIGINT) AS pf "
+        "FROM y), "
+        "c AS (SELECT dd, pf - min(pf) OVER (ORDER BY dd) AS up, "
+        "max(pf) OVER (ORDER BY dd) - pf AS down FROM p) "
+        "SELECT dd AS day_num, CAST(up AS BIGINT) AS cusum_up, "
+        "CAST(down AS BIGINT) AS cusum_down "
+        "FROM c ORDER BY greatest(up, down) DESC, dd LIMIT 5"
+    ),
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan (Page 1954) over the daily event-count
+    series: with the series centered integrally (y = n*x - S, the
+    autocorrelation trick), the classic recursions S_t = max(0,
+    S_{t-1} + y_t) collapse to the closed forms up_t = P_t - min_{j<=t}
+    P_j and down_t = max_{j<=t} P_j - P_t over the prefix sums P — two
+    running extrema instead of a sequential loop, so the scan is pure
+    window algebra.  The five days with the largest drift magnitude
+    are the graded changepoint candidates (ties to the earliest day).
+
+    Scale: events collapse map-side to the <=366-row/year daily
+    profile; the ordered prefix/extrema windows and the top-5 all run
+    on that bounded profile, never on events.
+    """
+    ev = _t(spark, sf_dir, "events")
+    d = (
+        ev.selectExpr(
+            "CAST(unix_timestamp(date_trunc('DAY', ts)) AS BIGINT) "
+            "div 86400 AS dd"
+        )
+        .groupBy("dd")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    s = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+    )
+    y = d.crossJoin(F.broadcast(s)).selectExpr("dd", "n * x - sx AS y")
+    w = Window.orderBy("dd").rowsBetween(Window.unboundedPreceding, 0)
+    p = y.select("dd", F.sum("y").over(w).cast("bigint").alias("pf"))
+    c = p.select(
+        "dd",
+        (F.col("pf") - F.min("pf").over(w)).alias("up"),
+        (F.max("pf").over(w) - F.col("pf")).alias("down"),
+    )
+    return (
+        c.selectExpr(
+            "dd AS day_num",
+            "CAST(up AS BIGINT) AS cusum_up",
+            "CAST(down AS BIGINT) AS cusum_down",
+        )
+        .orderBy(F.desc(F.greatest(F.col("cusum_up"), F.col("cusum_down"))), F.asc("day_num"))
+        .limit(5)
+    )

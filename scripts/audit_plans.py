@@ -118,6 +118,12 @@ WAIVERS: dict[str, str] = {
         "the corpus to a four-cell contingency row; everything after is "
         "1-row arithmetic"
     ),
+    "events_cusum_changepoint": (
+        "the nested-loop is the 1-row centering-totals stitch and the "
+        "SinglePartition exchanges order the <=366-row/year daily "
+        "profile for the prefix/extrema windows; the raw table collapses "
+        "in one keyed map-side-combined aggregate"
+    ),
     "events_hourly_autocorrelation": (
         "every flagged op runs on the hourly PROFILE, never on events: "
         "the nested-loops are 1-row broadcast stitches (centering totals, "
