@@ -87,6 +87,7 @@ _DRIVER_WINDOW_FIRST = [
     "emb_hubness_audit",  # never stamped
     "events_markov_transition_entropy",  # never stamped
     "events_cusum_changepoint",  # never stamped
+    "docs_minhash_jaccard_calibration",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
@@ -95,7 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "tpch_q19_disjunctive_revenue",  # newest stamp: r3
     "tpch_q21_waiting_supplier",  # newest stamp: r3
     "tpch_q2_min_cost_supplier",  # newest stamp: r3
-    "tpch_q9_product_profit",  # newest stamp: r3
 ]
 
 
