@@ -509,8 +509,15 @@ def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
-    sides = _sim.ivf_assign_cells(emb).withColumn(
-        "nsq", _sim.dot_fold(F.col("embedding"), F.col("embedding"))
+    # One Arrow pass for cell assignment, materialized once: a/b and the
+    # three cand references below would otherwise re-run the mapInPandas
+    # chain per branch (measured 36.9s standalone at sf0.1; the repeated
+    # heavy-codegen fold joins also wedged a 68-query-old session's JVM
+    # during the full sf0.1 sweep).
+    sides = (
+        _sim.ivf_assign_cells(emb)
+        .withColumn("nsq", _sim.dot_fold(F.col("embedding"), F.col("embedding")))
+        .localCheckpoint(eager=True)
     )
     a = sides.where(F.col("label") == 0).select(
         F.col("vec_id").alias("a_id"), "cell",
@@ -520,6 +527,10 @@ def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"), "cell",
         F.col("embedding").alias("eb"), F.col("nsq").alias("nb2"),
     )
+    # cand feeds ka, kb AND the margin join: materialize the scored
+    # shortlist once (narrow: two ids, cell, cos — bounded by the
+    # cell-blocked candidate count) instead of re-running the fold-cosine
+    # join per consumer.
     cand = (
         a.join(b, "cell")
         .withColumn(
@@ -529,6 +540,7 @@ def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos") > 0)
         .select("a_id", "b_id", "cell", "cos")
+        .localCheckpoint(eager=True)
     )
     knn = 4
 

@@ -114,6 +114,11 @@ def main(names):
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # Per-process spill dir: DuckDB defaults to cwd-relative .tmp/, and
+    # two concurrent check_oracle processes (e.g. an sf0.1 sweep next to
+    # an sf0.01 subset check) delete each other's temp files mid-query —
+    # observed as a fatal IOException that killed a full sweep.
+    con.execute(f"SET temp_directory = '.tmp/duckdb_{os.getpid()}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS FROM read_parquet('{SF_DIR}/{t}.parquet')"
