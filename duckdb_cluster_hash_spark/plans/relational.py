@@ -1553,21 +1553,29 @@ def orders_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle_sql(rounds: int = 3) -> str:
+    # MATERIALIZED throughout: the peel chain references every e{r}
+    # multiple times (the degree union, two IN subqueries, and the
+    # final count legs), and with inlined CTEs DuckDB re-expands the
+    # whole chain per reference — combinatorial re-execution of the
+    # e0 self-join that turned the sf0.1 oracle from seconds into
+    # hours.  Materialization is a pure execution hint; results are
+    # identical.
     parts = [
-        "WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), "
-        "e0 AS (SELECT DISTINCT a.p AS p1, b.p AS p2 "
+        "WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "l_partkey AS p FROM lineitem), "
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.p AS p1, b.p AS p2 "
         "FROM op a JOIN op b ON a.o = b.o AND a.p < b.p), "
-        "kv AS (SELECT CAST((sum(d) // count(*)) + 1 AS BIGINT) AS k FROM "
+        "kv AS MATERIALIZED (SELECT CAST((sum(d) // count(*)) + 1 AS BIGINT) AS k FROM "
         "(SELECT p, count(*) AS d FROM (SELECT p1 AS p FROM e0 "
         "UNION ALL SELECT p2 AS p FROM e0) GROUP BY p))"
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f", d{r - 1} AS (SELECT p, count(*) AS d FROM "
+            f", d{r - 1} AS MATERIALIZED (SELECT p, count(*) AS d FROM "
             f"(SELECT p1 AS p FROM e{r - 1} UNION ALL SELECT p2 AS p FROM e{r - 1}) "
             f"GROUP BY p)"
-            f", v{r} AS (SELECT p FROM d{r - 1}, kv WHERE d >= kv.k)"
-            f", e{r} AS (SELECT p1, p2 FROM e{r - 1} "
+            f", v{r} AS MATERIALIZED (SELECT p FROM d{r - 1}, kv WHERE d >= kv.k)"
+            f", e{r} AS MATERIALIZED (SELECT p1, p2 FROM e{r - 1} "
             f"WHERE p1 IN (SELECT p FROM v{r}) AND p2 IN (SELECT p FROM v{r}))"
         )
     rows = " UNION ALL ".join(
