@@ -110,6 +110,14 @@ def main(names):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Same heap as bench.py: the default driver heap OOMs on the
+        # 100M-group link-prediction aggregate once a long sweep has
+        # accumulated checkpoint blocks (observed killing two full
+        # sf0.1 sweeps at query ~70).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
