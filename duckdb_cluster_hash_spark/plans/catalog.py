@@ -88,10 +88,10 @@ _DRIVER_WINDOW_FIRST = [
     "events_markov_transition_entropy",  # never stamped
     "events_cusum_changepoint",  # never stamped
     "docs_minhash_jaccard_calibration",  # never stamped
+    "docs_tokenizer_fertility",  # never stamped
+    "events_histogram_quantile_sketch",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
-    "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
-    "tpch_q10_returned_items",  # newest stamp: r3
     "tpch_q15_top_supplier",  # newest stamp: r3
     "tpch_q19_disjunctive_revenue",  # newest stamp: r3
     "tpch_q21_waiting_supplier",  # newest stamp: r3

@@ -3016,3 +3016,61 @@ def docs_labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE -((1000 * (pe_num - n * (both_pos + both_neg))) "
         "div (n * n - pe_num)) END AS BIGINT) AS kappa_permille",
     )
+
+
+@query(
+    "docs_tokenizer_fertility",
+    oracle=(
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) "
+        "AS ws_tokens, "
+        "CAST(sum(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS bpe_tokens, "
+        "CAST((1000 * sum(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))) "
+        "// sum(len(regexp_extract_all(text, '[^ ]+'))) AS BIGINT) "
+        "AS fertility_permille, "
+        "CAST((1000 * sum(n_chars)) // sum(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) "
+        "AS chars_per_token_milli "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: subword (BPE-ish) tokens per
+    whitespace word in permille, plus chars-per-subword-token — the
+    number multilingual pipeline reports lead with, because a language
+    whose fertility balloons pays proportionally more context budget
+    per sentence and trains on proportionally less text per token.
+    Pure counting, exact integers.
+
+    Scale: one map-side-combining groupBy over documents; both token
+    counts are codegen regexp counts in the same projection, so the
+    corpus is scanned once.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    ws = "size(regexp_extract_all(text, '[^ ]+', 0))"
+    bpe = "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))"
+    return (
+        docs.selectExpr(
+            "lang", f"{ws} AS wsn", f"{bpe} AS bpn", "n_chars"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("wsn").cast("bigint").alias("ws_tokens"),
+            F.sum("bpn").cast("bigint").alias("bpe_tokens"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .selectExpr(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            "CAST((1000 * bpe_tokens) div ws_tokens AS BIGINT) "
+            "AS fertility_permille",
+            "CAST((1000 * sum_chars) div bpe_tokens AS BIGINT) "
+            "AS chars_per_token_milli",
+        )
+        .orderBy("lang")
+    )

@@ -2214,3 +2214,126 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.greatest(F.col("cusum_up"), F.col("cusum_down"))), F.asc("day_num"))
         .limit(5)
     )
+
+
+_HQ_QUANTILES = (500, 900, 990)  # permille
+
+
+def _histogram_quantile_oracle_sql() -> str:
+    # bin = floor(16 * log2(1 + vc)) via length(bin(x)) on the shifted
+    # value: log2 resolution 1/16 bit from the mlog2 chain's first 4
+    # fraction steps — enough for a <=6.25%-of-log-space bin, the
+    # Prometheus-histogram shape.
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _mlog2_step_exprs,
+    )
+
+    steps = []
+    for i in range(1, 5):
+        m, f_ = _mlog2_step_exprs(i)
+        steps.append(f"h{i} AS (SELECT vc, e, {m}, {f_} FROM h{i - 1})")
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    legs = " UNION ALL ".join(
+        f"SELECT CAST({q} AS BIGINT) AS q_permille, "
+        "(SELECT CAST(min(ub) AS BIGINT) FROM cum, tot "
+        f"WHERE 1000 * c >= {q} * tot.n) AS est_upper_cents, "
+        f"(SELECT CAST(vc AS BIGINT) FROM ranked, tot "
+        f"WHERE rn = (({q} * tot.n + 999) // 1000)) AS exact_cents"
+        for q in _HQ_QUANTILES
+    )
+    return (
+        "WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS vc "
+        "FROM events WHERE CAST(round(value * 100) AS BIGINT) >= 0), "
+        "dx AS (SELECT DISTINCT vc, (vc + 1) << 20 AS x FROM v), "
+        f"h0 AS (SELECT vc, {seed} FROM dx), "
+        + ", ".join(steps)
+        + ", bins AS (SELECT vc, (e - 20) * 16 + f4 AS b FROM h4), "
+        "bc AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM v "
+        "JOIN bins USING (vc) GROUP BY b), "
+        "ub AS (SELECT b, c, max(vc) AS ub FROM bc JOIN bins USING (b) "
+        "JOIN dx USING (vc) GROUP BY b, c), "
+        "cum AS (SELECT b, ub, sum(c) OVER (ORDER BY b) AS c FROM ub), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v), "
+        "ranked AS (SELECT vc, row_number() OVER (ORDER BY vc) AS rn "
+        "FROM v) "
+        f"SELECT * FROM ({legs}) ORDER BY q_permille"
+    )
+
+
+@query(
+    "events_histogram_quantile_sketch", oracle=_histogram_quantile_oracle_sql()
+)
+def events_histogram_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable log-histogram quantile sketch next to ground truth:
+    value-cents land in deterministic log2-spaced bins (1/16-bit
+    resolution via the first four mlog2 fraction steps — the
+    Prometheus/OpenTelemetry exponential-histogram shape, mergeable by
+    bin-wise addition at any shard count), the p50/p90/p99 estimate is
+    each quantile's covering-bin upper bound, and the EXACT quantile
+    rides along so the sketch's error is visible in the graded row
+    rather than asserted in a comment.
+
+    Scale: the sketch is a map-side-combining groupBy to <=16*log2(max)
+    bins; bin upper bounds come from the distinct-value table; only the
+    exact-quantile ride-along ranks the corpus, and it uses a
+    rank-window over the values column — at true 100 TB the exact leg
+    drops and the sketch IS the answer (that is the point of shipping
+    the estimate next to truth at test scale).
+    """
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _MLOG2_SEED_EXPRS,
+        _mlog2_step_exprs,
+    )
+    from duckdb_cluster_hash_spark.operators.ranking import (
+        global_row_number,
+        ordered_prefix_sum,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.selectExpr("CAST(round(value * 100) AS BIGINT) AS vc").filter(
+        F.col("vc") >= 0
+    )
+    dx = v.distinct().selectExpr("vc", "(vc + 1) << 20 AS x")
+    s = dx.selectExpr("vc", *_MLOG2_SEED_EXPRS)
+    for i in range(1, 5):
+        m, f_ = _mlog2_step_exprs(i)
+        s = s.selectExpr("vc", "e", m, f_)
+    bins = s.selectExpr("vc", "(e - 20) * 16 + f4 AS b")
+    vb = v.join(F.broadcast(bins), "vc")
+    bc = vb.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.max("vc").cast("bigint").alias("ub"),
+    )
+    cum = ordered_prefix_sum(bc, [F.col("b")], "c", out_col="csum")
+    tot = v.agg(F.count("*").cast("bigint").alias("n"))
+    # exact ride-along: global rank over values (range-partitioned, no
+    # single-partition sort), then pick the ceil(q*n/1000)-th value
+    ranked = global_row_number(
+        v, [F.col("vc")], out_col="rn"
+    )
+    legs = []
+    for q in _HQ_QUANTILES:
+        est = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.expr(f"1000 * csum >= {q} * n"))
+            .agg(F.min("ub").cast("bigint").alias("est_upper_cents"))
+        )
+        exact = (
+            ranked.crossJoin(F.broadcast(tot))
+            .filter(F.expr(f"rn = ({q} * n + 999) div 1000"))
+            .selectExpr("CAST(vc AS BIGINT) AS exact_cents")
+        )
+        legs.append(
+            est.crossJoin(exact).selectExpr(
+                f"CAST({q} AS BIGINT) AS q_permille",
+                "est_upper_cents",
+                "exact_cents",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("q_permille")

@@ -124,6 +124,15 @@ WAIVERS: dict[str, str] = {
         "profile for the prefix/extrema windows; the raw table collapses "
         "in one keyed map-side-combined aggregate"
     ),
+    "events_histogram_quantile_sketch": (
+        "the nested-loops are 1-row stitches (total count x per-quantile "
+        "covering-bin scalar x exact ride-along scalar) and the "
+        "SinglePartition exchanges are the <=16*log2(max)-row bin table's "
+        "prefix sum, global_row_number's 256-row offsets, and the 1-row "
+        "legs; the unpushed filter is vc >= 0 over the computed "
+        "value-cents column; the corpus itself sees one map-side-combined "
+        "bin groupBy plus the range-partitioned rank pass"
+    ),
     "events_hourly_autocorrelation": (
         "every flagged op runs on the hourly PROFILE, never on events: "
         "the nested-loops are 1-row broadcast stitches (centering totals, "
