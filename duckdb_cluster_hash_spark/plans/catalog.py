@@ -90,10 +90,10 @@ _DRIVER_WINDOW_FIRST = [
     "docs_minhash_jaccard_calibration",  # never stamped
     "docs_tokenizer_fertility",  # never stamped
     "events_histogram_quantile_sketch",  # never stamped
+    "customer_revenue_gini",  # never stamped
+    "docs_dedup_impact_by_source",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
-    "tpch_q15_top_supplier",  # newest stamp: r3
-    "tpch_q19_disjunctive_revenue",  # newest stamp: r3
     "tpch_q21_waiting_supplier",  # newest stamp: r3
     "tpch_q2_min_cost_supplier",  # newest stamp: r3
 ]

@@ -3074,3 +3074,69 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "docs_dedup_impact_by_source",
+    oracle=(
+        "WITH h AS (SELECT doc_id, source, md5(text) AS dig, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS toks "
+        "FROM documents), "
+        "rep AS (SELECT dig, min(doc_id) AS rep_id FROM h GROUP BY dig), "
+        "m AS (SELECT h.source, h.toks, "
+        "CASE WHEN h.doc_id = r.rep_id THEN 1 ELSE 0 END AS keep "
+        "FROM h JOIN rep r ON h.dig = r.dig) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS docs_before, "
+        "CAST(sum(keep) AS BIGINT) AS docs_after, "
+        "CAST(sum(toks) AS BIGINT) AS tokens_before, "
+        "CAST(sum(keep * toks) AS BIGINT) AS tokens_after, "
+        "CAST(CASE WHEN sum(toks) = 0 THEN 0 ELSE "
+        "(1000 * (sum(toks) - sum(keep * toks))) // sum(toks) END "
+        "AS BIGINT) AS saved_permille "
+        "FROM m GROUP BY source ORDER BY source"
+    ),
+)
+def docs_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup bill, itemized: per source, document and token counts
+    before and after exact dedup (md5 body digest, lowest doc_id kept)
+    and the permille of tokens dedup removes — the report a pipeline
+    owner reads to see WHERE the duplication lives before paying for
+    near-dup passes on sources that are already clean.
+
+    Scale: one digest groupBy (32-byte digests on the wire, never
+    bodies — the exact-dedup convention), one digest-keyed join back,
+    one map-side-combining rollup per source.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.selectExpr(
+        "doc_id",
+        "source",
+        "md5(text) AS dig",
+        "CAST(size(regexp_extract_all(text, '[^ ]+', 0)) AS BIGINT) AS toks",
+    )
+    rep = h.groupBy("dig").agg(F.min("doc_id").alias("rep_id"))
+    m = h.join(rep, "dig").selectExpr(
+        "source",
+        "toks",
+        "CASE WHEN doc_id = rep_id THEN 1 ELSE 0 END AS keep",
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("docs_before"),
+            F.sum("keep").cast("bigint").alias("docs_after"),
+            F.sum("toks").cast("bigint").alias("tokens_before"),
+            F.sum(F.expr("keep * toks")).cast("bigint").alias("tokens_after"),
+        )
+        .selectExpr(
+            "source",
+            "docs_before",
+            "docs_after",
+            "tokens_before",
+            "tokens_after",
+            "CAST(CASE WHEN tokens_before = 0 THEN 0 ELSE "
+            "(1000 * (tokens_before - tokens_after)) div tokens_before END "
+            "AS BIGINT) AS saved_permille",
+        )
+        .orderBy("source")
+    )

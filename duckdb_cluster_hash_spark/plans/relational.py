@@ -1813,3 +1813,78 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_pts"), F.asc("p1"), F.asc("p2"))
         .limit(15)
     )
+
+
+@query(
+    "customer_revenue_gini",
+    oracle=(
+        "WITH rev AS (SELECT o_custkey, "
+        "CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) "
+        "AS vd FROM orders GROUP BY o_custkey), "
+        "rk AS (SELECT vd, row_number() OVER (ORDER BY vd, o_custkey) "
+        "AS i FROM rev), "
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(vd) AS BIGINT) AS sv, "
+        "CAST(sum(i * vd) AS BIGINT) AS sd FROM rk), "
+        "g AS (SELECT n, sv, 2 * sd - (n + 1) * sv AS num, n * sv AS den "
+        "FROM s) "
+        "SELECT n AS n_customers, sv AS total_dollars, "
+        "CAST(CASE WHEN den = 0 THEN 0 ELSE "
+        "((1000 * num) // den) * 1000 "
+        "+ (1000 * ((1000 * num) % den)) // den END AS BIGINT) "
+        "AS gini_micro FROM g"
+    ),
+)
+def customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini concentration of customer revenue (the Lorenz-curve
+    statistic): G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) over
+    rank-ordered per-customer revenue — the one-number skew readout
+    behind 'do 1% of customers carry the book', and for a data engine
+    the canonical exact-weighted-rank workload.  Revenue quantizes to
+    cents per order BEFORE summing (order-independent), so the
+    statistic is an exact integer in micros via a two-step long
+    division (1000x then 1000x on the remainder — floors compose
+    exactly, every intermediate under 2^63).  Revenue quantizes to
+    whole dollars (Gini is scale-invariant; the quantization IS the
+    spec both engines share).  Bound: 1000 * n * sum(vd) under 2^63 —
+    ~10^6 customers x 10^9 total dollars; coarsen the unit beyond.
+
+    Scale: per-customer revenue is one map-side-combining groupBy;
+    ranks come from global_row_number's range-partition pattern (only
+    the 256-row offsets table is ever globally ordered); the Gini is
+    a 1-row rollup of (n, sum, rank-weighted sum).
+    """
+    from duckdb_cluster_hash_spark.operators.ranking import global_row_number
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        orders.selectExpr(
+            "o_custkey",
+            "CAST(round(o_totalprice) AS BIGINT) AS od",
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("od").cast("bigint").alias("vd"))
+    )
+    rk = global_row_number(
+        rev, [F.col("vd"), F.col("o_custkey")], out_col="i"
+    )
+    s = rk.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("vd").cast("bigint").alias("sv"),
+        F.sum(F.expr("i * vd")).cast("bigint").alias("sd"),
+    )
+    # two-step exact long division: floor(1e6*num/den) computed as
+    # 1000*floor(1000*num/den) + floor(1000*(1000*num mod den)/den),
+    # keeping every intermediate under 2^63 (a direct 1e6 multiply
+    # overflows already at sf0.01 on cent-quantized sums)
+    g = s.selectExpr(
+        "n", "sv", "2 * sd - (n + 1) * sv AS num", "n * sv AS den"
+    )
+    return g.selectExpr(
+        "n AS n_customers",
+        "sv AS total_dollars",
+        "CAST(CASE WHEN den = 0 THEN 0 ELSE "
+        "((1000 * num) div den) * 1000 "
+        "+ (1000 * ((1000 * num) % den)) div den END AS BIGINT) "
+        "AS gini_micro",
+    )

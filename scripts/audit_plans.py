@@ -118,6 +118,18 @@ WAIVERS: dict[str, str] = {
         "the corpus to a four-cell contingency row; everything after is "
         "1-row arithmetic"
     ),
+    "customer_revenue_gini": (
+        "the SinglePartition exchanges are global_row_number's 256-row "
+        "offsets table and the 1-row Gini rollup; per-customer revenue "
+        "partial-aggs map-side and ranks via rangepartitioning + local "
+        "sorts"
+    ),
+    "docs_dedup_impact_by_source": (
+        "the unpushed filter is the keep flag over the computed digest "
+        "join (doc_id = min doc_id of its md5 group, unknowable to the "
+        "scan); the corpus sees one digest groupBy and one keyed join "
+        "back"
+    ),
     "events_cusum_changepoint": (
         "the nested-loop is the 1-row centering-totals stitch and the "
         "SinglePartition exchanges order the <=366-row/year daily "
