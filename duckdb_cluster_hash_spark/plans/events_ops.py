@@ -2171,14 +2171,19 @@ def events_markov_transition_entropy(
     ),
 )
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUSUM changepoint scan (Page 1954) over the daily event-count
-    series: with the series centered integrally (y = n*x - S, the
-    autocorrelation trick), the classic recursions S_t = max(0,
-    S_{t-1} + y_t) collapse to the closed forms up_t = P_t - min_{j<=t}
-    P_j and down_t = max_{j<=t} P_j - P_t over the prefix sums P — two
-    running extrema instead of a sequential loop, so the scan is pure
-    window algebra.  The five days with the largest drift magnitude
-    are the graded changepoint candidates (ties to the earliest day).
+    """CUSUM-style changepoint scan (after Page 1954) over the daily
+    event-count series: with the series centered integrally (y = n*x -
+    S, the autocorrelation trick), the drift statistics are up_t = P_t
+    - min_{j<=t} P_j and down_t = max_{j<=t} P_j - P_t over the prefix
+    sums P — two running extrema instead of a sequential loop, so the
+    scan is pure window algebra.  (Definition note: the extremum runs
+    over OBSERVED prefixes — the running-drawup/drawdown form — which
+    equals zero-seeded Page once the running extremum has crossed zero
+    and otherwise differs by the clamp; the relationship is pinned in
+    tests/test_round8_stats.py, and both engines grade the identical
+    definition.)  The five days with the largest
+    drift magnitude are the graded changepoint candidates (ties to the
+    earliest day).
 
     Scale: events collapse map-side to the <=366-row/year daily
     profile; the ordered prefix/extrema windows and the top-5 all run
