@@ -92,9 +92,9 @@ _DRIVER_WINDOW_FIRST = [
     "events_histogram_quantile_sketch",  # never stamped
     "customer_revenue_gini",  # never stamped
     "docs_dedup_impact_by_source",  # never stamped
+    "events_bot_rate_audit",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r3
     "tpch_q8_market_share",  # newest stamp: r3
-    "tpch_q21_waiting_supplier",  # newest stamp: r3
     "tpch_q2_min_cost_supplier",  # newest stamp: r3
 ]
 

@@ -2342,3 +2342,74 @@ def events_histogram_quantile_sketch(
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("q_permille")
+
+
+@query(
+    "events_bot_rate_audit",
+    oracle=(
+        "WITH g AS (SELECT user_id, epoch_us(ts) AS us, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+        "FROM events), "
+        "u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, "
+        "CAST(max(us) - min(us) AS BIGINT) AS span_us, "
+        "CAST(min(gap_us) AS BIGINT) AS min_gap_us FROM g "
+        "GROUP BY user_id HAVING count(*) >= 2) "
+        "SELECT user_id, n_events, span_us, min_gap_us, "
+        "CAST(CASE WHEN span_us = 0 THEN 0 ELSE "
+        "(60000000000 * n_events) // span_us END AS BIGINT) "
+        "AS rate_per_min_milli, "
+        "CAST(CASE WHEN min_gap_us < 1000000 AND n_events >= 20 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS flagged "
+        "FROM u ORDER BY rate_per_min_milli DESC, user_id LIMIT 15"
+    ),
+)
+def events_bot_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-rate audit over per-user event cadence: activity span,
+    minimum inter-event gap, and sustained events-per-minute (milli),
+    with a superhuman-cadence flag (any sub-second gap AND >= 20
+    events) — the abuse screen run before letting engagement metrics
+    or training-data sampling trust raw user activity.  Gaps in exact
+    integer microseconds (unix_micros / epoch_us), so every column
+    value-hashes bit-for-bit.
+
+    Scale: gaps come from a lag window inside user-partitioned,
+    timestamp-ordered frames (the session shape — no global ordering);
+    the per-user rollup is one keyed aggregate and the report is a
+    15-row TakeOrdered.
+    """
+    ev = _t(spark, sf_dir, "events")
+    g = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+        ).alias("gap_us"),
+    )
+    u = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (F.max("us") - F.min("us")).cast("bigint").alias("span_us"),
+            F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        )
+        .filter(F.col("n_events") >= 2)
+    )
+    return (
+        u.selectExpr(
+            "user_id",
+            "n_events",
+            "span_us",
+            "min_gap_us",
+            "CAST(CASE WHEN span_us = 0 THEN 0 ELSE "
+            "(60000000000 * n_events) div span_us END AS BIGINT) "
+            "AS rate_per_min_milli",
+            "CAST(CASE WHEN min_gap_us < 1000000 AND n_events >= 20 "
+            "THEN 1 ELSE 0 END AS BIGINT) AS flagged",
+        )
+        .orderBy(F.desc("rate_per_min_milli"), F.asc("user_id"))
+        .limit(15)
+    )
