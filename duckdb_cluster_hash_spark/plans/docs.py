@@ -2876,7 +2876,7 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _AUC_ORACLE = (
-    "WITH h AS (SELECT n_chars AS sc, md5(text) AS dig FROM documents), "
+    "WITH h AS (SELECT n_chars AS sc, md5(substr(text, 1, 100)) AS dig FROM documents), "
     "dd AS (SELECT dig FROM h GROUP BY dig HAVING count(*) > 1), "
     "l AS (SELECT h.sc, CASE WHEN dd.dig IS NULL THEN 0 ELSE 1 END AS y "
     "FROM h LEFT JOIN dd ON h.dig = dd.dig), "
@@ -2897,8 +2897,10 @@ _AUC_ORACLE = (
 def docs_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact ROC-AUC (Mann–Whitney rank-sum with midrank tie
     handling) of document length as a duplicate detector: positives
-    are exact-dup members (md5 body digest seen more than once), the
-    score is n_chars, and AUC answers 'does this cheap feature
+    share a duplicated 100-char boilerplate prefix (md5 prefix digest
+    seen more than once — this corpus has template-prefix duplicates
+    but no full-body ones, so the prefix IS the duplication signal),
+    the score is n_chars, and AUC answers 'does this cheap feature
     separate dups from uniques?' — the calibration readout a pipeline
     computes before trusting any filter threshold.  AUC in exact
     integer micros via 2x-scaled midrank sums (every quantity stays
@@ -2915,7 +2917,9 @@ def docs_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    h = docs.selectExpr("n_chars AS sc", "md5(text) AS dig")
+    h = docs.selectExpr(
+        "n_chars AS sc", "md5(substring(text, 1, 100)) AS dig"
+    )
     dd = (
         h.groupBy("dig")
         .agg(F.count("*").alias("m"))
@@ -3079,7 +3083,7 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_dedup_impact_by_source",
     oracle=(
-        "WITH h AS (SELECT doc_id, source, md5(text) AS dig, "
+        "WITH h AS (SELECT doc_id, source, md5(substr(text, 1, 100)) AS dig, "
         "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS toks "
         "FROM documents), "
         "rep AS (SELECT dig, min(doc_id) AS rep_id FROM h GROUP BY dig), "
@@ -3098,10 +3102,12 @@ def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def docs_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup bill, itemized: per source, document and token counts
-    before and after exact dedup (md5 body digest, lowest doc_id kept)
-    and the permille of tokens dedup removes — the report a pipeline
-    owner reads to see WHERE the duplication lives before paying for
-    near-dup passes on sources that are already clean.
+    before and after boilerplate-prefix dedup (md5 of the first 100
+    chars, lowest doc_id kept — the template-dedup first pass for
+    web-shaped data; this corpus duplicates prefixes, never whole
+    bodies) and the permille of tokens it removes — the report a
+    pipeline owner reads to see WHERE the duplication lives before
+    paying for near-dup passes on sources that are already clean.
 
     Scale: one digest groupBy (32-byte digests on the wire, never
     bodies — the exact-dedup convention), one digest-keyed join back,
@@ -3111,7 +3117,7 @@ def docs_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = docs.selectExpr(
         "doc_id",
         "source",
-        "md5(text) AS dig",
+        "md5(substring(text, 1, 100)) AS dig",
         "CAST(size(regexp_extract_all(text, '[^ ]+', 0)) AS BIGINT) AS toks",
     )
     rep = h.groupBy("dig").agg(F.min("doc_id").alias("rep_id"))
@@ -3139,4 +3145,56 @@ def docs_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT) AS saved_permille",
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "docs_cross_lang_duplicates",
+    oracle=(
+        "WITH h AS (SELECT lang, md5(substr(text, 1, 100)) AS dig, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
+        "GROUP BY lang, md5(text)), "
+        "p AS (SELECT DISTINCT a.lang AS lang_a, b.lang AS lang_b, a.dig "
+        "FROM h a JOIN h b ON a.dig = b.dig AND a.lang <= b.lang "
+        "WHERE a.lang < b.lang OR (a.lang = b.lang AND a.n_docs > 1)) "
+        "SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_shared_texts "
+        "FROM p GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b"
+    ),
+)
+def docs_cross_lang_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language duplicate audit: identical 100-char boilerplate
+    prefixes (md5 prefix digest) filed under DIFFERENT language
+    labels, counted per
+    language pair — each off-diagonal hit is either a lang-ID error
+    or boilerplate leaking across splits (both silently corrupt
+    per-language token budgets and language-stratified sampling);
+    the diagonal counts within-language duplicated bodies, so the
+    matrix grades non-trivially even on a corpus whose duplicates
+    never cross languages.
+
+    Scale: one digest+lang dedup then a digest-keyed self-join
+    restricted to lang-discordant rows — digests on the wire, never
+    bodies; the pair matrix is bounded by n_langs^2.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = (
+        docs.selectExpr("lang", "md5(substring(text, 1, 100)) AS dig")
+        .groupBy("lang", "dig")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    a = h.selectExpr("lang AS lang_a", "dig", "n_docs AS na")
+    b = h.selectExpr("lang AS lang_b", "dig")
+    p = (
+        a.join(b, "dig")
+        .filter(
+            (F.col("lang_a") < F.col("lang_b"))
+            | ((F.col("lang_a") == F.col("lang_b")) & (F.col("na") > 1))
+        )
+        .select("lang_a", "lang_b", "dig")
+        .distinct()
+    )
+    return (
+        p.groupBy("lang_a", "lang_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared_texts"))
+        .orderBy("lang_a", "lang_b")
     )
