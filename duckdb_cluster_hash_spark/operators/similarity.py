@@ -68,6 +68,22 @@ def _norm_sq_py(vec: list[float]) -> float:
     return acc
 
 
+def round_half_away(x: float) -> int:
+    """SQL round() semantics (half AWAY FROM ZERO) on a float64, bit-exact.
+
+    floor(x + 0.5) is WRONG at doubles 1 ulp below a .5 boundary (the
+    add carries up and the value rounds away when both engines' round()
+    keeps it down); rint + trunc with an exact-tie fixup matches
+    std::round / DuckDB round() on every double. Scalar twin of the
+    vectorized kernel in gram_partials below.
+    """
+    p = np.float64(x)
+    t = np.trunc(p)
+    if np.abs(p - t) == np.float64(0.5):  # p - trunc(p) is exact
+        return int(t + np.sign(p))
+    return int(np.rint(p))
+
+
 def cosine_topk(
     emb: DataFrame,
     query_vec: list[float],
@@ -848,11 +864,7 @@ def mmr_rerank(
 
     def sim_micro(a: int, b: int) -> int:
         c = fold_dot_py(vecs[a], vecs[b]) / math.sqrt(norm[a] * norm[b])
-        # Python round() is half-to-even; SQL round() is half-away —
-        # match the engines' semantics explicitly.
-        return int(math.floor(c * 1000000 + 0.5)) if c >= 0 else -int(
-            math.floor(-c * 1000000 + 0.5)
-        )
+        return round_half_away(c * 1000000)
 
     first = max(rel, key=lambda v: (rel[v], -v))
     picked = [(1, first, rel[first], 0)]

@@ -3153,7 +3153,7 @@ def docs_dedup_impact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH h AS (SELECT lang, md5(substr(text, 1, 100)) AS dig, "
         "CAST(count(*) AS BIGINT) AS n_docs FROM documents "
-        "GROUP BY lang, md5(text)), "
+        "GROUP BY lang, md5(substr(text, 1, 100))), "
         "p AS (SELECT DISTINCT a.lang AS lang_a, b.lang AS lang_b, a.dig "
         "FROM h a JOIN h b ON a.dig = b.dig AND a.lang <= b.lang "
         "WHERE a.lang < b.lang OR (a.lang = b.lang AND a.n_docs > 1)) "
@@ -3178,17 +3178,20 @@ def docs_cross_lang_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _t(spark, sf_dir, "documents")
     h = (
-        docs.selectExpr("lang", "md5(substring(text, 1, 100)) AS dig")
+        docs.where("text IS NOT NULL")
+        .selectExpr("lang", "md5(substring(text, 1, 100)) AS dig")
         .groupBy("lang", "dig")
         .agg(F.count("*").cast("bigint").alias("n_docs"))
     )
     a = h.selectExpr("lang AS lang_a", "dig", "n_docs AS na")
-    b = h.selectExpr("lang AS lang_b", "dig")
+    b = h.selectExpr("lang AS lang_b", "dig AS dig_b")
     p = (
-        a.join(b, "dig")
-        .filter(
-            (F.col("lang_a") < F.col("lang_b"))
-            | ((F.col("lang_a") == F.col("lang_b")) & (F.col("na") > 1))
+        a.join(
+            b,
+            F.expr(
+                "dig = dig_b AND "
+                "(lang_a < lang_b OR (lang_a = lang_b AND na > 1))"
+            ),
         )
         .select("lang_a", "lang_b", "dig")
         .distinct()

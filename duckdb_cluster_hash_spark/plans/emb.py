@@ -732,14 +732,7 @@ def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("xm").cast("bigint").alias("s"),
         F.count("*").cast("bigint").alias("n"),
     )
-    import math
-
-    def _half_away(x: float) -> int:
-        # SQL round() is half AWAY FROM ZERO; python round() is
-        # half-to-even — match the engines explicitly.
-        return (
-            int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
-        )
+    _half_away = _sim.round_half_away
 
     cents = _sim.ivf_centroid_weights(64, 16)
     cent_rows = [
@@ -789,12 +782,7 @@ def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     separation is computed once from the 16 x 64 centroid constants
     and broadcast back as a 16-row table.
     """
-    import math
-
-    def _half_away(x: float) -> int:
-        return (
-            int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
-        )
+    _half_away = _sim.round_half_away
 
     emb = _t(spark, sf_dir, "embeddings")
     assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=16)
