@@ -51,6 +51,23 @@ def _cpu_probe_ms() -> float:
     return round((time.perf_counter() - t0) * 1000, 1)
 
 
+def _probe_degraded(pre_ms: float | None, post_ms: float | None) -> bool:
+    """True when the post-suite CPU probe ran more than 2x slower than the
+    pre-suite probe — a storm that STARTED during the run.
+
+    The calm gate only samples loadavg before the suite; r9's driver
+    artifact passed it (load 3.x) yet its probe collapsed 176→3152ms
+    mid-run and the uniform ~3x inflation was recorded as an engine
+    regression.  This guard stamps such runs "noisy": true.
+    """
+    return (
+        pre_ms is not None
+        and post_ms is not None
+        and pre_ms > 0
+        and post_ms > 2 * pre_ms
+    )
+
+
 def main() -> int:
     # 1-min load average BEFORE the session spins up, so it measures the
     # ambient (neighbor) load, not this bench's own 32 threads.  This
@@ -254,6 +271,14 @@ def main() -> int:
     # sum of per-query walls under contention (the round-over-round
     # comparable).  Full per-query map + deltas go to BENCH_LOCAL.json.
     top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    probe_ms_post = _cpu_probe_ms()
+    if _probe_degraded(probe_ms_pre, probe_ms_post):
+        print(
+            f"probe-guard: serial probe degraded {probe_ms_pre}→"
+            f"{probe_ms_post}ms during the suite; stamping noisy",
+            file=sys.stderr,
+        )
+        noisy = True
     result = {
         "metric": "catalog_wall_time",
         "value": wall,
@@ -261,9 +286,9 @@ def main() -> int:
         "sf": sf_val,
         "workers": workers,
         "ambient_load1": ambient_load1,
-        "noisy": noisy,  # calm-gate verdict; see header comment
+        "noisy": noisy,  # calm-gate + probe-degradation verdict
         "probe_ms_pre": probe_ms_pre,
-        "probe_ms_post": _cpu_probe_ms(),
+        "probe_ms_post": probe_ms_post,
         "n_queries": len(timings),
         "queries_sum": round(sum(timings.values()), 3),
         "repeats": repeats,

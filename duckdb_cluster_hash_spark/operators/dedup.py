@@ -38,6 +38,8 @@ __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_neardup_pairs",
+    "neardup_components",
+    "neardup_components_pathjump",
     "simhash64",
     "simhash64_shared",
     "simhash_neardup_pairs",
@@ -786,6 +788,95 @@ def neardup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     raise RuntimeError(
         f"neardup_components did not reach fixpoint in {max_iter} iterations; "
         "components would be wrong — raise max_iter (graph diameter exceeds it)"
+    )
+
+
+def neardup_components_pathjump(
+    pairs: DataFrame, max_rounds: int = 34
+) -> tuple[DataFrame, int]:
+    """Connected components with POINTER JUMPING (path doubling): each
+    round first adopts the minimum label over the neighborhood (the
+    label-prop step), then jumps lbl(v) <- lbl(lbl(v)) — the distributed
+    path-halving of union-find (Shiloach & Vishkin 1982; the hash-to-min
+    family of Rastogi et al. 2013 converges the same way).
+
+    Why it exists next to :func:`neardup_components`: plain label-prop
+    needs ~diameter rounds, and every round is a full shuffle — on a
+    100 TB corpus a single chain of transitively-similar documents
+    (template drift across a crawl) makes the diameter, not the data,
+    the wall-clock.  The jump step doubles the distance a label travels
+    per round, so fixpoint takes O(log2(diameter)) rounds: a 64-hop
+    chain converges in ~7 rounds instead of ~63 (pinned by a chain-graph
+    unit test).  Every label is itself a node id present in the labels
+    table (labels start as the node and only ever move to other nodes'
+    ids via min), so the jump self-join is total.
+
+    Returns (labels, n_rounds): labels = (doc_id, component) with
+    component = min doc_id of the cluster, bit-identical to
+    :func:`neardup_components`; n_rounds = rounds actually used.
+    Exceeding ``max_rounds`` raises (the default allows a diameter of
+    2^34 — any real graph converges far earlier).
+    """
+    pairs_cp = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    fwd = pairs_cp.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs_cp.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for rounds in range(1, max_rounds + 1):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node2"))
+            .agg(F.min("component").alias("ncomp"))
+        )
+        stepped = labels.join(
+            neighbor_min, labels.node == F.col("node2"), "left"
+        ).select(
+            "node",
+            F.col("component").alias("_old"),
+            F.least(
+                F.col("component"), F.coalesce(F.col("ncomp"), F.col("component"))
+            ).alias("_mid"),
+        )
+        # pointer jump: component <- component's own current component.
+        # Joins against the PRE-STEP labels (already checkpointed) so the
+        # round stays two keyed joins; the jump still doubles the
+        # distance a label travels because pre-step labels already point
+        # strictly downhill.
+        jump = labels.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["_mid"] == F.col("jnode"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("_mid"), F.coalesce(F.col("jcomp"), F.col("_mid"))
+                ).alias("component"),
+                (
+                    F.least(F.col("_mid"), F.coalesce(F.col("jcomp"), F.col("_mid")))
+                    < F.col("_old")
+                ).alias("changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # one job: materializes the checkpoint AND reads the change flag
+        changed = new_labels.where(F.col("changed")).count()
+        labels_prev = labels
+        labels = new_labels.drop("changed")
+        labels_prev.unpersist()
+        if changed == 0:
+            return (
+                labels.select(F.col("node").alias("doc_id"), "component"),
+                rounds,
+            )
+    raise RuntimeError(
+        f"neardup_components_pathjump did not converge in {max_rounds} "
+        "rounds; components would be wrong — raise max_rounds"
     )
 
 

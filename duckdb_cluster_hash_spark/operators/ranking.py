@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "ntile_exact", "ordered_prefix_sum"]
+__all__ = [
+    "global_row_number",
+    "grouped_row_number",
+    "ntile_exact",
+    "ordered_prefix_sum",
+]
 
 
 def global_row_number(
@@ -62,6 +67,54 @@ def global_row_number(
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    n_buckets: int = 256,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Per-group 1-based row number in ``order_cols`` order — the
+    stratified twin of :func:`global_row_number`.
+
+    A plain ``Window.partitionBy(group).orderBy(...)`` is keyed, but one
+    hot stratum (one language holding 60% of a 100 TB corpus) becomes a
+    single reducer's sort.  Same two-level fix: range-partition on
+    (group, order) — for a fixed group, bucket i's rows all precede
+    bucket i+1's in the order — then per-(bucket, group) local windows,
+    and per-group offsets prefix-summed over the tiny
+    n_buckets x |groups| counts table (the only data ordered outside
+    the buckets; broadcast back).  Order key must be total within each
+    group (add a unique tie-break).
+    """
+    gcols = [F.col(c) for c in group_cols]
+    ranged = df.repartitionByRange(n_buckets, *gcols, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+        ),
+    )
+    counts = ranged.groupBy("_pid", *group_cols).agg(F.count("*").alias("_c"))
+    over_pids = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        (F.sum("_c").over(over_pids) - F.col("_c")).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
         .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )

@@ -623,7 +623,7 @@ def margin_bitext_sql(
     label_a: int = 0,
     label_b: int = 1,
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     knn: int = 4,
 ) -> str:
     """Oracle for plans.emb.emb_margin_bitext_pairs: margin-criterion
@@ -920,20 +920,13 @@ def ivf_cell_health_sql(dim: int = 64, n_cells: int = 16) -> str:
 
 
 def hubness_audit_sql(
-    dim: int = 64, n_cells: int = 16, k: int = 5, top: int = 10
+    dim: int = 64, n_cells: int | None = 16, k: int = 5, top: int = 10
 ) -> str:
     """Oracle for the cell-local hubness audit: md5-derived IVF cells
     (identical to ivf_topk_sql's assignment), per-source exact cosine
-    top-k over cell-mates, then k-occurrence counts — the hubs."""
-    w_expr = (
-        "('0x' || substr(md5('ivf|' || c::VARCHAR || '|' || i::VARCHAR), "
-        f"1, 15))::BIGINT / {2**59}.0 - 1.0"
-    )
-    cell_dot = (
-        "list_reduce(list_prepend(0.0::DOUBLE, "
-        f"[e.embedding[i]::DOUBLE * c.w[i] FOR i IN range(1, {dim + 1})]), "
-        "(acc, x) -> acc + x)"
-    )
+    top-k over cell-mates, then k-occurrence counts — the hubs.
+    ``n_cells=None`` = the scaled sqrt(n) cell count (see
+    _ivf_assign_ctes / similarity.scaled_n_cells)."""
 
     def dot(u: str, v: str) -> str:
         return (
@@ -948,13 +941,7 @@ def hubness_audit_sql(
         f"{dot('b.embedding', 'b.embedding')})) * 1000000) / 1000000)"
     )
     return (
-        f"WITH cents AS (SELECT c, [{w_expr} FOR i IN range(1, {dim + 1})] "
-        f"AS w FROM range({n_cells}) t(c)), "
-        "assign AS (SELECT vec_id, cell FROM ("
-        "SELECT e.vec_id, c.c::INTEGER AS cell, "
-        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {cell_dot} "
-        "DESC, c.c) AS rn FROM embeddings e CROSS JOIN cents c) "
-        "WHERE rn = 1), "
+        f"WITH {_ivf_assign_ctes(dim, n_cells)}, "
         "v AS (SELECT a.vec_id, a.cell, e.embedding FROM assign a "
         "JOIN embeddings e ON e.vec_id = a.vec_id), "
         "pr AS (SELECT b.vec_id AS src, a.vec_id AS nbr, a.cell, "

@@ -46,56 +46,56 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 #   stamp[q] = max round whose CORRECTNESS_r*.json contains q;
 #   window = new queries + sorted(catalog, key=stamp)[:50-len(new)].
 _DRIVER_WINDOW_FIRST = [
-    "docs_pnm_decode_stats",  # never stamped
-    "docs_wav_decode_stats",  # never stamped
-    "docs_perplexity_filter",  # never stamped
-    "emb_margin_bitext_pairs",  # never stamped
-    "docs_y4m_video_stats",  # never stamped
-    "parts_kcore_decomposition",  # never stamped
-    "events_ab_welch_ttest",  # never stamped
-    "events_ewma_anomaly",  # never stamped
-    "events_cuped_adjustment",  # never stamped
-    "docs_ngram_novelty",  # never stamped
-    "docs_zipf_fit",  # never stamped
-    "docs_dsir_importance",  # never stamped
-    "docs_token_burstiness",  # never stamped
-    "docs_containment_neardup",  # never stamped
-    "emb_mmr_diverse_topk",  # never stamped
-    "emb_kcenter_coreset",  # never stamped
-    "emb_label_maxsim_retrieval",  # never stamped
-    "emb_pca_power_iteration",  # never stamped
-    "events_session_paths",  # never stamped
-    "docs_keyword_extraction",  # never stamped
-    "emb_jl_projection_quality",  # never stamped
-    "emb_kmeans_lloyd_step",  # never stamped
-    "cluster_rendezvous_placement",  # never stamped
-    "cluster_hashring_vnodes",  # never stamped
-    "docs_gopher_repetition",  # never stamped
-    "parts_link_prediction",  # never stamped
-    "docs_source_contamination",  # never stamped
-    "emb_ivf_cell_health",  # never stamped
-    "events_kmv_distinct_jaccard",  # never stamped
-    "events_ams_f2_moment",  # never stamped
-    "events_kendall_tau_daily",  # never stamped
-    "events_bitmap_distinct_rollup",  # never stamped
-    "docs_token_entropy",  # never stamped
-    "docs_quality_auc",  # never stamped
-    "docs_labeler_agreement_kappa",  # never stamped
-    "events_weighted_reservoir_sample",  # never stamped
-    "events_hourly_autocorrelation",  # never stamped
-    "events_benford_digit_audit",  # never stamped
-    "emb_hubness_audit",  # never stamped
-    "events_markov_transition_entropy",  # never stamped
-    "events_cusum_changepoint",  # never stamped
-    "docs_minhash_jaccard_calibration",  # never stamped
-    "docs_tokenizer_fertility",  # never stamped
-    "events_histogram_quantile_sketch",  # never stamped
-    "customer_revenue_gini",  # never stamped
-    "docs_dedup_impact_by_source",  # never stamped
-    "events_bot_rate_audit",  # never stamped
-    "tpch_q22_dormant_rich_customers",  # newest stamp: r3
-    "tpch_q8_market_share",  # newest stamp: r3
-    "tpch_q2_min_cost_supplier",  # newest stamp: r3
+    "docs_cross_lang_duplicates",  # never stamped
+    "docs_stratified_quota_split",  # never stamped
+    "docs_neardup_component_census",  # never stamped
+    "tpch_q7_nation_volume",  # newest stamp: r3
+    "tpch_q10_returned_items",  # newest stamp: r3
+    "tpch_q15_top_supplier",  # newest stamp: r3
+    "tpch_q19_disjunctive_revenue",  # newest stamp: r3
+    "tpch_q21_waiting_supplier",  # newest stamp: r3
+    "tpch_q9_product_profit",  # newest stamp: r3
+    "tpch_q11_important_parts",  # newest stamp: r3
+    "tpch_q16_supplier_part_counts",  # newest stamp: r3
+    "tpch_q20_promotable_suppliers",  # newest stamp: r3
+    "tpch_q12_priority_shipping",  # newest stamp: r3
+    "orders_trailing_3mo_revenue",  # newest stamp: r3
+    "part_size_unpivot_profile",  # newest stamp: r3
+    "docs_token_top20",  # newest stamp: r3
+    "docs_corpus_curation",  # newest stamp: r3
+    "docs_stratified_sample",  # newest stamp: r3
+    "docs_token_shards",  # newest stamp: r3
+    "docs_media_byte_features",  # newest stamp: r3
+    "docs_eval_contamination",  # newest stamp: r3
+    "docs_train_val_test_split",  # newest stamp: r3
+    "docs_repetition_quality",  # newest stamp: r3
+    "docs_tfidf_top_terms",  # newest stamp: r3
+    "docs_mixture_epochs",  # newest stamp: r3
+    "events_asof_purchase_view",  # newest stamp: r3
+    "events_range_join_error_followers",  # newest stamp: r3
+    "events_dedup_ingest",  # newest stamp: r3
+    "events_click_purchase_attribution",  # newest stamp: r3
+    "events_hot_type_salted_counts",  # newest stamp: r3
+    "events_enriched_by_segment",  # newest stamp: r3
+    "docs_neardup_components",  # newest stamp: r3
+    "docs_chunk_dedup_histogram",  # newest stamp: r3
+    "formats_csv_roundtrip",  # newest stamp: r3
+    "formats_json_roundtrip",  # newest stamp: r3
+    "formats_orc_roundtrip",  # newest stamp: r3
+    "emb_label_centroids",  # newest stamp: r3
+    "emb_neardup_pairs",  # newest stamp: r3
+    "emb_ann_topk",  # newest stamp: r3
+    "emb_int8_quantize_stats",  # newest stamp: r3
+    "emb_semantic_dedup",  # newest stamp: r3
+    "emb_ivf_kmeans_recall",  # newest stamp: r3
+    "cluster_resharding_key_impact",  # newest stamp: r5
+    "orders_bucketed_coloc_join",  # newest stamp: r5
+    "parts_copurchase_affinity",  # newest stamp: r5
+    "supplier_pareto_abc",  # newest stamp: r5
+    "lineitem_price_approx_median_contract",  # newest stamp: r5
+    "customer_rfm_segments",  # newest stamp: r5
+    "lineitem_discount_quantity_ols",  # newest stamp: r5
+    "orders_cube_status_priority",  # newest stamp: r5
 ]
 
 

@@ -126,6 +126,47 @@ def docs_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.neardup_components(pairs)
 
 
+@query(
+    "docs_neardup_component_census",
+    oracle=(
+        "SELECT component, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id FROM ("
+        + _ot.neardup_components_sql(3, 16, 8, 2, 0.2)
+        + ") GROUP BY component ORDER BY component"
+    ),
+)
+def docs_neardup_component_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster census via POINTER-JUMPING connected components
+    (dedup.neardup_components_pathjump): the same MinHash candidate
+    graph as docs_neardup_components, but closure runs label-prop PLUS
+    a path-doubling jump per round, so fixpoint takes O(log2(diameter))
+    shuffle rounds instead of O(diameter) — the union-find-with-path-
+    halving analogue that keeps chain-shaped near-dup graphs (template
+    drift across a crawl) from making graph diameter the wall-clock.
+    The convergence bound is pinned by a 64-hop chain unit test
+    (7 rounds, not 63).  Output is the per-cluster bill — component
+    (min doc id), member count, exact membership digest (sum of ids) —
+    graded against the oracle's recursive-CTE transitive closure.
+
+    Scale: per round two keyed joins on 32-byte-keyed labels (never
+    text); rounds are log2 of diameter; census is one map-side-combined
+    groupBy over |clusters| groups.
+    """
+    pairs = _dd.minhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=3, k=16, bands=8, rows=2, threshold=0.2,
+    )
+    labels, _rounds = _dd.neardup_components_pathjump(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        )
+        .orderBy("component")
+    )
+
+
 @query("docs_chunk_dedup_histogram", oracle=_ot.chunk_dedup_histogram_sql(8))
 def docs_chunk_dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup census (the paragraph-dedup analog, dolma /

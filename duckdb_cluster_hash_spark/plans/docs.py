@@ -821,6 +821,71 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_stratified_quota_split",
+    oracle=(
+        "WITH r AS (SELECT doc_id, lang, "
+        "row_number() OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk, "
+        "count(*) OVER (PARTITION BY lang) AS n FROM documents), "
+        "s AS (SELECT lang, doc_id, "
+        "CASE WHEN rk <= (n * 8) // 10 THEN 'train' "
+        "WHEN rk <= (n * 9) // 10 THEN 'val' ELSE 'test' END AS split "
+        "FROM r) "
+        "SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS sum_doc_id, "
+        "CAST(min(doc_id) AS BIGINT) AS min_doc_id, "
+        "CAST(max(doc_id) AS BIGINT) AS max_doc_id "
+        "FROM s GROUP BY lang, split ORDER BY lang, split"
+    ),
+)
+def docs_stratified_quota_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-QUOTA stratified 80/10/10 split: within every language
+    stratum, documents are ordered by md5(doc_id) (content-addressed,
+    reproducible shuffle order) and the first floor(0.8n) ranks go to
+    train, ranks through floor(0.9n) to val, the rest to test — so each
+    stratum's proportions hold to the row, unlike the hash-bucket split
+    (docs_train_val_test_split), whose per-stratum proportions are only
+    binomially approximate and can starve a rare language's dev set.
+    Output grades exact membership per (stratum, split): count, sum,
+    min, max of doc_id — a wrong rank anywhere flips sum_doc_id.
+
+    Scale: the per-stratum rank uses ranking.grouped_row_number — the
+    two-level range-partition pattern keyed by (lang, md5) — so a hot
+    stratum (one language = 60% of a 100 TB corpus) never becomes one
+    reducer's sort; per-stratum totals are a broadcast |strata|-row
+    table, split assignment is a pure expression, and the final rollup
+    is a map-side-combining groupBy over |strata| x 3 groups.
+    """
+    from duckdb_cluster_hash_spark.operators.ranking import grouped_row_number
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    ranked = grouped_row_number(
+        docs.withColumn("k", F.md5(F.col("doc_id").cast("string"))),
+        ["lang"],
+        [F.col("k"), F.col("doc_id")],
+        out_col="rk",
+    )
+    totals = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n"))
+    split = (
+        F.when(F.col("rk") <= F.expr("(n * 8) div 10"), "train")
+        .when(F.col("rk") <= F.expr("(n * 9) div 10"), "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.join(F.broadcast(totals), "lang")
+        .select("lang", split.alias("split"), "doc_id")
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
 @query("docs_repetition_quality", oracle=_ot.repetition_quality_sql())
 def docs_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1): per-doc

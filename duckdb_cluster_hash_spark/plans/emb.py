@@ -480,7 +480,7 @@ def emb_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_margin_bitext_pairs", oracle=_ot.margin_bitext_sql(0, 1, 64, 16, 4))
+@query("emb_margin_bitext_pairs", oracle=_ot.margin_bitext_sql(0, 1, 64, None, 4))
 def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based parallel-pair mining (the CCMatrix / LASER recipe,
     Artetxe & Schwenk ACL 2019): treat two label populations as the two
@@ -501,7 +501,10 @@ def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches the oracle's list_sort + list_reduce exactly.  Mutual-best =
     row_number() == 1 on both keyed windows (margin DESC, id ASC).
 
-    Scale: cell join is keyed (cells ~ sqrt(n) in the scaled variant);
+    Scale: cell join is keyed on scaled_n_cells = max(16, ceil(sqrt(n)))
+    cells (the oracle rebuilds the same constant from count(*)), so
+    per-cell population — and with it the candidate blow-up — stays
+    ~sqrt(n) as the corpus grows;
     kNN stats and argmax windows partition by vector id; no global
     exchange before the final display sort.  At 100 TB the same plan
     holds with the IVF index pre-built and bucketed by cell.
@@ -515,7 +518,7 @@ def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heavy-codegen fold joins also wedged a 68-query-old session's JVM
     # during the full sf0.1 sweep).
     sides = (
-        _sim.ivf_assign_cells(emb)
+        _sim.ivf_assign_cells(emb, n_cells=_sim.scaled_n_cells(emb.count()))
         .withColumn("nsq", _sim.dot_fold(F.col("embedding"), F.col("embedding")))
         .localCheckpoint(eager=True)
     )
@@ -833,7 +836,7 @@ def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_hubness_audit", oracle=_ot.hubness_audit_sql(64, 16, 5, 10))
+@query("emb_hubness_audit", oracle=_ot.hubness_audit_sql(64, None, 5, 10))
 def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hubness audit (Radovanović et al. JMLR 2010): in high-dimensional
     embedding spaces a few 'hub' vectors appear in a disproportionate
@@ -844,16 +847,20 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN search actually sees) — and the ten most-hit vectors are the
     graded hubs, ties to the lowest vec_id.
 
-    Scale: the only quadratic work is within-cell (the SemDeDup
-    sqrt(n)-cells story: cell count grows with the corpus so per-cell
-    membership stays bounded); the top-5 window partitions by source
-    vector inside the cell-blocked join, and the final hub count is a
-    map-side-combining groupBy plus a 10-row TakeOrdered.
+    Scale: the only quadratic work is within-cell, and the cell count is
+    scaled_n_cells = max(16, ceil(sqrt(n))) — per-cell membership stays
+    ~sqrt(n) so total intra-cell pair work is O(n^1.5), not the O(n²) a
+    fixed cell count degenerates to (the oracle rebuilds the identical
+    constant as GREATEST(16, ceil(sqrt(count(*))))); the top-5 window
+    partitions by source vector inside the cell-blocked join, and the
+    final hub count is a map-side-combining groupBy plus a 10-row
+    TakeOrdered.
     """
     from pyspark.sql import Window
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=16).select(
+    n_cells = _sim.scaled_n_cells(emb.count())
+    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=n_cells).select(
         "vec_id", "cell", "embedding"
     )
     a, b = assigned.alias("a"), assigned.alias("b")

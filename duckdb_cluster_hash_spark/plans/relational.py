@@ -1671,7 +1671,17 @@ def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("peel_round")
 
 
-def _link_prediction_oracle_sql(top: int = 15) -> str:
+# Deterministic per-middle-vertex neighbor cap for link prediction: wedge
+# work is Σ min(deg, CAP)² instead of Σ deg² — O(V·CAP²) worst case — so
+# power-law hubs cannot go superlinear at scale.  Neighbors are kept by
+# md5(v|u) order (content-keyed, reproducible in any engine), NOT by key
+# order, so the cap is an unbiased deterministic sample of each
+# neighborhood.  At sf0.1 (median degree 119) it cuts ordered wedge pairs
+# 298M → 82M (3.6x); at 100x with hubs the bound is what matters.
+_LINKPRED_HUB_CAP = 64
+
+
+def _link_prediction_oracle_sql(top: int = 15, cap: int = _LINKPRED_HUB_CAP) -> str:
     from duckdb_cluster_hash_spark.plans.docs import (
         _MLOG2_SEED_EXPRS,
         _MLOG2_STEPS,
@@ -1691,6 +1701,9 @@ def _link_prediction_oracle_sql(top: int = 15) -> str:
         "nbr AS (SELECT p1 AS v, p2 AS u FROM e0 "
         "UNION ALL SELECT p2 AS v, p1 AS u FROM e0), "
         "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM nbr GROUP BY v), "
+        "nbrc AS (SELECT v, u FROM (SELECT v, u, row_number() OVER ("
+        "PARTITION BY v ORDER BY md5(v::VARCHAR || '|' || u::VARCHAR), u"
+        f") AS rk FROM nbr) WHERE rk <= {cap}), "
         "dx AS (SELECT DISTINCT d, d << 20 AS x FROM deg WHERE d >= 2), "
         f"k0 AS (SELECT d, {seed} FROM dx), "
         + ", ".join(steps)
@@ -1698,7 +1711,7 @@ def _link_prediction_oracle_sql(top: int = 15) -> str:
         f"FROM k{_MLOG2_STEPS}), "
         "w AS (SELECT n1.u AS a, n2.u AS b, "
         "CAST((1 << 20) // lg.l1024 AS BIGINT) AS wv "
-        "FROM nbr n1 JOIN nbr n2 ON n1.v = n2.v AND n1.u < n2.u "
+        "FROM nbrc n1 JOIN nbrc n2 ON n1.v = n2.v AND n1.u < n2.u "
         "JOIN deg ON deg.v = n1.v JOIN lg ON lg.d = deg.d), "
         "aa AS (SELECT a, b, CAST(sum(wv) AS BIGINT) AS aa_pts, "
         "CAST(count(*) AS BIGINT) AS n_common FROM w GROUP BY a, b), "
@@ -1721,28 +1734,32 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine.
 
     Scale: wedges come from the adjacency self-join keyed on the
-    MIDDLE vertex, so the blow-up per vertex is its degree pair
-    count, never all-pairs over parts (a degree cap on hub vertices
-    is the standard knob when a corpus has power-law hubs); existing
+    MIDDLE vertex, and each middle vertex's neighbor list is first
+    capped at _LINKPRED_HUB_CAP = 64 deterministic md5-ordered
+    entries (the standard hub knob for power-law graphs), so wedge
+    work is Σ min(deg, 64)² = O(V·64²) instead of Σ deg² — at sf0.1
+    that is 41M wedge rows instead of 149M, and at 100x a hub of
+    degree 10^6 contributes 2k wedges, not 10^12.  The cap is
+    mirrored bit-exactly in the oracle's nbrc CTE (same md5(v|u)
+    ordering); the AA weight still uses the TRUE degree.  Existing
     edges drop via one keyed anti-join.  The middle vertex's weight
-    is resolved on the |directed edges| adjacency table BEFORE the
-    self-join (deg join + broadcast log chain on 2.4M rows, not the
-    O(sum d^2) wedge table — at sf0.1 that is 2.4M vs 148M rows
-    through a keyed join), and each wedge ships as two packed
-    BIGINTs ((a << 32) | b, weight), so the one unavoidable
-    O(wedges) exchange — the (a,b) group-by — carries the narrowest
-    possible rows.  Two measured fixes on that exchange (sf0.1):
-    the edge set is localCheckpoint'ed once (it feeds FOUR plan
-    branches — both union legs of the adjacency, deg, and the
-    anti-join — and re-deriving the order self-join + distinct per
-    branch dominated the wall), and the wedge group-by is explicitly
-    repartitioned to 4x defaultParallelism on the pair key before
-    aggregating: the pair key is nearly unique (101M groups from
-    148M wedges, 1.46x), so map-side partial aggregation cannot
-    shrink the exchange and the win is smaller per-task hash maps
-    that stay cache/memory-resident (24.5s -> 9.5s for the agg).
-    At true 100 TB the checkpoint is a materialized edge table and
-    the repartition count follows cluster parallelism.
+    is resolved on the capped adjacency BEFORE the self-join (deg
+    join + broadcast log chain on ≤|2E| rows, never the wedge
+    table), and each wedge ships as two packed BIGINTs
+    ((a << 32) | b, weight), so the one unavoidable O(wedges)
+    exchange — the (a,b) group-by — carries the narrowest possible
+    rows.  Two measured fixes on that exchange (sf0.1): the edge
+    set is localCheckpoint'ed once (it feeds FOUR plan branches —
+    both union legs of the adjacency, deg, and the anti-join — and
+    re-deriving the order self-join + distinct per branch dominated
+    the wall), and the wedge group-by is explicitly repartitioned
+    to 4x defaultParallelism on the pair key before aggregating:
+    the pair key is nearly unique, so map-side partial aggregation
+    cannot shrink the exchange and the win is smaller per-task hash
+    maps that stay cache/memory-resident (measured 24.5s -> 9.5s
+    for the uncapped agg).  At true 100 TB the checkpoint is a
+    materialized edge table and the repartition count follows
+    cluster parallelism.
     """
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     op = li.select(
@@ -1759,6 +1776,21 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.selectExpr("p2 AS v", "p1 AS u")
     )
     deg = nbr.groupBy("v").agg(F.count("*").cast("bigint").alias("d"))
+    # Hub cap (see _LINKPRED_HUB_CAP): keep each middle vertex's first
+    # CAP neighbors in md5(v|u) order — one narrow 2-column window over
+    # the |2E| adjacency, bit-identical to the oracle's row_number CTE
+    # (md5 is the shared cross-engine hash; hex-string ordering is plain
+    # byte order in both).  The AA weight still uses the TRUE degree.
+    from pyspark.sql import Window
+
+    wcap = Window.partitionBy("v").orderBy(
+        F.md5(F.concat_ws("|", F.col("v"), F.col("u"))), F.asc("u")
+    )
+    nbrc = (
+        nbr.withColumn("rk", F.row_number().over(wcap))
+        .where(F.col("rk") <= _LINKPRED_HUB_CAP)
+        .select("v", "u")
+    )
     from duckdb_cluster_hash_spark.plans.docs import (
         _MLOG2_SEED_EXPRS,
         _MLOG2_STEPS,
@@ -1780,11 +1812,11 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows) before the wedge blow-up; the inner lg join also drops
     # d=1 middles, which generate no wedges anyway.
     nbrw = (
-        nbr.join(deg, "v")
+        nbrc.join(deg, "v")
         .join(F.broadcast(lg), "d")
         .selectExpr("v", "u", "CAST((1 << 20) div l1024 AS BIGINT) AS wv")
     )
-    n1, n2 = nbrw.alias("n1"), nbr.alias("n2")
+    n1, n2 = nbrw.alias("n1"), nbrc.alias("n2")
     w = n1.join(
         n2, (F.col("n1.v") == F.col("n2.v")) & (F.col("n1.u") < F.col("n2.u"))
     ).selectExpr(

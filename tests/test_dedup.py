@@ -255,3 +255,30 @@ def test_setsim_suffix_filter_bound_is_lossless():
         assert bound >= len(t1 & t2)
 
     check()
+
+
+def test_pathjump_components_match_labelprop(spark, docs):
+    pairs = dd.minhash_neardup_pairs(docs, "doc_id", "text", threshold=0.2)
+    want = {r["doc_id"]: r["component"]
+            for r in dd.neardup_components(pairs).collect()}
+    labels, rounds = dd.neardup_components_pathjump(pairs)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == want
+    assert rounds >= 1
+
+
+def test_pathjump_chain_converges_logarithmically(spark):
+    """The reason pointer jumping exists: a 64-hop chain needs ~63
+    label-prop rounds but only O(log2(64)) jump rounds.  Pin the bound
+    so a future edit that silently drops the jump step fails here."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(n)],
+        "doc_a long, doc_b long, jacc double",
+    )
+    labels, rounds = dd.neardup_components_pathjump(pairs)
+    comps = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert comps == {i: 0 for i in range(n + 1)}
+    # doubling reach: diameter 64 must close in <= ceil(log2(64)) + 2
+    # rounds (one extra for the final no-change fixpoint confirmation)
+    assert rounds <= 8, f"pointer jumping degraded to label-prop: {rounds} rounds"

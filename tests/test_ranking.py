@@ -90,3 +90,38 @@ def test_ordered_prefix_sum_matches_single_partition_window(spark):
     )
     want = {r.id: r.cum for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_grouped_row_number_matches_partitioned_window(spark, scored):
+    from duckdb_cluster_hash_spark.operators.ranking import grouped_row_number
+
+    df = scored.withColumn("grp", (F.col("id") % 5).cast("string"))
+    order = [F.desc("score"), F.asc("id")]
+    got = {
+        (r["grp"], r["id"]): r["rn"]
+        for r in grouped_row_number(df, ["grp"], order, n_buckets=16).collect()
+    }
+    want = {
+        (r["grp"], r["id"]): r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_row_number_skewed_group(spark):
+    """One group holding ~90% of rows must still rank exactly (the hot-
+    stratum case grouped_row_number exists for)."""
+    from duckdb_cluster_hash_spark.operators.ranking import grouped_row_number
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") < 900, "hot").otherwise("cold").alias("grp"),
+    )
+    out = grouped_row_number(df, ["grp"], [F.asc("id")], n_buckets=8).collect()
+    ranks = {}
+    for r in out:
+        ranks.setdefault(r["grp"], []).append(r["rn"])
+    assert sorted(ranks["hot"]) == list(range(1, 901))
+    assert sorted(ranks["cold"]) == list(range(1, 101))

@@ -196,3 +196,56 @@ def test_margin_bitext_pairs_properties(spark, sf_medium):
     assert emb_pd.loc[r0["b_id"], "label"] == 1
     cos = float(va @ vb / np.sqrt((va @ va) * (vb @ vb)))
     assert abs(cos - r0["cos_sim"]) < 1e-5  # fold vs pairwise-sum tolerance
+
+
+def test_round_half_away_matches_duckdb_round():
+    """round_half_away is the load-bearing cross-engine rounding primitive
+    (mmr_rerank + two emb oracles go through it).  Pin its half-away-from-
+    zero and 1-ulp-below-tie semantics bit-exact against DuckDB
+    CAST(round(x) AS BIGINT) — the floor(x+0.5) bug this replaced rounded
+    0.49999999999999994 UP (the +0.5 add carries to exactly 1.0)."""
+    import math
+
+    import duckdb
+    import numpy as np
+
+    edge = [
+        0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 3.5, -3.5,
+        0.49999999999999994, -0.49999999999999994,  # 1 ulp below tie
+        1.4999999999999998, -1.4999999999999998,
+        2.4999999999999996, -2.4999999999999996,
+        0.5000000000000001, -0.5000000000000001,  # 1 ulp above tie
+        1e15 + 0.5, -(1e15 + 0.5),
+        123456789.5, -123456789.5,
+        math.nextafter(0.5, 0.0), math.nextafter(0.5, 1.0),
+        math.nextafter(2.5, 0.0), math.nextafter(2.5, 3.0),
+    ]
+    rng = np.random.default_rng(42)
+    sweep = list((rng.random(500) - 0.5) * 2e6)  # random doubles ±1e6
+    # values engineered to land exactly on .5: integer/2
+    sweep += [float(i) / 2.0 for i in range(-41, 42)]
+    xs = edge + sweep
+
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT CAST(round(CAST(? AS DOUBLE)) AS BIGINT)", [x]
+        ).fetchone()[0]
+        for x in xs
+    ]
+    got_ours = [sim.round_half_away(x) for x in xs]
+    mismatches = [
+        (x, o, d) for x, o, d in zip(xs, got_ours, got_duck) if o != d
+    ]
+    assert not mismatches, f"round_half_away != DuckDB round: {mismatches[:5]}"
+
+
+def test_round_half_away_floor_bug_regression():
+    """The specific ulp-boundary input where floor(x+0.5) disagrees with
+    std::round/DuckDB: must round toward zero, not away."""
+    assert sim.round_half_away(0.49999999999999994) == 0
+    assert sim.round_half_away(-0.49999999999999994) == 0
+    # the buggy form for contrast (documents why the helper exists)
+    import math
+
+    assert math.floor(0.49999999999999994 + 0.5) == 1
