@@ -49,6 +49,8 @@ _DRIVER_WINDOW_FIRST = [
     "docs_cross_lang_duplicates",  # never stamped
     "docs_stratified_quota_split",  # never stamped
     "docs_neardup_component_census",  # never stamped
+    "docs_source_length_drift",  # never stamped
+    "docs_source_novelty_attribution",  # never stamped
     "tpch_q7_nation_volume",  # newest stamp: r3
     "tpch_q10_returned_items",  # newest stamp: r3
     "tpch_q15_top_supplier",  # newest stamp: r3
@@ -94,8 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "supplier_pareto_abc",  # newest stamp: r5
     "lineitem_price_approx_median_contract",  # newest stamp: r5
     "customer_rfm_segments",  # newest stamp: r5
-    "lineitem_discount_quantity_ols",  # newest stamp: r5
-    "orders_cube_status_priority",  # newest stamp: r5
 ]
 
 

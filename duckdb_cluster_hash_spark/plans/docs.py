@@ -822,6 +822,190 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_source_length_drift",
+    oracle=(
+        "WITH counts AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c "
+        "FROM documents GROUP BY source, n_chars), "
+        "srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src "
+        "FROM documents GROUP BY source), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+        "xs AS (SELECT DISTINCT n_chars FROM documents), "
+        "grid AS (SELECT s.source, x.n_chars FROM xs x "
+        "CROSS JOIN (SELECT source FROM srcs) s), "
+        "g AS (SELECT grid.source, grid.n_chars, COALESCE(c.c, 0) AS c "
+        "FROM grid LEFT JOIN counts c ON c.source = grid.source "
+        "AND c.n_chars = grid.n_chars), "
+        "cum AS (SELECT source, n_chars, CAST(sum(c) OVER ("
+        "PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum_s FROM g), "
+        "alltot AS (SELECT n_chars, CAST(sum(cum_s) AS BIGINT) AS cum_all "
+        "FROM cum GROUP BY n_chars), "
+        "gaps AS (SELECT cum.source, cum.n_chars, "
+        "abs((10000 * cum_s) // n_src - "
+        "(10000 * (cum_all - cum_s)) // (n - n_src)) AS gap "
+        "FROM cum JOIN alltot USING (n_chars) JOIN srcs USING (source) "
+        "CROSS JOIN tot), "
+        "best AS (SELECT source, max(gap) AS ks_bp FROM gaps GROUP BY source), "
+        "arg AS (SELECT g.source, CAST(min(g.n_chars) AS BIGINT) AS "
+        "n_chars_at_max FROM gaps g JOIN best b ON b.source = g.source "
+        "AND g.gap = b.ks_bp GROUP BY g.source) "
+        "SELECT s.source, s.n_src AS n_docs, CAST(b.ks_bp AS BIGINT) AS ks_bp, "
+        "a.n_chars_at_max FROM srcs s JOIN best b USING (source) "
+        "JOIN arg a USING (source) ORDER BY s.source"
+    ),
+)
+def docs_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution-drift screen: the exact two-sample KS
+    statistic (max CDF gap, scaled to basis points by floor division —
+    a DEFINED integer statistic, bit-stable cross-engine) between each
+    source's document-length distribution and the rest of the corpus,
+    plus the length where the gap peaks.  This is the drift monitor a
+    training pipeline runs per ingestion batch: a source whose length
+    CDF walks away from the corpus (truncation bug, boilerplate
+    injection, a crawler that started grabbing nav pages) shows up as a
+    jumping ks_bp before any model metric moves.
+
+    The gap is evaluated on the (distinct length) x (source) grid —
+    jump points of EITHER sample's CDF, which is where the sup of a
+    step-function difference lives.  The grid is built by exploding the
+    bounded source list over the distinct lengths (|sources| is a
+    catalog-bounded dimension and |lengths| is domain-bounded, so the
+    grid stays ~10^5 rows at any corpus scale); 10000*count stays in
+    BIGINT up to ~10^14 docs per source.
+
+    Scale: two keyed aggregations over (source, length); one keyed
+    window per source (never a global sort); cum_all comes from a keyed
+    re-aggregation of the per-source cumulative (no second pass over
+    the data); the final rollup is |sources| rows.
+    """
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    counts = docs.groupBy("source", "n_chars").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_src")
+    )
+    n_total = docs.count()
+    # bounded driver collect: the source dimension (~20 values)
+    src_names = sorted(r["source"] for r in per_src.select("source").collect())
+    grid = (
+        docs.select("n_chars")
+        .distinct()
+        .select(
+            "n_chars",
+            F.explode(F.array(*[F.lit(s) for s in src_names])).alias("source"),
+        )
+    )
+    g = grid.join(counts, ["source", "n_chars"], "left").na.fill({"c": 0})
+    cum = g.withColumn(
+        "cum_s",
+        F.sum("c")
+        .over(Window.partitionBy("source").orderBy("n_chars"))
+        .cast("bigint"),
+    )
+    cum_all = cum.groupBy("n_chars").agg(
+        F.sum("cum_s").cast("bigint").alias("cum_all")
+    )
+    gaps = (
+        cum.join(cum_all, "n_chars")
+        .join(F.broadcast(per_src), "source")
+        .withColumn(
+            "gap",
+            F.expr(
+                "abs((10000 * cum_s) div n_src - "
+                f"(10000 * (cum_all - cum_s)) div ({n_total} - n_src))"
+            ),
+        )
+    )
+    best = gaps.groupBy("source").agg(
+        F.max(
+            F.struct(F.col("gap"), (F.lit(0) - F.col("n_chars")).alias("negx"))
+        ).alias("m")
+    )
+    return (
+        best.join(F.broadcast(per_src), "source")
+        .select(
+            "source",
+            F.col("n_src").alias("n_docs"),
+            F.col("m.gap").cast("bigint").alias("ks_bp"),
+            (F.lit(0) - F.col("m.negx")).cast("bigint").alias("n_chars_at_max"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "docs_source_novelty_attribution",
+    oracle=(
+        f"WITH {_ot.shingles_cte(3)}, "
+        "sh AS (SELECT d.source, s.doc_id, md5(unnest(s.sh)) AS dig, "
+        "md5(CAST(s.doc_id AS VARCHAR)) AS k FROM shingled s "
+        "JOIN documents d ON d.doc_id = s.doc_id), "
+        "own AS (SELECT dig, arg_min(source, k) AS first_source "
+        "FROM sh GROUP BY dig), "
+        "nov AS (SELECT first_source AS source, CAST(count(*) AS BIGINT) AS "
+        "n_first FROM own GROUP BY first_source), "
+        "dis AS (SELECT source, CAST(count(DISTINCT dig) AS BIGINT) AS "
+        "n_distinct FROM sh GROUP BY source), "
+        "srcs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY source) "
+        "SELECT s.source, s.n_docs, d.n_distinct AS n_distinct_shingles, "
+        "COALESCE(n.n_first, 0) AS n_first_shingles, "
+        "CAST((1000 * COALESCE(n.n_first, 0)) // d.n_distinct AS BIGINT) AS "
+        "novelty_permille FROM srcs s JOIN dis d USING (source) "
+        "LEFT JOIN nov n USING (source) ORDER BY s.source"
+    ),
+)
+def docs_source_novelty_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty attribution per source — the greedy
+    data-valuation signal a mixture tuner reads before paying for a
+    source: replay the corpus in a deterministic content-addressed
+    ingestion order (md5(doc_id) — reproducible on any engine and
+    stable under re-partitioning) and credit each distinct 3-shingle to
+    the source of the document where it FIRST appears.  A source whose
+    novelty_permille is near zero duplicates content the corpus already
+    has (crawl mirror, syndication); a high one contributes genuinely
+    new text.
+
+    Scale: shingles shuffle as 32-byte md5 digests, never text; the
+    first-owner resolution is ONE keyed aggregation (min_by over the
+    unique md5 order key, so no window and no ties); per-source
+    distinct counts are a keyed count-distinct; final rollup is
+    |sources| rows.  Integer permille keeps the ratio bit-stable.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source",
+        F.explode(_dd.word_ngrams(F.col("text"), 3)).alias("shingle"),
+        F.md5(F.col("doc_id").cast("string")).alias("k"),
+    ).select("source", F.md5("shingle").alias("dig"), "k")
+    own = sh.groupBy("dig").agg(F.min_by("source", "k").alias("first_source"))
+    nov = own.groupBy("first_source").agg(
+        F.count("*").cast("bigint").alias("n_first")
+    )
+    dis = sh.groupBy("source").agg(
+        F.countDistinct("dig").cast("bigint").alias("n_distinct")
+    )
+    srcs = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        srcs.join(dis, "source")
+        .join(nov.withColumnRenamed("first_source", "source"), "source", "left")
+        .na.fill({"n_first": 0})
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_distinct AS n_distinct_shingles",
+            "n_first AS n_first_shingles",
+            "CAST((1000 * n_first) div n_distinct AS BIGINT) AS novelty_permille",
+        )
+        .orderBy("source")
+    )
+
+
+@query(
     "docs_stratified_quota_split",
     oracle=(
         "WITH r AS (SELECT doc_id, lang, "
