@@ -86,6 +86,19 @@ INVARIANCE_QUERIES = [
     # train->apply closure: the learned table (argmax tie-breaks) and
     # the chained-replace encoding must both be layout-pure
     "docs_bpe_encode",
+    # grouped_row_number (spark_partition_id + range partition per
+    # stratum) decides every quota boundary: the per-(lang, split)
+    # membership digests must be a pure function of the md5 order
+    "docs_stratified_quota_split",
+    # pointer-jumping closure: the round trajectory changes with
+    # layout-dependent join scheduling but the fixpoint must not
+    "docs_neardup_component_census",
+    # per-source cumulative windows + keyed re-aggregation: the KS gap
+    # and its argmax length must be a pure function of the counts
+    "docs_source_length_drift",
+    # min_by first-owner resolution over the md5 order key: novelty
+    # credit must never follow task arrival order
+    "docs_source_novelty_attribution",
 ]
 
 ALT_CONFS = {

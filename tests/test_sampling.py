@@ -239,3 +239,70 @@ def test_token_weighted_sample_draw_budget_and_certainty(spark):
     heavy = {r["doc_id"] for r in docs.where(F.col("w") > stride).collect()}
     sampled = {r["doc_id"] for r in out}
     assert heavy <= sampled
+
+
+def test_quota_split_proportions_exact_per_stratum(spark, sf_small):
+    """The reason the quota split exists: every stratum's train/val/test
+    counts must hit floor(0.8n)/floor(0.9n)-floor(0.8n)/rest EXACTLY,
+    not just in expectation like the hash-bucket split."""
+    rows = QUERIES["docs_stratified_quota_split"](spark, sf_small).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["split"]] = r["n_docs"]
+    assert by_lang, "small corpus has several languages"
+    for lang, parts in by_lang.items():
+        n = sum(parts.values())
+        want_train = (n * 8) // 10
+        want_val = (n * 9) // 10 - want_train
+        assert parts.get("train", 0) == want_train, (lang, parts, n)
+        assert parts.get("val", 0) == want_val, (lang, parts, n)
+        assert parts.get("test", 0) == n - want_train - want_val, (lang, parts)
+
+
+def test_quota_split_membership_partitions_corpus(spark, sf_small):
+    """Splits must partition each stratum: per-lang doc counts across the
+    three splits sum to the stratum size and id ranges never overlap a
+    doc (sum/min/max digests come straight from the query output)."""
+    docs = load_table(spark, sf_small, "documents")
+    want = {
+        (r["lang"]): (r["n"], r["s"])
+        for r in docs.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("s"))
+        .collect()
+    }
+    rows = QUERIES["docs_stratified_quota_split"](spark, sf_small).collect()
+    got = {}
+    for r in rows:
+        n, s = got.get(r["lang"], (0, 0))
+        got[r["lang"]] = (n + r["n_docs"], s + r["sum_doc_id"])
+    assert got == want
+
+
+def test_source_novelty_conservation(spark, sf_small):
+    """Every distinct shingle is credited to exactly one source: the sum
+    of n_first_shingles equals the corpus-wide distinct shingle count."""
+    from duckdb_cluster_hash_spark.operators.dedup import word_ngrams
+
+    docs = load_table(spark, sf_small, "documents")
+    total_distinct = (
+        docs.select(F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
+        .agg(F.countDistinct("g"))
+        .head()[0]
+    )
+    rows = QUERIES["docs_source_novelty_attribution"](spark, sf_small).collect()
+    assert sum(r["n_first_shingles"] for r in rows) == total_distinct
+    for r in rows:
+        assert 0 <= r["n_first_shingles"] <= r["n_distinct_shingles"]
+        assert 0 <= r["novelty_permille"] <= 1000
+
+
+def test_source_length_drift_bounds_and_self_consistency(spark, sf_small):
+    """ks_bp is a floor-scaled sup of a CDF difference: bounded by 10000,
+    and the reported peak length must be an observed length."""
+    docs = load_table(spark, sf_small, "documents")
+    lengths = {r["n_chars"] for r in docs.select("n_chars").distinct().collect()}
+    rows = QUERIES["docs_source_length_drift"](spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["ks_bp"] <= 10000
+        assert r["n_chars_at_max"] in lengths
