@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Extended differential-fuzz soak: the test-suite fuzz gate
+(tests/test_fuzz_oracle.py) pins two seeds so the suite stays fast; this
+script sweeps MANY seeded random corpora/event logs through the same
+Spark-vs-DuckDB comparison to hunt rare data-dependent divergences
+(tie-breaks, duplicate collapse, boundary counts) before a driver round
+trips over one.
+
+    python scripts/fuzz_soak.py [n_seeds]    # default 8 (seeds 100..)
+
+Exit code != 0 on any mismatch; prints one line per (seed, family).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+import duckdb
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tests"))
+sys.path.insert(0, HERE)
+
+from check_oracle import normalize  # noqa: E402
+import test_fuzz_oracle as tf  # noqa: E402
+
+from duckdb_cluster_hash_spark.operators import dedup  # noqa: E402
+from duckdb_cluster_hash_spark.plans.catalog import ORACLES, QUERIES  # noqa: E402
+
+
+def _spark():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("fuzz-soak")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
+def _run_family(spark, sf_dir, con, names, seed, label):
+    bad = []
+    for name in names:
+        try:
+            sdf = QUERIES[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            rel = con.sql(ORACLES[name])
+            ocols = [d[0] for d in rel.description]
+            orows = rel.fetchall()
+            ok = (
+                sorted(scols) == sorted(ocols)
+                and len(srows) == len(orows)
+                and normalize(srows, scols) == normalize(orows, ocols)
+            )
+        except Exception as exc:  # a crash is a finding, not an abort
+            print(f"ERR  seed={seed} {label} {name}: {exc}", flush=True)
+            bad.append(name)
+            continue
+        if not ok:
+            print(
+                f"DIFF seed={seed} {label} {name}: "
+                f"{len(srows)} spark vs {len(orows)} oracle rows",
+                flush=True,
+            )
+            bad.append(name)
+    return bad
+
+
+def main(n_seeds: int) -> int:
+    spark = _spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    failures: list[tuple[int, str, str]] = []
+    for seed in range(100, 100 + n_seeds):
+        with tempfile.TemporaryDirectory(prefix=f"soak{seed}-") as sf_dir:
+            docs = spark.createDataFrame(
+                tf._make_corpus(seed),
+                "doc_id bigint, text string, lang string, source string, "
+                "n_chars bigint",
+            )
+            docs.coalesce(2).write.mode("overwrite").parquet(
+                f"{sf_dir}/documents.parquet"
+            )
+            ev = spark.createDataFrame(
+                tf._make_events(seed),
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double, props string",
+            )
+            ev.coalesce(2).write.mode("overwrite").parquet(
+                f"{sf_dir}/events.parquet"
+            )
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW documents AS FROM "
+                f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+            )
+            con.execute(
+                "CREATE VIEW events AS FROM "
+                f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
+            )
+            dedup.clear_shared_cache()
+            bad_d = _run_family(
+                spark, sf_dir, con, tf.FUZZ_QUERIES, seed, "docs"
+            )
+            bad_e = _run_family(
+                spark, sf_dir, con, tf.EVENTS_FUZZ_QUERIES, seed, "events"
+            )
+            con.close()
+            dedup.clear_shared_cache()
+            failures += [(seed, "docs", n) for n in bad_d]
+            failures += [(seed, "events", n) for n in bad_e]
+            print(
+                f"seed {seed}: docs {len(tf.FUZZ_QUERIES) - len(bad_d)}/"
+                f"{len(tf.FUZZ_QUERIES)}, events "
+                f"{len(tf.EVENTS_FUZZ_QUERIES) - len(bad_e)}/"
+                f"{len(tf.EVENTS_FUZZ_QUERIES)} ok",
+                flush=True,
+            )
+    if failures:
+        print(f"{len(failures)} divergences: {failures}")
+        return 1
+    print(f"all seeds clean ({n_seeds} corpora x both families)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 8))
