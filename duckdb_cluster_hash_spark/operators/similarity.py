@@ -43,6 +43,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "semantic_dedup_summary",
     "scaled_n_cells",
+    "hubness_k_occurrence",
     "pq_sample_codebook",
     "pq_encode",
     "pq_adc_topk",
@@ -888,6 +889,92 @@ def mmr_rerank(
         rows,
         "step int, vec_id bigint, rel_micro bigint, maxsim_micro bigint, "
         "mmr_score bigint",
+    )
+
+
+def hubness_k_occurrence(
+    emb: DataFrame,
+    dim: int = 64,
+    n_cells: int | None = None,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cell-local k-occurrence counts (the hubness statistic of
+    Radovanović et al. JMLR 2010): for every vector, its exact-cosine
+    top-``k`` among its md5-IVF cell-mates, then how often each vector
+    appears in others' top-``k`` lists.  Returns (vec_id, cell,
+    k_occurrence) for vectors hit at least once.
+
+    One Arrow grouped-map kernel per cell replaces the exploded
+    pair-join + rank-window formulation: the within-cell pairwise
+    cosine is a numpy accumulation SEQUENTIAL OVER DIMENSIONS (one
+    outer product per dim), which replays the exact IEEE operation
+    order of the engines' fold — G after step d equals every scalar
+    fold's accumulator after step d — so the rounded-micro cosines,
+    and therefore every ranking decision, are bit-identical to the
+    DuckDB oracle's list_reduce.  Rounding is half-away-from-zero via
+    the rint+trunc tie fixup (same kernel as gram_partials; the scalar
+    twin is :func:`round_half_away`).  Rows are sorted by id at kernel
+    entry so the result is a pure function of the data, never of the
+    Arrow batch order.
+
+    Scale: the only shuffle is the groupBy on the cell tag; with
+    ``n_cells=None`` (scaled_n_cells ~ sqrt(n)) each group holds
+    ~sqrt(n) vectors, so per-task work is one ~sqrt(n) x sqrt(n) numpy
+    gram — vectorized C loops instead of an interpreted 64-element HOF
+    fold per pair, and no O(n^1.5)-row exchange at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_cells is None:
+        n_cells = scaled_n_cells(emb.count())
+    assigned = ivf_assign_cells(emb, dim=dim, n_cells=n_cells, vec_col=vec_col).select(
+        F.col(id_col).alias("vec_id"), "cell", F.col(vec_col).alias("v")
+    )
+
+    def kocc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")  # layout-independence
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        empty = pd.DataFrame(
+            {"vec_id": ids[:0], "cell": ids[:0], "k_occurrence": ids[:0]}
+        )
+        if n < 2:
+            return empty
+        cell = int(pdf["cell"].iloc[0])
+        m = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+        ).reshape(n, dim)
+        g = np.zeros((n, n), dtype=np.float64)
+        for d in range(dim):  # sequential over dims == fold order
+            col = m[:, d]
+            g = g + np.outer(col, col)
+        nrm = np.diag(g).copy()
+        cos = g / np.sqrt(np.outer(nrm, nrm))
+        p = cos * 1e6
+        r = np.rint(p)
+        t = np.trunc(p)
+        halves = np.abs(p - t) == 0.5  # p - trunc(p) is exact
+        r[halves] = t[halves] + np.sign(p[halves])
+        counts = np.zeros(n, dtype=np.int64)
+        for s in range(n):  # src vector: rank its cell-mates
+            scores = r[:, s].copy()
+            scores[s] = -np.inf  # never its own neighbor
+            order = np.lexsort((ids, -scores))
+            counts[order[: min(k, n - 1)]] += 1
+        hit = counts > 0
+        return pd.DataFrame(
+            {
+                "vec_id": ids[hit],
+                "cell": np.full(int(hit.sum()), cell, dtype=np.int64),
+                "k_occurrence": counts[hit],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        kocc, "vec_id bigint, cell int, k_occurrence bigint"
     )
 
 

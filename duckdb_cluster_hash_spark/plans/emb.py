@@ -851,49 +851,18 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled_n_cells = max(16, ceil(sqrt(n))) — per-cell membership stays
     ~sqrt(n) so total intra-cell pair work is O(n^1.5), not the O(n²) a
     fixed cell count degenerates to (the oracle rebuilds the identical
-    constant as GREATEST(16, ceil(sqrt(count(*))))); the top-5 window
-    partitions by source vector inside the cell-blocked join, and the
-    final hub count is a map-side-combining groupBy plus a 10-row
-    TakeOrdered.
+    constant as GREATEST(16, ceil(sqrt(count(*))))).  The per-cell
+    pairwise cosine + top-5 ranking runs as ONE Arrow grouped-map
+    kernel (similarity.hubness_k_occurrence: a numpy gram whose
+    dimension-sequential accumulation replays the fold's IEEE order
+    bit-exactly) — vectorized C math instead of an interpreted HOF
+    fold per pair, and the O(n^1.5) pair table never crosses an
+    exchange; the hub pick is a 10-row TakeOrdered.
     """
-    from pyspark.sql import Window
-
     emb = _t(spark, sf_dir, "embeddings")
-    n_cells = _sim.scaled_n_cells(emb.count())
-    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=n_cells).select(
-        "vec_id", "cell", "embedding"
-    )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cos = _sim.dot_fold(F.col("a.embedding"), F.col("b.embedding")) / F.sqrt(
-        _sim.dot_fold(F.col("a.embedding"), F.col("a.embedding"))
-        * _sim.dot_fold(F.col("b.embedding"), F.col("b.embedding"))
-    )
-    pr = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .select(
-            F.col("b.vec_id").alias("src"),
-            F.col("a.vec_id").alias("nbr"),
-            F.col("a.cell").alias("cell"),
-            (F.round(cos * 1000000) / 1000000).alias("cos_sim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("src").orderBy(
-                    F.desc("cos_sim"), F.asc("nbr")
-                )
-            ),
-        )
-        .filter(F.col("rn") <= 5)
-    )
     return (
-        pr.groupBy("nbr", "cell")
-        .agg(F.count("*").cast("bigint").alias("k_occurrence"))
-        .selectExpr("nbr AS vec_id", "cell", "k_occurrence")
+        _sim.hubness_k_occurrence(emb, dim=64, n_cells=None, k=5)
+        .select("vec_id", "cell", F.col("k_occurrence").cast("bigint"))
         .orderBy(F.desc("k_occurrence"), F.asc("vec_id"))
         .limit(10)
     )

@@ -99,6 +99,10 @@ INVARIANCE_QUERIES = [
     # min_by first-owner resolution over the md5 order key: novelty
     # credit must never follow task arrival order
     "docs_source_novelty_attribution",
+    # Arrow grouped-map gram kernel: rows arrive in arbitrary batch
+    # order, so the kernel's id-sort + lexsort ranking must make the
+    # k-occurrence counts layout-pure
+    "emb_hubness_audit",
 ]
 
 ALT_CONFS = {

@@ -249,3 +249,44 @@ def test_round_half_away_floor_bug_regression():
     import math
 
     assert math.floor(0.49999999999999994 + 0.5) == 1
+
+
+def test_hubness_kernel_matches_scalar_fold_reference(spark, emb):
+    """The vectorized gram kernel claims bit-exact fold-order cosines:
+    recompute k-occurrence with the scalar sequential fold in pure
+    Python (the same arithmetic the DuckDB oracle runs) and require
+    identical counts."""
+    got = {
+        (r["vec_id"], r["cell"]): r["k_occurrence"]
+        for r in sim.hubness_k_occurrence(emb, dim=64, n_cells=16, k=5).collect()
+    }
+
+    assigned = sim.ivf_assign_cells(emb, dim=64, n_cells=16).select(
+        "vec_id", "cell", "embedding"
+    )
+    by_cell = {}
+    for r in assigned.collect():
+        by_cell.setdefault(r["cell"], []).append(
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        )
+
+    def fold(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + x * y
+        return acc
+
+    want = {}
+    for cell, members in by_cell.items():
+        members.sort()
+        norms = {i: fold(v, v) for i, v in members}
+        for s_id, s_vec in members:
+            scored = []
+            for n_id, n_vec in members:
+                if n_id == s_id:
+                    continue
+                c = fold(n_vec, s_vec) / (norms[n_id] * norms[s_id]) ** 0.5
+                scored.append((-sim.round_half_away(c * 1e6), n_id))
+            for _, n_id in sorted(scored)[:5]:
+                want[(n_id, cell)] = want.get((n_id, cell), 0) + 1
+    assert got == want
