@@ -44,6 +44,7 @@ __all__ = [
     "semantic_dedup_summary",
     "scaled_n_cells",
     "hubness_k_occurrence",
+    "cell_blocked_cross_cosines",
     "pq_sample_codebook",
     "pq_encode",
     "pq_adc_topk",
@@ -975,6 +976,76 @@ def hubness_k_occurrence(
 
     return assigned.groupBy("cell").applyInPandas(
         kocc, "vec_id bigint, cell int, k_occurrence bigint"
+    )
+
+
+def cell_blocked_cross_cosines(
+    a: DataFrame,
+    b: DataFrame,
+    dim: int = 64,
+) -> DataFrame:
+    """Positive-cosine candidate pairs between two sides of a comparable
+    corpus, blocked by a shared ``cell`` tag — the ANN-shortlist scoring
+    step of margin-based bitext mining, as one Arrow COGROUPED kernel
+    per cell instead of a cell join through an interpreted fold per
+    pair.
+
+    Inputs carry (a_id, cell, ea, na2) / (b_id, cell, eb, nb2) with the
+    norms precomputed by the caller's fold.  The kernel's cross gram
+    accumulates SEQUENTIALLY over dimensions (one outer product per
+    dim), replaying the scalar fold's IEEE operation order bit-exactly
+    — G after step d equals dot_fold's accumulator after step d — and
+    cos = G / sqrt(outer(na2, nb2)) performs the identical single
+    multiply, sqrt, divide, so every emitted double (and the cos > 0
+    cut) matches the join+fold formulation bit-for-bit.
+
+    Scale: the only exchange is the groupBy on the cell tag; per-cell
+    work is one ~sqrt(n) x sqrt(n) numpy gram in C instead of
+    O(n^1.5) interpreted 64-element HOF folds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a_id": np.array([], dtype=np.int64),
+                "b_id": np.array([], dtype=np.int64),
+                "cell": np.array([], dtype=np.int32),
+                "cos": np.array([], dtype=np.float64),
+            }
+        )
+        if left.empty or right.empty:
+            return empty
+        left = left.sort_values("a_id")
+        right = right.sort_values("b_id")
+        cell = int(left["cell"].iloc[0])
+        ma = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in left["ea"]]
+        ).reshape(len(left), dim)
+        mb = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in right["eb"]]
+        ).reshape(len(right), dim)
+        g = np.zeros((len(left), len(right)), dtype=np.float64)
+        for d in range(dim):  # sequential over dims == fold order
+            g = g + np.outer(ma[:, d], mb[:, d])
+        na2 = left["na2"].to_numpy(dtype=np.float64)
+        nb2 = right["nb2"].to_numpy(dtype=np.float64)
+        cos = g / np.sqrt(np.outer(na2, nb2))
+        ai, bj = np.nonzero(cos > 0)
+        return pd.DataFrame(
+            {
+                "a_id": left["a_id"].to_numpy(dtype=np.int64)[ai],
+                "b_id": right["b_id"].to_numpy(dtype=np.int64)[bj],
+                "cell": np.full(len(ai), cell, dtype=np.int32),
+                "cos": cos[ai, bj],
+            }
+        )
+
+    return (
+        a.groupBy("cell")
+        .cogroup(b.groupBy("cell"))
+        .applyInPandas(score, "a_id bigint, b_id bigint, cell int, cos double")
     )
 
 

@@ -532,18 +532,14 @@ def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # cand feeds ka, kb AND the margin join: materialize the scored
     # shortlist once (narrow: two ids, cell, cos — bounded by the
-    # cell-blocked candidate count) instead of re-running the fold-cosine
-    # join per consumer.
-    cand = (
-        a.join(b, "cell")
-        .withColumn(
-            "cos",
-            _sim.dot_fold(F.col("ea"), F.col("eb"))
-            / F.sqrt(F.col("na2") * F.col("nb2")),
-        )
-        .where(F.col("cos") > 0)
-        .select("a_id", "b_id", "cell", "cos")
-        .localCheckpoint(eager=True)
+    # cell-blocked candidate count) instead of re-running the scoring
+    # per consumer.  Scoring itself is one Arrow COGROUPED gram kernel
+    # per cell (similarity.cell_blocked_cross_cosines: numpy
+    # accumulation sequential over dims, bit-identical to the fold) —
+    # at 100 TB the O(n^1.5) candidate space is scored in vectorized C,
+    # never through an interpreted per-pair HOF fold.
+    cand = _sim.cell_blocked_cross_cosines(a, b, dim=64).localCheckpoint(
+        eager=True
     )
     knn = 4
 

@@ -103,6 +103,9 @@ INVARIANCE_QUERIES = [
     # order, so the kernel's id-sort + lexsort ranking must make the
     # k-occurrence counts layout-pure
     "emb_hubness_audit",
+    # cogrouped cross-gram kernel + raw-double kNN margin sums: every
+    # emitted cosine bit must be a pure function of the two sides
+    "emb_margin_bitext_pairs",
 ]
 
 ALT_CONFS = {
