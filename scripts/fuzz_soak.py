@@ -6,7 +6,7 @@ Spark-vs-DuckDB comparison to hunt rare data-dependent divergences
 (tie-breaks, duplicate collapse, boundary counts) before a driver round
 trips over one.
 
-    python scripts/fuzz_soak.py [n_seeds]    # default 8 (seeds 100..)
+    python scripts/fuzz_soak.py [n_seeds] [start_seed]   # default 8 from 100
 
 Exit code != 0 on any mismatch; prints one line per (seed, family).
 """
@@ -77,11 +77,11 @@ def _run_family(spark, sf_dir, con, names, seed, label):
     return bad
 
 
-def main(n_seeds: int) -> int:
+def main(n_seeds: int, start: int = 100) -> int:
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
     failures: list[tuple[int, str, str]] = []
-    for seed in range(100, 100 + n_seeds):
+    for seed in range(start, start + n_seeds):
         with tempfile.TemporaryDirectory(prefix=f"soak{seed}-") as sf_dir:
             docs = spark.createDataFrame(
                 tf._make_corpus(seed),
@@ -134,4 +134,9 @@ def main(n_seeds: int) -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main(int(sys.argv[1]) if len(sys.argv) > 1 else 8))
+    raise SystemExit(
+        main(
+            int(sys.argv[1]) if len(sys.argv) > 1 else 8,
+            int(sys.argv[2]) if len(sys.argv) > 2 else 100,
+        )
+    )
