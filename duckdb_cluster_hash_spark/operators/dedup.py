@@ -46,6 +46,7 @@ __all__ = [
     "chunk_digest_table",
     "chunk_dedup_histogram",
     "duplicated_span_coverage",
+    "exact_substring_span_pairs",
     "clear_shared_cache",
 ]
 
@@ -727,6 +728,97 @@ def duplicated_span_coverage(
             ).cast("bigint").alias("dup_bp"),
         )
         .orderBy("doc_id")
+    )
+
+
+def exact_substring_span_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    cap: int = 64,
+    min_span: int = 60,
+) -> DataFrame:
+    """Cross-document EXACT substring dedup, suffix-array style (Lee et
+    al. 2022 §4.1 ExactSubstr): every pair of documents sharing a
+    verbatim substring of at least ``min_span`` characters, with the
+    longest such span per pair — the operator that finds memorized
+    boilerplate/licence blocks that set-based near-dup misses.
+
+    Construction is the distributed equivalent of sorted-suffix
+    grouping: every character position's ``k``-char suffix prefix is
+    digested (md5 — the same 128-bit anchor a suffix array's sort key
+    provides), positions of the same digest group together, and a
+    shared substring of length L >= k appears as L-k+1 consecutive
+    matched positions on one (doc_a, doc_b, pa-pb) DIAGONAL.  The
+    gaps-and-islands trick (pa - row_number over the diagonal) converts
+    those runs back to maximal spans: span_chars = run_len + k - 1,
+    exactly the suffix-array LCP answer for spans seeded below the
+    frequency cap.
+
+    (doc_a, doc_b, pa, diag) needs no dedup: the digest is a pure
+    function of (doc_a, pa), and pb = pa - diag pins the other side,
+    so each occurrence pair produces exactly one row.
+
+    Scale: positions shuffle as (digest, id, pos) — never text; the
+    digest-frequency gate (>= 2 docs, <= ``cap`` total occurrences) is
+    one keyed aggregation and bounds the per-digest join fan-out at
+    cap^2, the same stop-gram guard the LSH path uses (a k-char gram
+    with more than ``cap`` occurrences at k >= 40 is degenerate
+    boilerplate, reported by the near-dup family instead); the kept
+    occurrence table is localCheckpoint'ed because BOTH sides of the
+    pair self-join read it.  The diagonal window is keyed by
+    (doc_a, doc_b, diag) — never a global sort.
+    """
+    occ = (
+        df.where(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k} + 1), "
+                    f"p -> struct(p AS p, md5(substring({text_col}, p, {k})) AS dig))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.p").alias("p"), F.col("g.dig").alias("dig"))
+    )
+    keep = (
+        occ.groupBy("dig")
+        .agg(
+            F.count_distinct("doc_id").alias("dd"),
+            F.count("*").alias("c"),
+        )
+        .where((F.col("dd") >= 2) & (F.col("c") <= cap))
+        .select("dig")
+    )
+    kept = occ.join(keep, "dig").localCheckpoint(eager=True)
+    a = kept.select("dig", F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    b = kept.select("dig", F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "dig")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    spans = (
+        pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg((F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_chars"))
+    )
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_chars").cast("bigint").alias("longest_span_chars"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum("span_chars").cast("bigint").alias("dup_chars_bound"),
+        )
+        .where(F.col("longest_span_chars") >= min_span)
+        .orderBy("doc_a", "doc_b")
     )
 
 

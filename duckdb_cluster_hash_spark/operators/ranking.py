@@ -34,6 +34,21 @@ __all__ = [
     "ordered_prefix_sum",
 ]
 
+# Production default: eagerly localCheckpoint the range-partitioned frame so
+# BOTH consumers (local windows + counts) share one materialized _pid
+# assignment — repartitionByRange samples boundaries with a per-execution
+# seed and spark_partition_id is layout-dependent, so recomputation under
+# AQE re-plan / stage retry / exchange-reuse-off could hand the two branches
+# different partitionings and silently corrupt ranks.  Plan-shape tests
+# flip this off (monkeypatch) to assert the range exchange + local sorts in
+# the un-truncated lineage; the constructed plan is identical either way —
+# the checkpoint only pins where it is cut.
+MATERIALIZE_RANGED = True
+
+
+def _pin(ranged: "DataFrame") -> "DataFrame":
+    return ranged.localCheckpoint(eager=True) if MATERIALIZE_RANGED else ranged
+
 
 def global_row_number(
     df: DataFrame,
@@ -50,9 +65,19 @@ def global_row_number(
     (rows/n_buckets per task): 256 suits up to ~10^9 input rows; beyond
     that pass a larger value — the offsets table stays n_buckets rows
     and is the only globally-ordered data either way.
+
+    The ranged frame is localCheckpoint'ed (eager): it feeds TWO plan
+    branches (local windows + counts), and both must see the SAME range
+    boundaries and ``spark_partition_id`` assignment.  Range boundaries
+    come from sampling with a per-execution seed and _pid is
+    layout-dependent, so without materialization an AQE re-plan, stage
+    retry, or ``spark.sql.exchange.reuse=false`` could hand the two
+    branches different partitionings and silently corrupt ranks.
     """
-    ranged = df.repartitionByRange(n_buckets, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = _pin(
+        df.repartitionByRange(n_buckets, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     local = ranged.withColumn(
         "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
@@ -91,10 +116,17 @@ def grouped_row_number(
     n_buckets x |groups| counts table (the only data ordered outside
     the buckets; broadcast back).  Order key must be total within each
     group (add a unique tie-break).
+
+    As in :func:`global_row_number`, the ranged frame is eagerly
+    localCheckpoint'ed so both consumers (local windows, counts) share
+    one materialized _pid assignment — sampled range boundaries are not
+    replay-stable across exchange re-computation.
     """
     gcols = [F.col(c) for c in group_cols]
-    ranged = df.repartitionByRange(n_buckets, *gcols, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = _pin(
+        df.repartitionByRange(n_buckets, *gcols, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     local = ranged.withColumn(
         "_lrn",
@@ -181,9 +213,14 @@ def ordered_prefix_sum(
 
     The order key must be total (include a unique tie-break) so the
     running sum is a pure function of the data, not the layout.
+
+    Eagerly localCheckpoint'ed for the same two-consumer _pid-stability
+    reason as :func:`global_row_number`.
     """
-    ranged = df.repartitionByRange(n_buckets, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    ranged = _pin(
+        df.repartitionByRange(n_buckets, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     in_part = (
         Window.partitionBy("_pid")

@@ -940,7 +940,13 @@ def hubness_k_occurrence(
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         n = len(ids)
         empty = pd.DataFrame(
-            {"vec_id": ids[:0], "cell": ids[:0], "k_occurrence": ids[:0]}
+            {
+                "vec_id": ids[:0],
+                # int32 to match the declared `cell int` schema exactly —
+                # int64 only round-trips while Arrow safe-conversion is off
+                "cell": ids[:0].astype(np.int32),
+                "k_occurrence": ids[:0],
+            }
         )
         if n < 2:
             return empty
@@ -969,7 +975,7 @@ def hubness_k_occurrence(
         return pd.DataFrame(
             {
                 "vec_id": ids[hit],
-                "cell": np.full(int(hit.sum()), cell, dtype=np.int64),
+                "cell": np.full(int(hit.sum()), cell, dtype=np.int32),
                 "k_occurrence": counts[hit],
             }
         )
@@ -1141,8 +1147,11 @@ def pca_power_iteration(
         import numpy as np
         import pandas as pd
 
+        # int32 to match the declared `i int, j int` schema exactly
         ii, jj = np.meshgrid(
-            np.arange(1, dim + 1), np.arange(1, dim + 1), indexing="ij"
+            np.arange(1, dim + 1, dtype=np.int32),
+            np.arange(1, dim + 1, dtype=np.int32),
+            indexing="ij",
         )
         for pdf in batches:
             x = np.asarray(

@@ -205,25 +205,19 @@ def ivf_topk_sql(
     query_vec_id: int = 0,
     k: int = 10,
     dim: int = 64,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     nprobe: int = 4,
 ) -> str:
     """Oracle for operators.similarity.ivf_probe_topk.
 
     Recomputes the md5-derived centroids, the sequential-fold cell
-    assignment (argmax dot, ties to lowest cell), the nprobe probe-cell
-    ranking, and the exact cosine top-k over the probed cells — entirely
-    in SQL, bit-identical to the Spark index + partition-pruned scan.
+    assignment (argmax dot, ties to lowest cell — the shared
+    :func:`_ivf_assign_ctes` machinery), the nprobe probe-cell ranking,
+    and the exact cosine top-k over the probed cells — entirely in SQL,
+    bit-identical to the Spark index + partition-pruned scan.
+    ``n_cells=None`` = the scaled sqrt(n) cell count (see
+    _ivf_assign_ctes / similarity.scaled_n_cells).
     """
-    w_expr = (
-        "('0x' || substr(md5('ivf|' || c::VARCHAR || '|' || i::VARCHAR), 1, 15))::BIGINT"
-        f" / {2**59}.0 - 1.0"
-    )
-    cell_dot = (
-        "list_reduce(list_prepend(0.0::DOUBLE, "
-        f"[e.embedding[i]::DOUBLE * c.w[i] FOR i IN range(1, {dim + 1})]), "
-        "(acc, x) -> acc + x)"
-    )
     probe_dot = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
         f"[q.qv[i]::DOUBLE * c.w[i] FOR i IN range(1, {dim + 1})]), "
@@ -243,13 +237,8 @@ def ivf_topk_sql(
         "* 1000000) / 1000000)"
     )
     return (
-        f"WITH cents AS (SELECT c, [{w_expr} FOR i IN range(1, {dim + 1})] AS w "
-        f"FROM range({n_cells}) t(c)), "
+        f"WITH {_ivf_assign_ctes(dim, n_cells)}, "
         f"q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {query_vec_id}), "
-        "assign AS (SELECT vec_id, cell FROM ("
-        f"SELECT e.vec_id, c.c::INTEGER AS cell, "
-        f"row_number() OVER (PARTITION BY e.vec_id ORDER BY {cell_dot} DESC, c.c) AS rn "
-        "FROM embeddings e CROSS JOIN cents c) WHERE rn = 1), "
         f"probe AS (SELECT c.c::INTEGER AS cell FROM cents c, q "
         f"ORDER BY {probe_dot} DESC, c.c LIMIT {nprobe}), "
         "cand AS (SELECT e.vec_id, e.label, e.embedding, a.cell "
@@ -619,6 +608,37 @@ def duplicated_span_coverage_sql(n: int = 8, table: str = "documents") -> str:
     )
 
 
+def exact_substring_spans_sql(
+    k: int = 40, cap: int = 64, min_span: int = 60, table: str = "documents"
+) -> str:
+    """Oracle for operators.dedup.exact_substring_span_pairs: per-position
+    k-char suffix-prefix md5 anchors, the same >= 2-docs / <= cap digest
+    gate, diagonal gaps-and-islands runs, per-pair longest/total spans —
+    the identical integer construction, so the match is bit-exact."""
+    return (
+        "WITH occ AS (SELECT doc_id, p, "
+        f"md5(substr(text, p, {k})) AS dig "
+        f"FROM {table}, LATERAL unnest(range(1, length(text) - {k} + 2)) AS t(p) "
+        f"WHERE length(text) >= {k}), "
+        "keep AS (SELECT dig FROM occ GROUP BY dig "
+        f"HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= {cap}), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, "
+        "a.p - b.p AS diag "
+        "FROM occ a JOIN keep USING (dig) JOIN occ b USING (dig) "
+        "WHERE a.doc_id < b.doc_id), "
+        "runs AS (SELECT doc_a, doc_b, diag, pa - row_number() OVER ("
+        "PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island FROM pairs), "
+        f"spans AS (SELECT doc_a, doc_b, CAST(count(*) + {k} - 1 AS BIGINT) "
+        "AS span_chars FROM runs GROUP BY doc_a, doc_b, diag, island) "
+        "SELECT doc_a, doc_b, "
+        "CAST(max(span_chars) AS BIGINT) AS longest_span_chars, "
+        "CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(span_chars) AS BIGINT) AS dup_chars_bound "
+        "FROM spans GROUP BY doc_a, doc_b "
+        f"HAVING max(span_chars) >= {min_span} ORDER BY doc_a, doc_b"
+    )
+
+
 def margin_bitext_sql(
     label_a: int = 0,
     label_b: int = 1,
@@ -863,11 +883,11 @@ def jl_projection_quality_sql(
     )
 
 
-def kmeans_lloyd_step_sql(dim: int = 64, n_cells: int = 16) -> str:
+def kmeans_lloyd_step_sql(dim: int = 64, n_cells: int | None = 16) -> str:
     """Oracle for plans.emb.emb_kmeans_lloyd_step: md5-IVF assignment
     (shared _ivf_assign_ctes machinery), exact-integer per-cell dim
     sums, sign-safe truncating mean, and the integer squared centroid
-    shift."""
+    shift.  ``n_cells=None`` = the scaled sqrt(n) cell count."""
     return (
         "WITH " + _ivf_assign_ctes(dim, n_cells) + ", "
         "x AS (SELECT a.cell, CAST(generate_subscripts(e.embedding, 1) "
@@ -888,11 +908,12 @@ def kmeans_lloyd_step_sql(dim: int = 64, n_cells: int = 16) -> str:
     )
 
 
-def ivf_cell_health_sql(dim: int = 64, n_cells: int = 16) -> str:
+def ivf_cell_health_sql(dim: int = 64, n_cells: int | None = 16) -> str:
     """Oracle for plans.emb.emb_ivf_cell_health: md5-IVF assignment
     (shared _ivf_assign_ctes), exact integer-micro squared distances
     to the owning centroid, and each centroid's squared distance to
-    its nearest other centroid."""
+    its nearest other centroid.  ``n_cells=None`` = the scaled sqrt(n)
+    cell count."""
     wm1 = "CAST(round(c1.w[i] * 1000000) AS BIGINT)"
     wm2 = "CAST(round(c2.w[i] * 1000000) AS BIGINT)"
     return (

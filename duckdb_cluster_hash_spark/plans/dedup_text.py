@@ -181,6 +181,25 @@ def docs_chunk_dedup_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.chunk_dedup_histogram(docs, "doc_id", "text", 8)
 
 
+@query(
+    "docs_exact_substring_dedup",
+    oracle=_ot.exact_substring_spans_sql(40, 64, 60),
+)
+def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, suffix-array style (C4; Lee et al. 2022
+    ExactSubstr): document pairs sharing a verbatim substring of >= 60
+    chars, with the per-pair longest span, span count, and a duplicated-
+    character bound — the signal that cuts memorized boilerplate the
+    set-based near-dup family can't see.  40-char md5 position anchors
+    group like sorted suffixes; consecutive matches on a (doc_a, doc_b,
+    pa-pb) diagonal reconstruct maximal spans exactly (see
+    operators/dedup.py:exact_substring_span_pairs for the scale story:
+    digest-only shuffles, cap-bounded join fan-out, keyed windows)."""
+    return _dd.exact_substring_span_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=40, cap=64, min_span=60
+    )
+
+
 @query("docs_dup_span_coverage", oracle=_ot.duplicated_span_coverage_sql(8))
 def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span coverage (Lee et al. 2022 exact

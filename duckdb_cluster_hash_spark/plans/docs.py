@@ -841,7 +841,7 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM cum GROUP BY n_chars), "
         "gaps AS (SELECT cum.source, cum.n_chars, "
         "abs((10000 * cum_s) // n_src - "
-        "(10000 * (cum_all - cum_s)) // (n - n_src)) AS gap "
+        "(10000 * (cum_all - cum_s)) // greatest(1, n - n_src)) AS gap "
         "FROM cum JOIN alltot USING (n_chars) JOIN srcs USING (source) "
         "CROSS JOIN tot), "
         "best AS (SELECT source, max(gap) AS ks_bp FROM gaps GROUP BY source), "
@@ -911,10 +911,14 @@ def docs_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.join(cum_all, "n_chars")
         .join(F.broadcast(per_src), "source")
         .withColumn(
+            # greatest(1, n - n_src) guards the degenerate single-source
+            # corpus IDENTICALLY on both engines: Spark div would return
+            # NULL on /0 while DuckDB // raises — with the guard, the
+            # rest-of-corpus term is 0/1 = 0 and both engines agree.
             "gap",
             F.expr(
                 "abs((10000 * cum_s) div n_src - "
-                f"(10000 * (cum_all - cum_s)) div ({n_total} - n_src))"
+                f"(10000 * (cum_all - cum_s)) div greatest(1, {n_total} - n_src))"
             ),
         )
     )

@@ -91,31 +91,37 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_ann_topk", oracle=_ot.ivf_topk_sql(0, 10, 64, 16, 4))
+@query("emb_ann_topk", oracle=_ot.ivf_topk_sql(0, 10, 64, None, 4))
 def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN search (C5, the 100 TB similarity story): IVF index build +
     partition-pruned probe.  The corpus is re-written as parquet
     partitioned by a deterministic md5-centroid cell id; the probe reads
-    ONLY the nprobe=4 of n_cells=16 cell partitions nearest the query
-    (PartitionFilters in the scan — 1/4 of the data touched, no shuffle),
-    then exact fold-cosine re-ranks the survivors.  A kmeans-trained
-    quantizer (ivf_topk) plugs into the same index/probe machinery; the
-    md5 quantizer is used here so the DuckDB oracle can recompute cell
-    assignment bit-for-bit."""
+    ONLY the nprobe=4 cell partitions nearest the query (PartitionFilters
+    in the scan — nprobe/n_cells of the data touched, no shuffle), then
+    exact fold-cosine re-ranks the survivors.  The cell count is
+    CORPUS-DERIVED (scaled_n_cells ~ ceil(sqrt(n)), mirrored by the
+    oracle's GREATEST(16, ceil(sqrt(count(*))))), so the probed fraction
+    shrinks as the corpus grows — a fixed cell count would re-approach a
+    full scan at 100x scale.  A kmeans-trained quantizer (ivf_topk)
+    plugs into the same index/probe machinery; the md5 quantizer is used
+    here so the DuckDB oracle can recompute cell assignment bit-for-bit.
+    """
     import os as _os
     import tempfile as _tf
 
     emb = _t(spark, sf_dir, "embeddings")
+    n_cells = _sim.scaled_n_cells(emb.count())
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
     ]
     index_path = _os.path.join(
-        _tf.gettempdir(), f"dch_ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}"
+        _tf.gettempdir(),
+        f"dch_ivf_index_{_os.path.basename(sf_dir.rstrip('/'))}_c{n_cells}",
     )
-    _sim.ivf_write_index(emb, index_path, dim=64, n_cells=16)
+    _sim.ivf_write_index(emb, index_path, dim=64, n_cells=n_cells)
     return _sim.ivf_probe_topk(
-        spark, index_path, qvec, k=10, nprobe=4, n_cells=16
+        spark, index_path, qvec, k=10, nprobe=4, n_cells=n_cells
     )
 
 
@@ -702,7 +708,7 @@ def emb_jl_projection_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.jl_projection_quality(_t(spark, sf_dir, "embeddings"))
 
 
-@query("emb_kmeans_lloyd_step", oracle=_ot.kmeans_lloyd_step_sql(64, 16))
+@query("emb_kmeans_lloyd_step", oracle=_ot.kmeans_lloyd_step_sql(64, None))
 def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One exactly-graded Lloyd iteration of distributed k-means
     (complementing emb_ivf_kmeans_recall, whose trained quantizer is
@@ -716,10 +722,15 @@ def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: assignment is one Arrow-vectorized map pass; the update is
     a (cell, dim)-keyed map-side-combining groupBy carrying at most
     n_cells x dim rows per upstream partition — the canonical
-    distributed k-means shuffle shape at any corpus size.
+    distributed k-means shuffle shape at any corpus size.  The cell
+    count is corpus-derived (scaled_n_cells ~ ceil(sqrt(n)), mirrored
+    by the oracle), so the k of the step grows with the corpus the way
+    a production quantizer's would; the centroid table stays a bounded
+    model artifact (sqrt(n) x dim rows, broadcast).
     """
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=16)
+    n_cells = _sim.scaled_n_cells(emb.count())
+    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=n_cells)
     x = assigned.select(
         "cell", F.posexplode("embedding").alias("d0", "xv")
     ).selectExpr(
@@ -733,10 +744,10 @@ def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _half_away = _sim.round_half_away
 
-    cents = _sim.ivf_centroid_weights(64, 16)
+    cents = _sim.ivf_centroid_weights(64, n_cells)
     cent_rows = [
         (c, d + 1, _half_away(float(cents[c, d]) * 1000000.0))
-        for c in range(16)
+        for c in range(n_cells)
         for d in range(64)
     ]
     cent_df = spark.createDataFrame(cent_rows, "cell int, d int, wm bigint")
@@ -762,7 +773,7 @@ def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_ivf_cell_health", oracle=_ot.ivf_cell_health_sql(64, 16))
+@query("emb_ivf_cell_health", oracle=_ot.ivf_cell_health_sql(64, None))
 def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index health report (the ops view an ANN service watches):
     per cell, the member count, the mean exact squared distance to
@@ -778,13 +789,19 @@ def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: assignment is one Arrow-vectorized map pass; the spread
     aggregate is a (cell, dim)-keyed map-side-combining groupBy (at
     most n_cells x dim rows per upstream partition); centroid
-    separation is computed once from the 16 x 64 centroid constants
-    and broadcast back as a 16-row table.
+    separation is computed once from the corpus-scaled
+    (scaled_n_cells ~ sqrt(n)) x 64 centroid constants — an exact
+    int64 numpy gram identity, |wm| <= 1e6 so every product and the
+    64-term sums stay far below 2^63 — and broadcast back as an
+    n_cells-row table.
     """
+    import numpy as np
+
     _half_away = _sim.round_half_away
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=16)
+    n_cells = _sim.scaled_n_cells(emb.count())
+    assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=n_cells)
     x = assigned.select(
         "cell", F.posexplode("embedding").alias("d0", "xv")
     ).selectExpr(
@@ -792,12 +809,17 @@ def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(d0 + 1 AS INTEGER) AS d",
         "CAST(round(CAST(xv AS DOUBLE) * 1000000) AS BIGINT) AS xm",
     )
-    cents = _sim.ivf_centroid_weights(64, 16)
-    wm = [
-        [_half_away(float(cents[c, d]) * 1000000.0) for d in range(64)]
-        for c in range(16)
+    cents = _sim.ivf_centroid_weights(64, n_cells)
+    wm = np.array(
+        [
+            [_half_away(float(cents[c, d]) * 1000000.0) for d in range(64)]
+            for c in range(n_cells)
+        ],
+        dtype=np.int64,
+    )
+    cent_rows = [
+        (c, d + 1, int(wm[c, d])) for c in range(n_cells) for d in range(64)
     ]
-    cent_rows = [(c, d + 1, wm[c][d]) for c in range(16) for d in range(64)]
     cent_df = spark.createDataFrame(cent_rows, "cell int, d int, wm bigint")
     agg = (
         x.join(F.broadcast(cent_df), ["cell", "d"])
@@ -808,17 +830,13 @@ def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("df * df")).cast("bigint").alias("tot_d2"),
         )
     )
-    sep_rows = [
-        (
-            c,
-            min(
-                sum((wm[c][d] - wm[o][d]) ** 2 for d in range(64))
-                for o in range(16)
-                if o != c
-            ),
-        )
-        for c in range(16)
-    ]
+    # ||a-b||^2 = ||a||^2 + ||b||^2 - 2<a,b> over int64 — exact integers,
+    # identical to the per-dim difference sum the oracle folds
+    g = wm @ wm.T
+    nrm = np.diag(g).copy()
+    d2 = nrm[:, None] + nrm[None, :] - 2 * g
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    sep_rows = [(c, int(d2[c].min())) for c in range(n_cells)]
     sep_df = spark.createDataFrame(sep_rows, "cell int, nn_sep bigint")
     return (
         agg.join(F.broadcast(sep_df), "cell")

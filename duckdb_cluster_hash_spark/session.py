@@ -26,6 +26,12 @@ from pyspark.sql import SparkSession
 SESSION_INVARIANTS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow kernels (applyInPandas/mapInPandas/cogroup) must return numpy
+    # dtypes matching their declared schemas exactly; safe conversion makes
+    # a lossy mismatch (e.g. an int64 column against a declared int that
+    # actually overflows) raise at the kernel boundary instead of silently
+    # truncating.  Kernels build their int columns as np.int32 explicitly.
+    "spark.sql.execution.pandas.convertToArrowArraySafely": "true",
 }
 
 

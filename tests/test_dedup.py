@@ -282,3 +282,56 @@ def test_pathjump_chain_converges_logarithmically(spark):
     # doubling reach: diameter 64 must close in <= ceil(log2(64)) + 2
     # rounds (one extra for the final no-change fixpoint confirmation)
     assert rounds <= 8, f"pointer jumping degraded to label-prop: {rounds} rounds"
+
+
+def test_exact_substring_spans_known_lcs(spark):
+    """Hand-built corpus with known longest-common-substrings: the
+    diagonal gaps-and-islands construction must report the exact span
+    lengths (run + k - 1), count maximal spans per pair, filter below
+    min_span, and skip sub-k documents without error."""
+    s1 = "SHAREDBLOCKONE!!"        # 16 chars, shared by docs 1 and 2
+    t = "TWELVECHARSX"             # 12 chars, also shared by docs 1 and 2
+    e = "ELEVENCHAR!"              # 11 chars < min_span, docs 4 and 5
+    df = spark.createDataFrame(
+        [
+            (1, "qqqqqqqqqq" + s1 + "rrrrrrrrrr" + t + "ssssssssss"),
+            (2, "uuuuuuuuuu" + s1 + "vvvvvvvvvv" + t + "wwwwwwwwww"),
+            (3, "kkkkkkkkkkkkkkkkkkkk"),
+            (4, "aaaaaaaaaa" + e + "bbbbbbbbbb"),
+            (5, "cccccccccc" + e + "dddddddddd"),
+            (6, "short"),  # < k: contributes no positions
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dd.exact_substring_span_pairs(
+            df, "doc_id", "text", k=10, cap=64, min_span=12
+        ).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    r = rows[(1, 2)]
+    assert r["longest_span_chars"] == 16    # s1, exactly
+    assert r["n_spans"] == 2                # s1 and t are separate islands
+    assert r["dup_chars_bound"] == 16 + 12
+
+
+def test_exact_substring_spans_frequency_cap(spark):
+    """A k-gram above the occurrence cap is a stop-gram: the 4-doc
+    shared block yields all 6 pairs below the cap and none above it."""
+    block = "COMMONBOILERPLATE!!!"  # 20 chars shared by 4 docs
+    pad = ["ee", "ff", "gg", "hh"]
+    df = spark.createDataFrame(
+        [(i, pad[i] * 5 + block + pad[i] * 5) for i in range(4)],
+        "doc_id long, text string",
+    )
+    wide = dd.exact_substring_span_pairs(
+        df, "doc_id", "text", k=10, cap=64, min_span=10
+    ).collect()
+    assert len(wide) == 6 and all(
+        r["longest_span_chars"] == 20 for r in wide
+    )
+    capped = dd.exact_substring_span_pairs(
+        df, "doc_id", "text", k=10, cap=3, min_span=10
+    ).collect()
+    assert capped == []

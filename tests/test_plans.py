@@ -531,10 +531,16 @@ def test_mad_anomaly_windows_partition_by_type(spark, sf_small):
         assert m.group(1).strip(), "unkeyed window found"
 
 
-def test_pareto_abc_uses_two_level_prefix_sum(spark, sf_small):
+def test_pareto_abc_uses_two_level_prefix_sum(spark, sf_small, monkeypatch):
     """The cumulative share must come from the range-partitioned
     two-level prefix sum: a rangepartitioning exchange on the cents
-    order, with only the bucket-totals table globally ordered."""
+    order, with only the bucket-totals table globally ordered.
+    MATERIALIZE_RANGED is flipped off so the localCheckpoint (which
+    pins the _pid assignment in production) doesn't truncate the
+    lineage being asserted on — the constructed plan is identical."""
+    from duckdb_cluster_hash_spark.operators import ranking
+
+    monkeypatch.setattr(ranking, "MATERIALIZE_RANGED", False)
     plan = plan_of(QUERIES["supplier_pareto_abc"](spark, sf_small))
     assert "rangepartitioning(cents" in plan
     assert "CartesianProduct" not in plan
@@ -686,9 +692,13 @@ def test_resharding_key_impact_native_exprs_single_scan(spark, sf_small):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_spearman_two_independent_range_rankings(spark, sf_small):
+def test_spearman_two_independent_range_rankings(spark, sf_small, monkeypatch):
     """Both rank assignments must be the two-level range ranking (never
-    a corpus-wide single-partition sort window) joined on the doc key."""
+    a corpus-wide single-partition sort window) joined on the doc key.
+    MATERIALIZE_RANGED off: see test_pareto_abc_uses_two_level_prefix_sum."""
+    from duckdb_cluster_hash_spark.operators import ranking
+
+    monkeypatch.setattr(ranking, "MATERIALIZE_RANGED", False)
     plan = plan_of(QUERIES["docs_spearman_chars_tokens"](spark, sf_small))
     assert plan.count("rangepartitioning") >= 2
     assert "CartesianProduct" not in plan
@@ -1014,10 +1024,14 @@ def test_k_anonymity_single_keyed_aggregate(spark, sf_small):
     assert "BatchEvalPython" not in plan
 
 
-def test_trimmed_stats_rank_via_range_partitioning(spark, sf_small):
+def test_trimmed_stats_rank_via_range_partitioning(spark, sf_small, monkeypatch):
     """The global price rank must come from rangepartitioning + local
     sorts (the distributed construction), never a corpus-wide
-    SinglePartition window sort."""
+    SinglePartition window sort.
+    MATERIALIZE_RANGED off: see test_pareto_abc_uses_two_level_prefix_sum."""
+    from duckdb_cluster_hash_spark.operators import ranking
+
+    monkeypatch.setattr(ranking, "MATERIALIZE_RANGED", False)
     plan = plan_of(QUERIES["lineitem_trimmed_price_stats"](spark, sf_small))
     assert "rangepartitioning" in plan
     assert "BroadcastHashJoin" in plan  # 256-row offsets broadcast
