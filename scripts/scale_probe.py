@@ -1,0 +1,277 @@
+#!/usr/bin/env python
+"""Scale-notch probe: measure the heavy query families one corpus-size
+notch ABOVE the shipped testdata and record wall-time scaling exponents.
+
+The plan gates (scripts/audit_plans.py, tests/test_plans.py) argue each
+heavy family is sub-quadratic by construction — banded/blocked joins,
+capped wedges, sqrt(n) cells, pointer-jump rounds.  This script measures
+instead of arguing: it deterministically synthesizes a ``factor``x
+(default 3x) corpus with the SAME distributions as sf0.1 (empirical
+unigram text + 5% planted near-copies, resampled+perturbed embeddings,
+orderkey-shifted lineitem copies over the fixed part catalog), runs each
+heavy family serially at both sizes in one session, and writes SCALE.md
+with the observed exponent log(t_big/t_small)/log(factor).
+
+    python scripts/scale_probe.py [factor]        # default 3
+
+Synthetic-corpus caveat (recorded in SCALE.md): generated text is iid
+unigram within the real length/vocab distributions, so absolute
+candidate densities differ slightly from the driver corpus; the planted
+near-dup RATE (the thing pair-generating joins scale with) is matched.
+Data lands in .scaledata/ (gitignored); only SCALE.md is committed.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+ROOT = os.path.dirname(HERE)
+sys.path.insert(0, ROOT)
+
+BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
+
+# The five families the round-10 verdict named, plus the new
+# exact-substring operator (its cap^2 fan-out bound deserves a number).
+FAMILIES = [
+    ("docs_set_similarity_join", "documents", "PPJoin+ prefix-filter join: ~linear in near-dup pair mass"),
+    ("docs_neardup_component_census", "documents", "LSH bands + pointer-jump CC: O(n log d) shuffle rounds"),
+    ("docs_exact_substring_dedup", "documents", "digest-grouped diagonals, cap-bounded fan-out: ~linear in shared-span mass"),
+    ("parts_kcore_decomposition", "lineitem", "graded peels over copurchase edges: ~linear in edges per round"),
+    ("parts_link_prediction", "lineitem", "wedges capped at 64 md5-neighbors per middle: sum min(d,64)^2"),
+    ("emb_margin_bitext_pairs", "embeddings", "sqrt(n) cells, cogrouped cross-gram: O(n^1.5) within-cell work"),
+]
+
+
+def _gen_documents(con, out_dir: str, factor: int, seed: int = 42) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = con.execute(
+        f"SELECT text, lang, source FROM '{BASE}/documents.parquet'"
+    ).fetchall()
+    texts = [r[0] for r in rows]
+    words = [w for t in texts for w in t.split(" ")]
+    vocab, counts = np.unique(np.array(words), return_counts=True)
+    p = counts / counts.sum()
+    lens = np.array([len(t.split(" ")) for t in texts])
+    langs = np.array([r[1] for r in rows])
+    sources = np.array([r[2] for r in rows])
+    rng = np.random.RandomState(seed)
+    n = factor * len(texts)
+    out_texts: list[str] = []
+    for i in range(n):
+        r = rng.rand()
+        if r < 0.0016 and out_texts:  # exact-copy rate measured from sf0.1
+            out_texts.append(out_texts[rng.randint(len(out_texts))])
+            continue
+        if r < 0.05 + 0.0016 and out_texts:  # near-copy rate (one word swapped)
+            ws = out_texts[rng.randint(len(out_texts))].split(" ")
+            ws[rng.randint(len(ws))] = str(rng.choice(vocab, p=p))
+            out_texts.append(" ".join(ws))
+            continue
+        k = int(lens[rng.randint(len(lens))])
+        out_texts.append(" ".join(rng.choice(vocab, size=k, p=p)))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "text": pa.array(out_texts, type=pa.string()),
+            "lang": pa.array(
+                [str(x) for x in rng.choice(langs, size=n)], type=pa.string()
+            ),
+            "source": pa.array(
+                [str(x) for x in rng.choice(sources, size=n)], type=pa.string()
+            ),
+            "n_chars": pa.array([len(t) for t in out_texts], type=pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "documents.parquet"))
+
+
+def _gen_embeddings(con, out_dir: str, factor: int, seed: int = 43) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = con.execute(
+        f"SELECT embedding, label FROM '{BASE}/embeddings.parquet'"
+    ).fetchall()
+    base = np.array([r[0] for r in rows], dtype=np.float32)
+    labels = np.array([r[1] for r in rows], dtype=np.int32)
+    rng = np.random.RandomState(seed)
+    n = factor * len(rows)
+    idx = rng.randint(len(rows), size=n)
+    noise = rng.normal(0.0, 0.05 * base.std(), size=(n, base.shape[1])).astype(
+        np.float32
+    )
+    vecs = base[idx] + noise  # keeps label/cosine structure, breaks identity
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [v for v in vecs], type=pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels[idx], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+
+
+def _gen_lineitem(con, out_dir: str, factor: int) -> None:
+    # factor orderkey-shifted copies over the FIXED part catalog — the
+    # "same catalog, growing order book" growth mode the copurchase-graph
+    # families densify under.  Each copy permutes l_partkey with an
+    # affine map coprime to the catalog size: identical baskets re-keyed
+    # to identical-SHAPE baskets over different parts, so the copurchase
+    # EDGE set (what k-core/link-pred scale with) grows ~factor-fold with
+    # an unchanged degree distribution — a plain orderkey shift would
+    # only re-weight the same edges.
+    out = os.path.join(out_dir, "lineitem.parquet")
+    n_parts = con.execute(
+        f"SELECT max(l_partkey) FROM '{BASE}/lineitem.parquet'"
+    ).fetchone()[0]
+    mults = [1, 7, 11, 13, 17, 19, 23, 29, 31, 37]
+    cases = " ".join(
+        f"WHEN {c} THEN ((l_partkey - 1) * {mults[c % len(mults)]} + {c} * 37) % {n_parts} + 1"
+        for c in range(factor)
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey + c * 150000 AS l_orderkey,
+                 CASE c {cases} END AS l_partkey, l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                 l_returnflag, l_linestatus, l_shipdate
+          FROM '{BASE}/lineitem.parquet', range({factor}) t(c)
+        ) TO '{out}' (FORMAT PARQUET)
+        """
+    )
+
+
+def ensure_corpus(factor: int) -> str:
+    import duckdb
+
+    out_dir = os.path.join(ROOT, ".scaledata", f"x{factor}")
+    marker = os.path.join(out_dir, ".complete")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    print(f"generating {out_dir} ...", file=sys.stderr)
+    _gen_documents(con, out_dir, factor)
+    _gen_embeddings(con, out_dir, factor)
+    _gen_lineitem(con, out_dir, factor)
+    with open(marker, "w") as fh:
+        fh.write("ok\n")
+    return out_dir
+
+
+def main() -> int:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    big_dir = ensure_corpus(factor)
+
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = None
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-probe")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(max(int(cpus) if cpus.isdigit() else 32, 8)),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from duckdb_cluster_hash_spark.operators.dedup import clear_shared_cache
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    # warmup: JVM + python workers outside the timings
+    QUERIES["cluster_node_distribution"](spark, BASE).collect()
+
+    results = []
+    for name, table, claim in FAMILIES:
+        row = {"query": name, "table": table, "claim": claim}
+        # untimed warm pass at the small size first: each family JITs its
+        # own codegen/python-worker paths on first execution, and without
+        # this the small measurement absorbs that one-off cost and the
+        # exponent reads artificially low (observed: k-core "faster" at
+        # 3x).  The memoized checkpoint caches are cleared after EVERY
+        # pass so each timed run pays its own materialization.
+        QUERIES[name](spark, BASE).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        clear_shared_cache()
+        for key, sf_dir in (("t_small", BASE), ("t_big", big_dir)):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[key] = round(time.time() - t0, 2)
+            clear_shared_cache()
+        row["exponent"] = round(
+            math.log(max(row["t_big"], 0.01) / max(row["t_small"], 0.01))
+            / math.log(factor),
+            2,
+        )
+        results.append(row)
+        print(json.dumps(row), file=sys.stderr)
+
+    lines = [
+        "# SCALE — measured scale-notch exponents",
+        "",
+        f"Serial wall times, one `local[{cpus}]` session, `{BASE}` vs a",
+        f"deterministic {factor}x synthetic corpus (`scripts/scale_probe.py`,",
+        "seeded; same length/vocab/label distributions, matched planted",
+        "near-dup rate, orderkey-shifted lineitem over the fixed part",
+        "catalog).  `exponent` = log(t_big/t_small)/log(factor): 1.0 is",
+        "linear, 2.0 quadratic.  Per-query fixed overhead (planning, python",
+        "worker reuse, stream spin-up) inflates the small-run baseline, so",
+        "these exponents read HIGH for sub-second queries; they bound the",
+        "claim, not replace it.",
+        "",
+        f"Ambient 1-min load at start: {load1}.  Generated corpus caveat:",
+        "iid-unigram text (real collocations absent), so absolute candidate",
+        "densities differ slightly from the driver corpus; the planted",
+        "near-dup rate — what pair joins scale with — is matched.",
+        "",
+        "| query | input | t(sf0.1) s | t(x{f}) s | exponent | documented claim |".replace(
+            "{f}", str(factor)
+        ),
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['query']} | {r['table']} x{factor} | {r['t_small']} | "
+            f"{r['t_big']} | {r['exponent']} | {r['claim']} |"
+        )
+    lines.append("")
+    lines.append(
+        f"Stamped {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}."
+    )
+    with open(os.path.join(ROOT, "SCALE.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({"factor": factor, "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
