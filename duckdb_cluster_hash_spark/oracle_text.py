@@ -612,9 +612,11 @@ def exact_substring_spans_sql(
     k: int = 40, cap: int = 64, min_span: int = 60, table: str = "documents"
 ) -> str:
     """Oracle for operators.dedup.exact_substring_span_pairs: per-position
-    k-char suffix-prefix md5 anchors, the same >= 2-docs / <= cap digest
-    gate, diagonal gaps-and-islands runs, per-pair longest/total spans —
-    the identical integer construction, so the match is bit-exact."""
+    k-char suffix-prefix anchors (md5 here; the Spark side uses the
+    engine-internal xxhash64 — digest equality coincides with gram
+    equality on both engines, and every graded column is a hash-free
+    integer position/length), the same >= 2-docs / <= cap digest gate,
+    diagonal gaps-and-islands runs, per-pair longest/total spans."""
     return (
         "WITH occ AS (SELECT doc_id, p, "
         f"md5(substr(text, p, {k})) AS dig "

@@ -32,6 +32,20 @@ only where the oracle grades batch-boundary semantics (late_data's
 is removable without un-grading the behavior it exists to pin.  Treat
 ~17s warm (≤ ~30s under 8-way bench contention) as the documented floor
 for this suite rather than a regression signal.
+
+ROUTED-SINK RE-PROFILE (round 11, 2026-08-15, sf0.1, local[32],
+standalone): cold 11.4s / warm 3.15s, of which 2.33s is the single
+foreachBatch micro-batch run (the engine floor above), 0.31s the
+partition-discovered read-back rollup, 0.0s staging (memoized).  The
+remaining candidate from the r10 review — sharing one staged stream +
+session across the routed sink and the outer-attribution pair — was
+checked and declined: the stage dir is ALREADY process-shared
+(_stage_once), a session clone costs ~0 (no JVM spin-up), and the two
+queries cannot share one STREAM execution without merging two
+independently graded sinks into one lineage (un-grading the per-query
+exactly-once replay each oracle pins).  The 11.4s figure in BENCH_r10
+is 8-way contention + first-run staging amortized into whichever
+streaming query runs first, not plan debt.
 """
 
 from __future__ import annotations
