@@ -47,6 +47,7 @@ __all__ = [
     "chunk_dedup_histogram",
     "duplicated_span_coverage",
     "exact_substring_span_pairs",
+    "substring_dup_bill",
     "clear_shared_cache",
 ]
 
@@ -789,6 +790,29 @@ def exact_substring_span_pairs(
     pair self-join read it.  The diagonal window is keyed by
     (doc_a, doc_b, diag) — never a global sort.
     """
+    spans = _substring_match_runs(df, id_col, text_col, k=k, cap=cap)
+    return (
+        spans.groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("span_chars").cast("bigint").alias("longest_span_chars"),
+            F.count("*").cast("bigint").alias("n_spans"),
+            F.sum("span_chars").cast("bigint").alias("dup_chars_bound"),
+        )
+        .where(F.col("longest_span_chars") >= min_span)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _substring_match_runs(
+    df: DataFrame, id_col: str, text_col: str, k: int, cap: int
+) -> DataFrame:
+    """Shared core of the exact-substring family: one maximal matched
+    run per (doc_a < doc_b, diagonal) as (doc_a, doc_b, diag, start_a,
+    span_chars), where the shared text occupies chars
+    [start_a, start_a + span_chars - 1] of doc_a and the same window
+    shifted by -diag in doc_b.  See
+    :func:`exact_substring_span_pairs` for the construction, digest
+    rationale, and scale story."""
     occ = (
         df.where(F.length(text_col) >= k)
         .select(
@@ -826,20 +850,103 @@ def exact_substring_span_pairs(
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    spans = (
+    return (
         pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "island")
-        .agg((F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_chars"))
+        .agg(
+            F.min("pa").cast("bigint").alias("start_a"),
+            (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_chars"),
+        )
+        .drop("island")
+    )
+
+
+def substring_dup_bill(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    cap: int = 64,
+) -> DataFrame:
+    """Per-document exact-substring deletion bill (Lee et al. 2022's
+    ExactSubstr actually DELETES the shared spans; this is the size of
+    that deletion, per document): for every document, how many of its
+    characters sit inside at least one >= k-char substring that also
+    appears verbatim in another document.  Returns one row per document
+    — (doc_id, n_chars, dup_chars, dup_bp) — the number a curation run
+    reads to decide whether dedup pays for itself on a source.
+
+    Built on the shared matched-run core: each maximal run contributes
+    the interval [start, start+span-1] to BOTH endpoint docs (doc_b's
+    start shifted by the diagonal); per-doc intervals merge with the
+    classic running-max sweep (cummax of interval end over the
+    start-ordered window — a NEW covered region begins where start
+    exceeds every previous end), so overlapping runs from different
+    partners never double-count a character.
+
+    Scale: on top of the run table (see exact_substring_span_pairs),
+    one keyed window per doc over that doc's run endpoints (bounded by
+    its shared-span count, never corpus-sized) and one keyed rollup;
+    the final left join back to the corpus is digest-free and keyed on
+    the doc id.
+    """
+    from pyspark.sql import Window
+
+    runs = _substring_match_runs(df, id_col, text_col, k=k, cap=cap)
+    ivals = (
+        runs.select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("start_a").alias("s"),
+            (F.col("start_a") + F.col("span_chars") - 1).alias("e"),
+        )
+        .unionAll(
+            runs.select(
+                F.col("doc_b").alias("doc_id"),
+                (F.col("start_a") - F.col("diag")).alias("s"),
+                (
+                    F.col("start_a") - F.col("diag") + F.col("span_chars") - 1
+                ).alias("e"),
+            )
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = (
+        F.max("e")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    swept = ivals.withColumn(
+        "new_reg",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn(
+        "reg_id",
+        F.sum("new_reg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    covered = (
+        swept.groupBy("doc_id", "reg_id")
+        .agg((F.max("e") - F.min("s") + 1).alias("rlen"))
+        .groupBy("doc_id")
+        .agg(F.sum("rlen").cast("bigint").alias("dup_chars"))
     )
     return (
-        spans.groupBy("doc_a", "doc_b")
-        .agg(
-            F.max("span_chars").cast("bigint").alias("longest_span_chars"),
-            F.count("*").cast("bigint").alias("n_spans"),
-            F.sum("span_chars").cast("bigint").alias("dup_chars_bound"),
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).cast("bigint").alias("n_chars"),
         )
-        .where(F.col("longest_span_chars") >= min_span)
-        .orderBy("doc_a", "doc_b")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            # greatest(1, ...) so an empty document degrades identically
+            # on both engines (dup_bp 0) instead of NULL-vs-error
+            F.expr("(10000 * coalesce(dup_chars, 0)) div greatest(1, n_chars)")
+            .cast("bigint")
+            .alias("dup_bp"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -641,6 +641,54 @@ def exact_substring_spans_sql(
     )
 
 
+def substring_dup_bill_sql(
+    k: int = 40, cap: int = 64, table: str = "documents"
+) -> str:
+    """Oracle for operators.dedup.substring_dup_bill: the same matched
+    runs as exact_substring_spans_sql (md5 anchors; every graded column
+    is a hash-free integer), each run projected to an interval on both
+    endpoint docs, per-doc interval union via the running-max sweep,
+    integer basis points over length(text)."""
+    wd = "PARTITION BY doc_id ORDER BY s, e"
+    prev_max = f"max(e) OVER ({wd} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    return (
+        "WITH occ AS (SELECT doc_id, p, "
+        f"md5(substr(text, p, {k})) AS dig "
+        f"FROM {table}, LATERAL unnest(range(1, length(text) - {k} + 2)) AS t(p) "
+        f"WHERE length(text) >= {k}), "
+        "keep AS (SELECT dig FROM occ GROUP BY dig "
+        f"HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= {cap}), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, "
+        "a.p - b.p AS diag "
+        "FROM occ a JOIN keep USING (dig) JOIN occ b USING (dig) "
+        "WHERE a.doc_id < b.doc_id), "
+        "runs AS (SELECT doc_a, doc_b, diag, pa, pa - row_number() OVER ("
+        "PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island FROM pairs), "
+        "spans AS (SELECT doc_a, doc_b, diag, CAST(min(pa) AS BIGINT) AS "
+        f"start_a, CAST(count(*) + {k} - 1 AS BIGINT) AS span_chars "
+        "FROM runs GROUP BY doc_a, doc_b, diag, island), "
+        "ivals AS (SELECT DISTINCT doc_id, s, e FROM ("
+        "SELECT doc_a AS doc_id, start_a AS s, start_a + span_chars - 1 AS e "
+        "FROM spans UNION ALL "
+        "SELECT doc_b, start_a - diag, start_a - diag + span_chars - 1 "
+        "FROM spans)), "
+        "swept AS (SELECT doc_id, s, e, "
+        f"CASE WHEN {prev_max} IS NULL OR s > {prev_max} THEN 1 ELSE 0 END "
+        "AS new_reg FROM ivals), "
+        f"reg AS (SELECT doc_id, s, e, sum(new_reg) OVER ({wd} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reg_id "
+        "FROM swept), "
+        "cov AS (SELECT doc_id, CAST(sum(rlen) AS BIGINT) AS dup_chars FROM ("
+        "SELECT doc_id, reg_id, max(e) - min(s) + 1 AS rlen FROM reg "
+        "GROUP BY doc_id, reg_id) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+        "COALESCE(c.dup_chars, 0) AS dup_chars, "
+        "CAST((10000 * COALESCE(c.dup_chars, 0)) // "
+        "greatest(1, length(d.text)) AS BIGINT) AS dup_bp "
+        f"FROM {table} d LEFT JOIN cov c USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
 def margin_bitext_sql(
     label_a: int = 0,
     label_b: int = 1,

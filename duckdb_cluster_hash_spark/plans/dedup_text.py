@@ -200,6 +200,25 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_substring_dup_bill",
+    oracle=_ot.substring_dup_bill_sql(40, 64),
+)
+def docs_substring_dup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document exact-substring DELETION bill (C3/C4; the size of
+    the cut Lee et al. 2022's ExactSubstr would actually make): for
+    every document, the count of characters inside at least one
+    >= 40-char substring shared verbatim with another document, as
+    integer basis points of the document's length.  Complements
+    docs_exact_substring_dedup (pair view) with the per-document view a
+    curation run bills sources by; overlapping spans from different
+    partners are interval-merged so no character is double-counted.
+    See operators/dedup.py:substring_dup_bill."""
+    return _dd.substring_dup_bill(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=40, cap=64
+    )
+
+
 @query("docs_dup_span_coverage", oracle=_ot.duplicated_span_coverage_sql(8))
 def docs_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicated-span coverage (Lee et al. 2022 exact

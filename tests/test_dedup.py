@@ -335,3 +335,33 @@ def test_exact_substring_spans_frequency_cap(spark):
         df, "doc_id", "text", k=10, cap=3, min_span=10
     ).collect()
     assert capped == []
+
+
+def test_substring_dup_bill_interval_union(spark):
+    """Overlapping shared spans from DIFFERENT partners must be
+    interval-merged, never summed: doc 1 shares the first 20 chars of a
+    30-char block with doc 2 and the last 20 with doc 3, so its bill is
+    the 30-char union, not 40."""
+    b = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 distinct chars
+    df = spark.createDataFrame(
+        [
+            (1, "qqqqqqqqqq" + b + "zzzzzzzzzz"),
+            (2, "pppppppppp" + b[:20] + "xxxxxxxxxx"),
+            (3, "rrrrrrrrrr" + b[10:] + "yyyyyyyyyy"),
+            (4, "kkkkkkkkkkkkkkkkkkkk"),  # no shared content
+            (5, "tiny"),                   # < k
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in dd.substring_dup_bill(df, "doc_id", "text", k=10, cap=64).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4, 5}   # every doc gets a bill row
+    assert rows[1]["dup_chars"] == 30     # union of [11,30] and [21,40]
+    assert rows[1]["n_chars"] == 50
+    assert rows[1]["dup_bp"] == (10000 * 30) // 50
+    assert rows[2]["dup_chars"] == 20
+    assert rows[3]["dup_chars"] == 20
+    assert rows[4]["dup_chars"] == 0 and rows[4]["dup_bp"] == 0
+    assert rows[5]["dup_chars"] == 0

@@ -106,6 +106,13 @@ INVARIANCE_QUERIES = [
     # cogrouped cross-gram kernel + raw-double kNN margin sums: every
     # emitted cosine bit must be a pure function of the two sides
     "emb_margin_bitext_pairs",
+    # position anchors + diagonal row_number islands: maximal-run
+    # reconstruction must follow the (doc_a, doc_b, diag, pa) order,
+    # never scan-split or shuffle-width arrival order
+    "docs_exact_substring_dedup",
+    # the same runs projected to per-doc intervals and swept with a
+    # running-max window: the merged coverage must be layout-pure
+    "docs_substring_dup_bill",
 ]
 
 ALT_CONFS = {
