@@ -812,52 +812,77 @@ def _substring_match_runs(
     [start_a, start_a + span_chars - 1] of doc_a and the same window
     shifted by -diag in doc_b.  See
     :func:`exact_substring_span_pairs` for the construction, digest
-    rationale, and scale story."""
-    occ = (
-        df.where(F.length(text_col) >= k)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - {k} + 1), "
-                    f"p -> struct(p AS p, "
-                    f"xxhash64(substring({text_col}, p, {k})) AS dig))"
-                )
-            ).alias("g"),
-        )
-        .select("doc_id", F.col("g.p").alias("p"), F.col("g.dig").alias("dig"))
-        .localCheckpoint(eager=True)
-    )
-    keep = (
-        occ.groupBy("dig")
-        .agg(
-            F.count_distinct("doc_id").alias("dd"),
-            F.count("*").alias("c"),
-        )
-        .where((F.col("dd") >= 2) & (F.col("c") <= cap))
-        .select("dig")
-    )
-    kept = occ.join(keep, "dig").localCheckpoint(eager=True)
-    a = kept.select("dig", F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
-    b = kept.select("dig", F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
-    pairs = (
-        a.join(b, "dig")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
-        )
-    )
-    from pyspark.sql import Window
+    rationale, and scale story.
 
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    return (
-        pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
-        .groupBy("doc_a", "doc_b", "diag", "island")
-        .agg(
-            F.min("pa").cast("bigint").alias("start_a"),
-            (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_chars"),
+    The finished run table is memoized per (corpus, params) via
+    ``_shared_checkpoint`` — the pair view and the per-doc bill both
+    start from it, so one engine session pays the position-anchor scan
+    once.  The intermediate position checkpoints are unpersisted as
+    soon as the runs materialize: the run table is tiny (one row per
+    maximal shared span) while the position table is corpus-sized.
+    """
+
+    def build() -> DataFrame:
+        occ = (
+            df.where(F.length(text_col) >= k)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(1, length({text_col}) - {k} + 1), "
+                        f"p -> struct(p AS p, "
+                        f"xxhash64(substring({text_col}, p, {k})) AS dig))"
+                    )
+                ).alias("g"),
+            )
+            .select(
+                "doc_id", F.col("g.p").alias("p"), F.col("g.dig").alias("dig")
+            )
+            .localCheckpoint(eager=True)
         )
-        .drop("island")
+        keep = (
+            occ.groupBy("dig")
+            .agg(
+                F.count_distinct("doc_id").alias("dd"),
+                F.count("*").alias("c"),
+            )
+            .where((F.col("dd") >= 2) & (F.col("c") <= cap))
+            .select("dig")
+        )
+        kept = occ.join(keep, "dig").localCheckpoint(eager=True)
+        a = kept.select(
+            "dig", F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")
+        )
+        b = kept.select(
+            "dig", F.col("doc_id").alias("doc_b"), F.col("p").alias("pb")
+        )
+        pairs = (
+            a.join(b, "dig")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+        runs = (
+            pairs.withColumn("island", F.col("pa") - F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "diag", "island")
+            .agg(
+                F.min("pa").cast("bigint").alias("start_a"),
+                (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_chars"),
+            )
+            .drop("island")
+            # materialize before releasing the corpus-sized intermediates
+            .localCheckpoint(eager=True)
+        )
+        occ.unpersist()
+        kept.unpersist()
+        return runs
+
+    return _shared_checkpoint(
+        df, ("substr_runs", id_col, text_col, k, cap), build
     )
 
 
