@@ -46,56 +46,56 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 #   stamp[q] = max round whose CORRECTNESS_r*.json contains q;
 #   window = new queries + sorted(catalog, key=stamp)[:50-len(new)].
 _DRIVER_WINDOW_FIRST = [
-    "docs_cross_lang_duplicates",  # never stamped
-    "docs_stratified_quota_split",  # never stamped
-    "docs_neardup_component_census",  # never stamped
-    "docs_source_length_drift",  # never stamped
-    "docs_source_novelty_attribution",  # never stamped
-    "tpch_q7_nation_volume",  # newest stamp: r3
-    "tpch_q10_returned_items",  # newest stamp: r3
-    "tpch_q15_top_supplier",  # newest stamp: r3
-    "tpch_q19_disjunctive_revenue",  # newest stamp: r3
-    "tpch_q21_waiting_supplier",  # newest stamp: r3
-    "tpch_q9_product_profit",  # newest stamp: r3
-    "tpch_q11_important_parts",  # newest stamp: r3
-    "tpch_q16_supplier_part_counts",  # newest stamp: r3
-    "tpch_q20_promotable_suppliers",  # newest stamp: r3
-    "tpch_q12_priority_shipping",  # newest stamp: r3
-    "orders_trailing_3mo_revenue",  # newest stamp: r3
-    "part_size_unpivot_profile",  # newest stamp: r3
-    "docs_token_top20",  # newest stamp: r3
-    "docs_corpus_curation",  # newest stamp: r3
-    "docs_stratified_sample",  # newest stamp: r3
-    "docs_token_shards",  # newest stamp: r3
-    "docs_media_byte_features",  # newest stamp: r3
-    "docs_eval_contamination",  # newest stamp: r3
-    "docs_train_val_test_split",  # newest stamp: r3
-    "docs_repetition_quality",  # newest stamp: r3
-    "docs_tfidf_top_terms",  # newest stamp: r3
-    "docs_mixture_epochs",  # newest stamp: r3
-    "events_asof_purchase_view",  # newest stamp: r3
-    "events_range_join_error_followers",  # newest stamp: r3
-    "events_dedup_ingest",  # newest stamp: r3
-    "events_click_purchase_attribution",  # newest stamp: r3
-    "events_hot_type_salted_counts",  # newest stamp: r3
-    "events_enriched_by_segment",  # newest stamp: r3
-    "docs_neardup_components",  # newest stamp: r3
-    "docs_chunk_dedup_histogram",  # newest stamp: r3
-    "formats_csv_roundtrip",  # newest stamp: r3
-    "formats_json_roundtrip",  # newest stamp: r3
-    "formats_orc_roundtrip",  # newest stamp: r3
-    "emb_label_centroids",  # newest stamp: r3
-    "emb_neardup_pairs",  # newest stamp: r3
-    "emb_ann_topk",  # newest stamp: r3
-    "emb_int8_quantize_stats",  # newest stamp: r3
-    "emb_semantic_dedup",  # newest stamp: r3
-    "emb_ivf_kmeans_recall",  # newest stamp: r3
-    "cluster_resharding_key_impact",  # newest stamp: r5
-    "orders_bucketed_coloc_join",  # newest stamp: r5
-    "parts_copurchase_affinity",  # newest stamp: r5
-    "supplier_pareto_abc",  # newest stamp: r5
-    "lineitem_price_approx_median_contract",  # newest stamp: r5
-    "customer_rfm_segments",  # newest stamp: r5
+    "docs_exact_substring_dedup",  # never stamped
+    "docs_substring_dup_bill",  # never stamped
+    "lineitem_discount_quantity_ols",  # newest stamp: r5
+    "orders_cube_status_priority",  # newest stamp: r5
+    "parts_brand_triangles",  # newest stamp: r5
+    "docs_media_frame_sample",  # newest stamp: r5
+    "docs_bpe_first_merges",  # newest stamp: r5
+    "docs_quality_constraints",  # newest stamp: r5
+    "docs_vocab_growth_curve",  # newest stamp: r5
+    "docs_spearman_chars_tokens",  # newest stamp: r5
+    "docs_token_weighted_sample",  # newest stamp: r5
+    "docs_countmin_heavy_hitters",  # newest stamp: r5
+    "events_node_partitioned_sink",  # newest stamp: r5
+    "events_salted_dim_join",  # newest stamp: r5
+    "events_funnel_conversion",  # newest stamp: r5
+    "events_volume_anomaly_mad",  # newest stamp: r5
+    "events_rolling_active_users",  # newest stamp: r5
+    "events_markov_transitions",  # newest stamp: r5
+    "events_hourly_error_purchase_coverage",  # newest stamp: r5
+    "events_user_feature_vectors",  # newest stamp: r5
+    "events_incremental_agg_refresh",  # newest stamp: r5
+    "events_zorder_layout",  # newest stamp: r5
+    "events_k_anonymity_audit",  # newest stamp: r5
+    "events_hll_shard_distinct",  # newest stamp: r5
+    "events_pii_redaction",  # newest stamp: r5
+    "events_user_similarity_topk",  # newest stamp: r5
+    "events_segment_scd2",  # newest stamp: r5
+    "events_chi2_type_dow",  # newest stamp: r5
+    "events_bloom_prefilter_join",  # newest stamp: r5
+    "docs_dup_span_coverage",  # newest stamp: r5
+    "events_streaming_hourly",  # newest stamp: r5
+    "events_streaming_late_data",  # newest stamp: r5
+    "events_streaming_user_totals",  # newest stamp: r5
+    "events_streaming_outer_attribution",  # newest stamp: r5
+    "formats_text_roundtrip",  # newest stamp: r5
+    "formats_schema_evolution",  # newest stamp: r5
+    "formats_partitioned_overwrite",  # newest stamp: r5
+    "formats_compaction",  # newest stamp: r5
+    "emb_lsh_ann_recall",  # newest stamp: r5
+    "cluster_scalar_goldens",  # newest stamp: r6
+    "cluster_node_distribution",  # newest stamp: r6
+    "cluster_node_arity_sweep",  # newest stamp: r6
+    "ddl_readme_flow",  # newest stamp: r6
+    "cluster_resharding_plan",  # newest stamp: r6
+    "sql_portable_text_probe",  # newest stamp: r6
+    "sql_null_semantics_probe",  # newest stamp: r6
+    "tpch_q1_pricing_summary",  # newest stamp: r6
+    "tpch_fk_orphan_audit",  # newest stamp: r6
+    "orders_reorder_intervals",  # newest stamp: r6
+    "part_size_percent_rank",  # newest stamp: r6
 ]
 
 
