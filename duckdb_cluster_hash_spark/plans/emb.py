@@ -179,8 +179,12 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "emb_ivf_kmeans_recall",
     oracle=(
-        "SELECT 10 AS k, 8 AS nprobe, 16 AS n_clusters, "
-        "CAST(1 AS INTEGER) AS recall_ok"
+        "SELECT 10 AS k, "
+        "CAST(GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) // 2 "
+        "AS INTEGER) AS nprobe, "
+        "CAST(GREATEST(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) "
+        "AS INTEGER) AS n_clusters, "
+        "CAST(1 AS INTEGER) AS recall_ok FROM embeddings"
     ),
 )
 def emb_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,22 +193,27 @@ def emb_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     KMeans centroids are seeded but depend on data partitioning, so exact
     result hashes are not portable across engines; the driver-checkable
-    contract is the RECALL PROPERTY: probing nprobe=8 of 16 cells must
-    recover >= 5 of the exact top-10 (measured 8-10/10 across seeds on
-    this corpus — wide margin).  The oracle is that contract as a
-    literal; exact full-probe equality and per-seed recall are pinned in
-    tests/test_similarity.py.  Scale: the cell tag becomes a parquet
-    partition column (see ivf_write_index) and the probe reads
-    nprobe/n_clusters of the corpus; the recall join here is k rows
-    against k rows.
+    contract is the RECALL PROPERTY: probing n_clusters div 2 of the
+    CORPUS-SCALED cluster count (scaled_n_cells ~ ceil(sqrt(n)), same
+    rule as the md5-IVF index trio — the oracle re-derives k and nprobe
+    from count(*)) must recover >= 5 of the exact top-10 (measured 8-9
+    of 10 at sf0.01/sf0.1 — wide margin).  Exact full-probe equality
+    and per-seed recall are pinned in tests/test_similarity.py.
+    Scale: the cell tag becomes a parquet partition column (see
+    ivf_write_index) and the probe reads nprobe/n_clusters = half the
+    corpus here for a maximally-robust contract; a production service
+    probes a constant number of sqrt(n) cells, which is the trio's
+    shrinking-fraction story.
     """
     emb = _t(spark, sf_dir, "embeddings")
+    n_clusters = _sim.scaled_n_cells(emb.count())
+    nprobe = n_clusters // 2
     qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
     # quantizer trained on an md5-deterministic 25% sample (standard IVF
-    # practice — at 100 TB nobody KMeans-fits the full corpus); recall
-    # measured 8-10/10 across seeds and scales with the sampled fit
+    # practice — at 100 TB nobody KMeans-fits the full corpus)
     approx = _sim.ivf_topk(
-        emb, qvec, k=10, n_clusters=16, nprobe=8, train_permille=250
+        emb, qvec, k=10, n_clusters=n_clusters, nprobe=nprobe,
+        train_permille=250,
     )
     exact = _sim.cosine_topk(emb, qvec, k=10).select("vec_id")
     return (
@@ -213,8 +222,8 @@ def emb_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("overlap"))
         .select(
             F.lit(10).alias("k"),
-            F.lit(8).alias("nprobe"),
-            F.lit(16).alias("n_clusters"),
+            F.lit(nprobe).alias("nprobe"),
+            F.lit(n_clusters).alias("n_clusters"),
             (F.col("overlap") >= F.lit(5)).cast("int").alias("recall_ok"),
         )
     )

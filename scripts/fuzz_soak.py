@@ -77,10 +77,42 @@ def _run_family(spark, sf_dir, con, names, seed, label):
     return bad
 
 
+def _stamp_soak_md(
+    n_seeds: int, start: int, per_seed: list[str], failures: list
+) -> None:
+    """Durable round artifact: SOAK.md with the per-seed tallies (the
+    stdout log is ephemeral; the committed stamp is what the next round
+    reads)."""
+    import time
+
+    nd = len(tf.FUZZ_QUERIES)
+    ne = len(tf.EVENTS_FUZZ_QUERIES)
+    with open(os.path.join(ROOT, "SOAK.md"), "w") as fh:
+        fh.write("# SOAK — differential-fuzz sweep result\n\n")
+        fh.write(
+            f"`python scripts/fuzz_soak.py {n_seeds} {start}` — {n_seeds} "
+            "seeded random corpora\n(documents + events families, seeds "
+            f"{start}-{start + n_seeds - 1}), every documents-only\nand "
+            "events-only catalog query vs its DuckDB oracle with the\n"
+            f"driver's normalization: {n_seeds} x ({nd} docs + {ne} events) "
+            f"= {n_seeds * (nd + ne)}\nquery-level comparisons, "
+            f"{len(failures)} divergences.\n\n```\n"
+        )
+        fh.write("\n".join(per_seed) + "\n```\n\n")
+        if failures:
+            fh.write(f"FAILURES: {failures}\n\n")
+        fh.write(
+            "Stamped "
+            + time.strftime("%Y-%m-%d %H:%M:%S UTC", time.gmtime())
+            + f"; exit code {1 if failures else 0}.\n"
+        )
+
+
 def main(n_seeds: int, start: int = 100) -> int:
     spark = _spark()
     spark.sparkContext.setLogLevel("ERROR")
     failures: list[tuple[int, str, str]] = []
+    per_seed: list[str] = []
     for seed in range(start, start + n_seeds):
         with tempfile.TemporaryDirectory(prefix=f"soak{seed}-") as sf_dir:
             docs = spark.createDataFrame(
@@ -119,17 +151,22 @@ def main(n_seeds: int, start: int = 100) -> int:
             dedup.clear_shared_cache()
             failures += [(seed, "docs", n) for n in bad_d]
             failures += [(seed, "events", n) for n in bad_e]
-            print(
+            line = (
                 f"seed {seed}: docs {len(tf.FUZZ_QUERIES) - len(bad_d)}/"
                 f"{len(tf.FUZZ_QUERIES)}, events "
                 f"{len(tf.EVENTS_FUZZ_QUERIES) - len(bad_e)}/"
-                f"{len(tf.EVENTS_FUZZ_QUERIES)} ok",
-                flush=True,
+                f"{len(tf.EVENTS_FUZZ_QUERIES)} ok"
             )
+            per_seed.append(line)
+            print(line, flush=True)
     if failures:
-        print(f"{len(failures)} divergences: {failures}")
+        per_seed.append(f"{len(failures)} divergences: {failures}")
+        print(per_seed[-1])
+        _stamp_soak_md(n_seeds, start, per_seed, failures)
         return 1
-    print(f"all seeds clean ({n_seeds} corpora x both families)")
+    per_seed.append(f"all seeds clean ({n_seeds} corpora x both families)")
+    print(per_seed[-1])
+    _stamp_soak_md(n_seeds, start, per_seed, failures)
     return 0
 
 
