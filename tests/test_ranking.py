@@ -125,3 +125,80 @@ def test_grouped_row_number_skewed_group(spark):
         ranks.setdefault(r["grp"], []).append(r["rn"])
     assert sorted(ranks["hot"]) == list(range(1, 901))
     assert sorted(ranks["cold"]) == list(range(1, 101))
+
+
+def test_ranks_stable_without_exchange_reuse(spark, scored):
+    """The rank construction consumes the range-partitioned frame in two
+    plan branches; with exchange reuse and AQE disabled Spark would
+    otherwise execute the (sampled-boundary, layout-dependent)
+    repartitionByRange once PER BRANCH, and offsets could disagree with
+    local row numbers.  The eager localCheckpoint pins one _pid
+    assignment for both branches — this test runs the construction with
+    both crutches off and must still match the single-window truth."""
+    from duckdb_cluster_hash_spark.operators.ranking import (
+        grouped_row_number,
+        ordered_prefix_sum,
+    )
+
+    confs = {
+        "spark.sql.exchange.reuse": "false",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        order = [F.desc("score"), F.asc("id")]
+        got = {
+            r["id"]: r["rn"]
+            for r in global_row_number(scored, order, n_buckets=16).collect()
+        }
+        want = {
+            r["id"]: r["rn"]
+            for r in scored.withColumn(
+                "rn", F.row_number().over(Window.orderBy(*order))
+            ).collect()
+        }
+        assert got == want
+        grouped = spark.range(0, 500).select(
+            (F.col("id") % 3).alias("g"), F.col("id"), (F.col("id") % 11).alias("s")
+        )
+        gorder = [F.desc("s"), F.asc("id")]
+        ggot = {
+            (r["g"], r["id"]): r["rn"]
+            for r in grouped_row_number(
+                grouped, ["g"], gorder, n_buckets=8
+            ).collect()
+        }
+        gwant = {
+            (r["g"], r["id"]): r["rn"]
+            for r in grouped.withColumn(
+                "rn",
+                F.row_number().over(Window.partitionBy("g").orderBy(*gorder)),
+            ).collect()
+        }
+        assert ggot == gwant
+        cgot = {
+            r["id"]: r["cum"]
+            for r in ordered_prefix_sum(
+                scored, [F.asc("id")], "score", n_buckets=8
+            ).collect()
+        }
+        cwant = {
+            r["id"]: r["cum"]
+            for r in scored.withColumn(
+                "cum",
+                F.sum("score").over(
+                    Window.orderBy("id").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow
+                    )
+                ),
+            ).collect()
+        }
+        assert cgot == cwant
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
