@@ -228,6 +228,7 @@ def main() -> int:
     # concurrency contract holds — reclaim executor storage and record how
     # much there was to reclaim.
     from duckdb_cluster_hash_spark.operators.dedup import clear_shared_cache
+    from duckdb_cluster_hash_spark.operators.ranking import release_rank_pins
 
     run_walls: list[float] = []
     run_timings: list[dict[str, float]] = []
@@ -242,6 +243,10 @@ def main() -> int:
         run_timings.append(per_run)
         freed = clear_shared_cache()
         freed_memo_entries += freed
+        # ranking-family pins (persist-backed, recompute-safe): drained
+        # pool, so releasing between runs reclaims the cached frames the
+        # FIFO cap hasn't already evicted
+        release_rank_pins()
         print(
             f"run {run_idx + 1}/{repeats}: makespan {run_walls[-1]}s, "
             f"freed {freed} memoized checkpoint entries",

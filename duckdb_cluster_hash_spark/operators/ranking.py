@@ -4,50 +4,405 @@ single-partition sort (SURVEY.md §2 scale notes).
 ``Window.orderBy(...)`` with no partition key forces ``Exchange
 SinglePartition``: the whole input crosses one reducer — the classic
 scale killer for "rank every customer / document globally" queries.
-The exact, scalable alternative is the same two-level pattern as
-``sampling.token_shards``:
+The exact, scalable alternative is a two-level construction whose
+bucket assignment is a PURE FUNCTION of the data:
 
-1. ``repartitionByRange`` on the order key — Spark's range partitioner
-   puts partition *i*'s rows entirely before partition *i+1*'s in the
-   global order (boundaries come from sampling, which affects only
-   balance, never correctness);
-2. ``row_number`` windows partitioned by the physical partition id —
-   N independent parallel sorts;
-3. per-partition row counts (one tiny N-row table) prefix-summed into
-   offsets and broadcast back: ``global_rank = offset + local_rank``.
+1. **Frozen cut points.** One fixed-seed sample pass picks up to
+   ``n_buckets - 1`` composite-key cut tuples; they are collected to
+   the driver ONCE and embedded in the plan as literals.  Bucket id is
+   then an UNROLLED binary search over one constant-folded literal
+   array (``_with_bucket``) — ceil(log2 B) struct comparisons per row,
+   O(B) plan size, evaluated JVM-side, and (crucially) replayable: any
+   recomputation — AQE re-plan, stage retry, executor loss,
+   ``spark.sql.exchange.reuse=false`` — re-derives the SAME bucket for
+   every row, because the cuts are literals, not a sampled exchange.
+2. ``row_number`` / running-sum windows partitioned by the bucket id —
+   N independent parallel sorts (hash exchange on the bucket column).
+3. Per-bucket row counts (one tiny ≤ n_buckets-row table) prefix-summed
+   into offsets and broadcast back: ``global = offset + local``.
 
-Only the N-row counts table is ever globally ordered.  ntile is then a
-pure expression over (rank, total): the SQL-standard allocation gives
-the first ``n mod k`` tiles ``ceil(n/k)`` rows and the rest
-``floor(n/k)`` — integer arithmetic both engines reproduce exactly.
+Only the bucket-counts table is ever globally ordered.  This replaces
+the earlier ``repartitionByRange`` + ``spark_partition_id`` +
+``localCheckpoint`` construction, whose correctness relied on
+checkpoint-block SURVIVAL: ``repartitionByRange`` samples boundaries
+with a per-execution seed and partition ids are layout-dependent, so
+losing the checkpointed blocks (executor loss on a real cluster —
+localCheckpoint is unreplicated) would hand the two consumer branches
+different partitionings and silently corrupt ranks.  Here nothing
+needs pinning for correctness: both branches recompute identical
+bucket ids from the data and the literal cuts.  The input is still
+``persist()``-ed (MEMORY_AND_DISK, CacheManager-tracked, so
+``unpersist`` genuinely releases blocks — unlike localCheckpoint) as a
+pure optimization: the count/sample pass and the two plan branches
+share one materialization, and :func:`release_rank_pins` / the FIFO
+cap reclaim the blocks, with recomputation always safe.
+
+Cut quality affects only BALANCE, never correctness: equal composite
+keys cannot straddle a bucket (cuts are compared with the full
+tie-broken key), and a skewed sample merely yields uneven buckets.
+Order-key columns must be non-null and non-NaN (the same "total
+order, add a unique tie-break" contract as before; null keys would
+land in bucket 0 regardless of direction).
+
+ntile is then a pure expression over (rank, total): the SQL-standard
+allocation gives the first ``n mod k`` tiles ``ceil(n/k)`` rows and
+the rest ``floor(n/k)`` — integer arithmetic both engines reproduce
+exactly; ``total`` comes from the same driver-side count that sized
+the sample fraction, so the old 1-row broadcast-total join is gone.
 """
 
 from __future__ import annotations
 
+import re
+import threading
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 __all__ = [
+    "clear_cut_memo",
     "global_row_number",
     "grouped_row_number",
     "ntile_exact",
     "ordered_prefix_sum",
+    "release_rank_pins",
 ]
 
-# Production default: eagerly localCheckpoint the range-partitioned frame so
-# BOTH consumers (local windows + counts) share one materialized _pid
-# assignment — repartitionByRange samples boundaries with a per-execution
-# seed and spark_partition_id is layout-dependent, so recomputation under
-# AQE re-plan / stage retry / exchange-reuse-off could hand the two branches
-# different partitionings and silently corrupt ranks.  Plan-shape tests
-# flip this off (monkeypatch) to assert the range exchange + local sorts in
-# the un-truncated lineage; the constructed plan is identical either way —
-# the checkpoint only pins where it is cut.
-MATERIALIZE_RANGED = True
+# persist() the input so the cut-sample pass and both plan branches share
+# one materialization.  Purely an optimization: bucket ids are literal-cut
+# pure functions of the data, so cache loss / recomputation cannot change
+# any rank.  Plan tests may flip this off to see the un-cached lineage.
+PIN_INPUT = True
+
+# FIFO cap on concurrently-pinned frames (each call pins its input AND
+# its bucketed frame): evicted entries are unpersisted (safe — see
+# above), bounding executor storage in a long-lived session.  Sized for
+# one suite-worker's working set, NOT a whole 241-query run — a cap of
+# 64 let cached batches accumulate until the single-JVM bench hit
+# GCLocker starvation and died; suite harnesses additionally call
+# release_rank_pins() at family boundaries (next to the dedup memo
+# clear) so pinned storage never spans families.
+_PIN_CAP = 12
+_PINNED: list[DataFrame] = []
+_PIN_LOCK = threading.Lock()
+
+_SAMPLE_SEED = 0x5EEDCA7  # fixed: the sample pass is replay-stable
+_SAMPLE_PER_BUCKET = 24  # ~24 sampled keys per cut ≈ ±20% bucket balance
+
+# Driver-side memo of (cut tuples, key types, exact count) keyed by the
+# ANALYZED plan's semantic hash + order spec: re-constructing the same
+# ranking over the same frame (a benchmark repeat, a notebook re-run)
+# skips the count + sample jobs entirely.  Same immutability contract
+# as Spark's own CacheManager: if the underlying storage is rewritten
+# between constructions, call clear_cut_memo() (stale cuts would only
+# skew balance, but ntile's total must be exact).  Tiny (collected key
+# tuples only) and bounded.
+_CUT_MEMO: dict = {}
+_CUT_MEMO_CAP = 512
+
+_B, _LRN, _OFF, _LCUM, _T = "_rkb", "_lrn", "_off", "_lcum", "_t"
+
+# Column<'name DESC NULLS LAST'> / Column<'name ASC NULLS FIRST'> — the
+# default F.desc / F.asc renderings over a plain column reference.
+_SORT_REPR = re.compile(
+    r"^Column<'([A-Za-z_][A-Za-z0-9_]*) (ASC NULLS FIRST|DESC NULLS LAST)'>$"
+)
 
 
-def _pin(ranged: "DataFrame") -> "DataFrame":
-    return ranged.localCheckpoint(eager=True) if MATERIALIZE_RANGED else ranged
+def release_rank_pins() -> int:
+    """Unpersist every input frame pinned by the ranking family and
+    forget them; returns the number released.  Always safe: ranks are a
+    pure function of data + literal cuts, so a consumer collected after
+    release simply recomputes."""
+    with _PIN_LOCK:
+        pinned, _PINNED[:] = list(_PINNED), []
+    for d in pinned:
+        try:
+            d.unpersist(False)
+        except Exception:
+            pass
+    return len(pinned)
+
+
+def _pin(df: DataFrame) -> DataFrame:
+    if not PIN_INPUT:
+        return df
+    from pyspark import StorageLevel
+
+    try:
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+    except Exception:
+        return df
+    evicted: list[DataFrame] = []
+    with _PIN_LOCK:
+        _PINNED.append(df)
+        while len(_PINNED) > _PIN_CAP:
+            evicted.append(_PINNED.pop(0))
+    for old in evicted:
+        try:
+            old.unpersist(False)
+        except Exception:
+            pass
+    return df
+
+
+def _order_specs(order_cols: list[Column]) -> list[tuple[Column, bool]]:
+    """Normalize the caller's order list to (value column, is_desc).
+
+    Accepts plain Columns / names (ascending) and the default
+    ``F.asc(name)`` / ``F.desc(name)`` sort wrappers over simple column
+    references (parsed from the stable Column repr — PySpark exposes no
+    public accessor for a SortOrder's child).  Exotic combinations
+    (nulls-first descents, sort-wrapped compound expressions) are
+    rejected loudly rather than mis-bucketed: wrap the expression in a
+    named column first (``df.withColumn``), then order by the name.
+    """
+    specs: list[tuple[Column, bool]] = []
+    for c in order_cols:
+        if isinstance(c, str):
+            specs.append((F.col(c), False))
+            continue
+        r = str(c)
+        if " NULLS " in r:
+            m = _SORT_REPR.match(r)
+            if not m:
+                raise ValueError(
+                    f"unsupported order column {r}: use F.asc/F.desc over a "
+                    "plain column name, or pre-compute the expression into "
+                    "a named column"
+                )
+            specs.append((F.col(m.group(1)), m.group(2).startswith("DESC")))
+        else:
+            specs.append((c, False))
+    return specs
+
+
+def _sort_cols(specs: list[tuple[Column, bool]]) -> list[Column]:
+    return [c.desc() if d else c.asc() for c, d in specs]
+
+
+def _key_fields(
+    df: DataFrame, specs: list[tuple[Column, bool]]
+) -> list[Column]:
+    """Ascending-normalized key fields: descending components are
+    negated so one plain ascending struct comparison realizes the whole
+    composite order.  Negation requires a numeric component (every
+    catalog descent is a score/amount); a descending string would need
+    an order-reversing transform that does not exist for UTF8 binary
+    order, so it is rejected explicitly."""
+    fields = []
+    for i, (c, is_desc) in enumerate(specs):
+        if is_desc:
+            dt = df.select(c).schema[0].dataType
+            if not isinstance(dt, NumericType):
+                raise ValueError(
+                    f"descending order component {i} has non-numeric type "
+                    f"{dt}; only numeric descents are bucket-normalizable"
+                )
+            c = -c
+        fields.append(c.alias(f"_k{i}"))
+    return fields
+
+
+def _sql_literal(v, dt) -> str:
+    """Render one collected cut value as SQL text of exactly ``dt`` —
+    the cuts array is parsed as ONE expression string because building
+    B struct literals through per-Column py4j calls costs seconds of
+    driver time per ranking call (measured ~2s at B=256).  Strings go
+    through base64 so no quoting/escaping rule can corrupt a cut."""
+    import base64
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        DoubleType,
+        FloatType,
+        StringType,
+        TimestampType,
+    )
+
+    s = dt.simpleString()
+    if isinstance(dt, StringType):
+        b = base64.b64encode(v.encode("utf-8")).decode("ascii")
+        return f"decode(unbase64('{b}'), 'UTF-8')"
+    if isinstance(dt, (DoubleType, FloatType)):
+        return f"CAST('{v!r}' AS {s})"
+    if isinstance(dt, BooleanType):
+        return "true" if v else "false"
+    if isinstance(dt, DateType):
+        return f"DATE'{v.isoformat()}'"
+    if isinstance(dt, TimestampType):
+        return f"TIMESTAMP'{v.isoformat(sep=' ')}'"
+    return f"CAST({v} AS {s})"  # integral / decimal
+
+
+def clear_cut_memo() -> int:
+    """Forget memoized cut points / counts (call after rewriting the
+    storage a previously-ranked frame reads)."""
+    n = len(_CUT_MEMO)
+    _CUT_MEMO.clear()
+    return n
+
+
+def _memo_key(df: DataFrame, specs, n_buckets: int):
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+    return (
+        int(h),
+        tuple(str(c) for c, _ in specs),
+        tuple(d for _, d in specs),
+        int(n_buckets),
+    )
+
+
+def _cut_array(
+    df: DataFrame, specs: list[tuple[Column, bool]], n_buckets: int
+) -> tuple["Column | None", int, int]:
+    """One fixed-seed sample pass → up to ``n_buckets - 1`` strictly
+    increasing composite cut tuples, frozen as plan literals; returns
+    (cuts array Column or None, cut count, exact input row count).
+    The count doubles as ntile's total, and sizes the sample fraction
+    so the driver never collects more than ~1.3 × 24 × n_buckets key
+    tuples regardless of input size.  Memoized per (semantic plan,
+    spec) — see _CUT_MEMO."""
+    import math as _math
+
+    proj = df.select(*_key_fields(df, specs))
+    ktypes = [f.dataType for f in proj.schema.fields]
+    mk = _memo_key(df, specs, n_buckets)
+    if mk is not None and mk in _CUT_MEMO:
+        cuts, n = _CUT_MEMO[mk]
+    else:
+        n = df.count()
+        cuts = []
+        if n > 1 and n_buckets > 1:
+            want = _SAMPLE_PER_BUCKET * n_buckets
+            frac = min(1.0, (want * 1.3) / n)
+            rows = proj.sample(False, frac, seed=_SAMPLE_SEED).collect()
+            vals = sorted(
+                {
+                    tuple(r)
+                    for r in rows
+                    if all(
+                        v is not None
+                        and not (isinstance(v, float) and _math.isnan(v))
+                        for v in r
+                    )
+                }
+            )
+            if vals:
+                m = len(vals)
+                prev = None
+                for j in range(1, n_buckets):
+                    v = vals[min(m - 1, (j * m) // n_buckets)]
+                    if v != prev:
+                        cuts.append(v)
+                        prev = v
+        if mk is not None and len(_CUT_MEMO) < _CUT_MEMO_CAP:
+            _CUT_MEMO[mk] = (cuts, n)
+    if not cuts:
+        return None, 0, n
+    structs = [
+        "named_struct("
+        + ", ".join(
+            f"'_k{i}', {_sql_literal(v, ktypes[i])}" for i, v in enumerate(t)
+        )
+        + ")"
+        for t in cuts
+    ]
+    return F.expr("array(" + ", ".join(structs) + ")"), len(cuts), n
+
+
+def _with_bucket(
+    df: DataFrame,
+    specs: list[tuple[Column, bool]],
+    arr: "Column | None",
+    m: int,
+) -> DataFrame:
+    """Add the deterministic bucket id ``_rkb`` = |{i : key > cut_i}| by
+    UNROLLED binary search over one constant-folded literal array:
+    ceil(log2 B) struct comparisons per row, with each search step its
+    own projection column so the plan stays O(B) total (one folded
+    array literal per step) — never the O(B)-literal CASE tree (its
+    codegen cost made multi-consumer plans ~40x slower) and never a
+    per-row HOF fold over all B cuts (measured ~40x slower than this
+    at B=256 on 1M rows)."""
+    if arr is None or m == 0:
+        return df.withColumn(_B, F.lit(0))
+    import math
+    out = (
+        df.withColumn("_rkbk", F.struct(*_key_fields(df, specs)))
+        .withColumn("_rklo", F.lit(0))
+        .withColumn("_rkhi", F.lit(m))
+    )
+    for _ in range(max(1, math.ceil(math.log2(m + 1)))):
+        out = out.withColumn(
+            "_rkmid", F.shiftright(F.col("_rklo") + F.col("_rkhi"), 1)
+        )
+        out = out.withColumn(
+            "_rkc",
+            (F.col("_rklo") < F.col("_rkhi"))
+            & (F.col("_rkbk") > F.element_at(arr, F.col("_rkmid") + 1)),
+        )
+        out = out.withColumn(
+            "_rkhi",
+            F.when(
+                F.col("_rkc") | (F.col("_rklo") >= F.col("_rkhi")),
+                F.col("_rkhi"),
+            ).otherwise(F.col("_rkmid")),
+        )
+        out = out.withColumn(
+            "_rklo",
+            F.when(F.col("_rkc"), F.col("_rkmid") + 1).otherwise(F.col("_rklo")),
+        )
+    return out.withColumn(_B, F.col("_rklo").cast("int")).drop(
+        "_rkbk", "_rklo", "_rkhi", "_rkmid", "_rkc"
+    )
+
+
+def _keyed_frame(
+    df: DataFrame, specs: list[tuple[Column, bool]], n_buckets: int
+) -> tuple[DataFrame, int]:
+    """Pin the input (count/sample pass + bucket evaluation share one
+    materialization), assign buckets, then pin the BUCKETED frame too:
+    every plan branch and every downstream consumer (a quantile-leg
+    query may reference the ranked frame a dozen times) reads the
+    bucket column from cache instead of re-evaluating the search —
+    with recomputation still exact if any cache is lost."""
+    src = _pin(df)
+    arr, m, n = _cut_array(src, specs, n_buckets)
+    keyed = _pin(_with_bucket(src, specs, arr, m))
+    return keyed, n
+
+
+def _global_rn(
+    df: DataFrame,
+    specs: list[tuple[Column, bool]],
+    n_buckets: int,
+    out_col: str,
+) -> tuple[DataFrame, int]:
+    keyed, n = _keyed_frame(df, specs, n_buckets)
+    local = keyed.withColumn(
+        _LRN,
+        F.row_number().over(Window.partitionBy(_B).orderBy(*_sort_cols(specs))),
+    )
+    counts = keyed.groupBy(_B).agg(F.count("*").alias("_c"))
+    # the ONLY globally-ordered data: one row per bucket
+    over_b = Window.orderBy(_B).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        _B, (F.sum("_c").over(over_b) - F.col("_c")).alias(_OFF)
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), _B)
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
+        .drop(_B, _LRN, _OFF)
+    )
+    return ranked, n
 
 
 def global_row_number(
@@ -58,43 +413,23 @@ def global_row_number(
 ) -> DataFrame:
     """Add a 1-based global row number in ``order_cols`` order without a
     single-partition sort.  The order key must be total (add a unique
-    tie-break column); equal keys never split across range partitions,
-    so ranks are exact for any sampled boundaries.
+    tie-break column) and non-null; equal keys never straddle a bucket
+    (cuts compare the full composite key), so ranks are exact for any
+    sampled cuts — cut quality affects balance only.
 
     Size ``n_buckets`` so a bucket's rows fit one executor's sort budget
     (rows/n_buckets per task): 256 suits up to ~10^9 input rows; beyond
-    that pass a larger value — the offsets table stays n_buckets rows
+    that pass a larger value — the offsets table stays ≤ n_buckets rows
     and is the only globally-ordered data either way.
 
-    The ranged frame is localCheckpoint'ed (eager): it feeds TWO plan
-    branches (local windows + counts), and both must see the SAME range
-    boundaries and ``spark_partition_id`` assignment.  Range boundaries
-    come from sampling with a per-execution seed and _pid is
-    layout-dependent, so without materialization an AQE re-plan, stage
-    retry, or ``spark.sql.exchange.reuse=false`` could hand the two
-    branches different partitionings and silently corrupt ranks.
+    Determinism: bucket ids are a pure function of (row values, literal
+    cut points frozen at build time) — see the module docstring.  No
+    stage retry, AQE re-plan, executor loss, or cache eviction can move
+    a row across buckets, so the two consumers (local windows, counts)
+    always agree without any checkpoint.
     """
-    ranged = _pin(
-        df.repartitionByRange(n_buckets, *order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
-    local = ranged.withColumn(
-        "_lrn", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
-    )
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_c"))
-    # the ONLY globally-ordered data: one row per range bucket
-    over_pids = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = counts.select(
-        "_pid", (F.sum("_c").over(over_pids) - F.col("_c")).alias("_off")
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
-        .drop("_pid", "_lrn", "_off")
-    )
+    ranked, _ = _global_rn(df, _order_specs(order_cols), n_buckets, out_col)
+    return ranked
 
 
 def grouped_row_number(
@@ -109,46 +444,38 @@ def grouped_row_number(
 
     A plain ``Window.partitionBy(group).orderBy(...)`` is keyed, but one
     hot stratum (one language holding 60% of a 100 TB corpus) becomes a
-    single reducer's sort.  Same two-level fix: range-partition on
-    (group, order) — for a fixed group, bucket i's rows all precede
-    bucket i+1's in the order — then per-(bucket, group) local windows,
-    and per-group offsets prefix-summed over the tiny
-    n_buckets x |groups| counts table (the only data ordered outside
-    the buckets; broadcast back).  Order key must be total within each
-    group (add a unique tie-break).
-
-    As in :func:`global_row_number`, the ranged frame is eagerly
-    localCheckpoint'ed so both consumers (local windows, counts) share
-    one materialized _pid assignment — sampled range boundaries are not
-    replay-stable across exchange re-computation.
+    single reducer's sort.  Same two-level fix: the literal cut points
+    are computed over the COMPOSITE (group, order, tie-break) key, so a
+    hot group splits across many buckets; per-(bucket, group) local
+    windows rank in parallel, and per-group offsets prefix-sum over the
+    tiny ≤ n_buckets × |groups| counts table (the only data ordered
+    outside the buckets; broadcast back).  Order key must be total
+    within each group and non-null.
     """
-    gcols = [F.col(c) for c in group_cols]
-    ranged = _pin(
-        df.repartitionByRange(n_buckets, *gcols, *order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
-    local = ranged.withColumn(
-        "_lrn",
+    gspecs = [(F.col(g), False) for g in group_cols]
+    ospecs = _order_specs(order_cols)
+    keyed, _ = _keyed_frame(df, gspecs + ospecs, n_buckets)
+    local = keyed.withColumn(
+        _LRN,
         F.row_number().over(
-            Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+            Window.partitionBy(_B, *group_cols).orderBy(*_sort_cols(ospecs))
         ),
     )
-    counts = ranged.groupBy("_pid", *group_cols).agg(F.count("*").alias("_c"))
-    over_pids = (
+    counts = keyed.groupBy(_B, *group_cols).agg(F.count("*").alias("_c"))
+    over_b = (
         Window.partitionBy(*group_cols)
-        .orderBy("_pid")
+        .orderBy(_B)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offsets = counts.select(
-        "_pid",
+        _B,
         *group_cols,
-        (F.sum("_c").over(over_pids) - F.col("_c")).alias("_off"),
+        (F.sum("_c").over(over_b) - F.col("_c")).alias(_OFF),
     )
     return (
-        local.join(F.broadcast(offsets), ["_pid", *group_cols])
-        .withColumn(out_col, (F.col("_off") + F.col("_lrn")).cast("bigint"))
-        .drop("_pid", "_lrn", "_off")
+        local.join(F.broadcast(offsets), [_B, *group_cols])
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
+        .drop(_B, _LRN, _OFF)
     )
 
 
@@ -168,33 +495,24 @@ def ntile_exact(
     - r <= rem*(q+1):  tile = ceil(r / (q+1))
     - else:            tile = rem + ceil((r - rem*(q+1)) / q)
 
-    Pure integer arithmetic over (rank, total) — ``div``-based quotients
-    and ``(a + d - 1) div d`` ceilings, no double-precision division
-    anywhere, so the allocation is bit-exact on both engines at ANY row
-    count (not just below 2^53); ``greatest(q, 1)`` guards the
-    (never-taken at k > n is false; taken when k >= n makes the else
-    branch dead) division.
+    ``n`` is the exact driver-side count the cut-point pass already
+    paid for, so q/rem/head are Python-int LITERALS — no 1-row
+    broadcast-total join.  Pure integer arithmetic (``div`` quotients
+    and ``(a + d - 1) div d`` ceilings, no double-precision division),
+    bit-exact on both engines at any row count; ``max(q, 1)`` guards
+    the k >= n case where the else branch is dead anyway.
     """
-    ranked = global_row_number(df, order_cols, n_buckets=n_buckets, out_col="_rn")
-    total = ranked.groupBy().agg(F.count("*").alias("_n"))
-    k_lit = int(k)
-    staged = (
-        ranked.join(F.broadcast(total))
-        .withColumn("_q", F.expr(f"_n div {k_lit}"))
-        .withColumn("_rem", F.col("_n") % F.lit(k_lit))
-        .withColumn("_qs", F.greatest(F.col("_q"), F.lit(1).cast("bigint")))
-        .withColumn("_head", F.col("_rem") * (F.col("_q") + F.lit(1)))
-    )
+    ranked, n = _global_rn(df, _order_specs(order_cols), n_buckets, "_rn")
+    q, rem = divmod(int(n), int(k))
+    head = rem * (q + 1)
+    qs = max(q, 1)
     tile = (
         # ceil(r / (q+1)) == (r + q) div (q + 1); ceil(x / qs) == (x + qs - 1) div qs
-        F.when(F.col("_rn") <= F.col("_head"), F.expr("(_rn + _q) div (_q + 1)"))
-        .otherwise(F.col("_rem") + F.expr("(_rn - _head + _qs - 1) div _qs"))
+        F.when(F.col("_rn") <= F.lit(head), F.expr(f"(_rn + {q}) div {q + 1}"))
+        .otherwise(F.lit(rem) + F.expr(f"(_rn - {head} + {qs - 1}) div {qs}"))
         .cast("int")
     )
-    return (
-        staged.withColumn(out_col, tile)
-        .drop("_rn", "_n", "_q", "_rem", "_qs", "_head")
-    )
+    return ranked.withColumn(out_col, tile).drop("_rn")
 
 
 def ordered_prefix_sum(
@@ -207,36 +525,31 @@ def ordered_prefix_sum(
     """Add an INCLUSIVE running sum of ``val_col`` in ``order_cols``
     order without a single-partition sort — the cumulative-share /
     Pareto primitive, built exactly like :func:`global_row_number`:
-    range partition on the order key, N parallel local running sums,
-    then broadcast per-partition totals prefix-summed over the only
-    globally-ordered table (n_buckets rows).
+    literal-cut buckets, N parallel local running sums, then broadcast
+    per-bucket totals prefix-summed over the only globally-ordered
+    table (≤ n_buckets rows).
 
-    The order key must be total (include a unique tie-break) so the
-    running sum is a pure function of the data, not the layout.
-
-    Eagerly localCheckpoint'ed for the same two-consumer _pid-stability
-    reason as :func:`global_row_number`.
+    The order key must be total (include a unique tie-break) and
+    non-null so the running sum is a pure function of the data, not
+    the layout; bucket determinism per the module docstring.
     """
-    ranged = _pin(
-        df.repartitionByRange(n_buckets, *order_cols).withColumn(
-            "_pid", F.spark_partition_id()
-        )
-    )
-    in_part = (
-        Window.partitionBy("_pid")
-        .orderBy(*order_cols)
+    specs = _order_specs(order_cols)
+    keyed, _ = _keyed_frame(df, specs, n_buckets)
+    in_bucket = (
+        Window.partitionBy(_B)
+        .orderBy(*_sort_cols(specs))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("_lcum", F.sum(val_col).over(in_part))
-    totals = ranged.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
-    over_pids = Window.orderBy("_pid").rowsBetween(
+    local = keyed.withColumn(_LCUM, F.sum(val_col).over(in_bucket))
+    totals = keyed.groupBy(_B).agg(F.sum(val_col).alias(_T))
+    over_b = Window.orderBy(_B).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     offsets = totals.select(
-        "_pid", (F.sum("_t").over(over_pids) - F.col("_t")).alias("_off")
+        _B, (F.sum(_T).over(over_b) - F.col(_T)).alias(_OFF)
     )
     return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_off") + F.col("_lcum")).cast("bigint"))
-        .drop("_pid", "_lcum", "_off")
+        local.join(F.broadcast(offsets), _B)
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LCUM)).cast("bigint"))
+        .drop(_B, _LCUM, _OFF)
     )

@@ -2314,10 +2314,22 @@ def events_histogram_quantile_sketch(
     )
     cum = ordered_prefix_sum(bc, [F.col("b")], "c", out_col="csum")
     tot = v.agg(F.count("*").cast("bigint").alias("n"))
-    # exact ride-along: global rank over values (range-partitioned, no
-    # single-partition sort), then pick the ceil(q*n/1000)-th value
+    # exact ride-along: global rank over values (literal-cut buckets, no
+    # single-partition sort), then pick the ceil(q*n/1000)-th value —
+    # ALL quantile targets filtered in ONE pass over the ranked frame
+    # and the (<= |quantiles|)-row result eagerly checkpointed, so the
+    # corpus-wide rank job runs once, not once per quantile leg
     ranked = global_row_number(
         v, [F.col("vc")], out_col="rn"
+    )
+    any_target = " OR ".join(
+        f"rn = ({q} * n + 999) div 1000" for q in _HQ_QUANTILES
+    )
+    exacts = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.expr(any_target))
+        .selectExpr("CAST(vc AS BIGINT) AS exact_cents", "rn", "n")
+        .localCheckpoint(eager=True)
     )
     legs = []
     for q in _HQ_QUANTILES:
@@ -2326,11 +2338,9 @@ def events_histogram_quantile_sketch(
             .filter(F.expr(f"1000 * csum >= {q} * n"))
             .agg(F.min("ub").cast("bigint").alias("est_upper_cents"))
         )
-        exact = (
-            ranked.crossJoin(F.broadcast(tot))
-            .filter(F.expr(f"rn = ({q} * n + 999) div 1000"))
-            .selectExpr("CAST(vc AS BIGINT) AS exact_cents")
-        )
+        exact = exacts.filter(
+            F.expr(f"rn = ({q} * n + 999) div 1000")
+        ).select("exact_cents")
         legs.append(
             est.crossJoin(exact).selectExpr(
                 f"CAST({q} AS BIGINT) AS q_permille",

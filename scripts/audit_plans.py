@@ -165,9 +165,9 @@ WAIVERS: dict[str, str] = {
         "map-side"
     ),
     "lineitem_trimmed_price_stats": (
-        "the 256-row offsets table of global_row_number plus the 1-row "
-        "final rollup (deciles shape); the corpus ranks via "
-        "rangepartitioning + local sorts"
+        "the <=256-row offsets table of global_row_number plus the 1-row "
+        "final rollup (deciles shape); the corpus ranks via literal-cut "
+        "buckets + local sorts"
     ),
     "parts_skyline_price_size": (
         "the single-partition step is the running-max sweep over the "
@@ -191,14 +191,14 @@ WAIVERS: dict[str, str] = {
         "scalar rollup (deciles shape x2)"
     ),
     "customer_rfm_segments": (
-        "three independent ntile_exact rankings: the nested-loop is the "
-        "1-row broadcast total per ranking, and the 6 SinglePartition "
-        "exchanges are the 64-row offsets + 1-row count tables (same "
-        "shape as customer_spend_deciles, x3)"
+        "three independent ntile_exact rankings: the SinglePartition "
+        "exchanges are the <=64-row bucket-offsets tables (ntile's total "
+        "is a driver-side literal now; same shape as "
+        "customer_spend_deciles, x3)"
     ),
     "customer_spend_deciles": (
-        "offsets window + total count are n_buckets/1-row tables; the corpus "
-        "itself ranks via rangepartitioning (gated in test_plans)"
+        "offsets window is an n_buckets-row table; the corpus itself "
+        "ranks via literal-cut buckets (gated in test_plans)"
     ),
     "events_funnel_conversion": (
         "final scalar rollup + 4-row stack unpivot; input is the per-user "

@@ -142,6 +142,7 @@ def main(names):
     # dedup/similarity queries, so clearing per-query would defeat it
     # while clearing per-family keeps peak executor storage bounded.
     from duckdb_cluster_hash_spark.operators.dedup import clear_shared_cache
+    from duckdb_cluster_hash_spark.operators.ranking import release_rank_pins
 
     # Family = owning plans module (fn.__module__ tail), not the name's
     # first underscore token: prefix grouping split star-schema queries
@@ -159,6 +160,7 @@ def main(names):
     for name in selected:
         if prev_family is not None and fam(name) != prev_family:
             freed = clear_shared_cache()
+            release_rank_pins()  # persist-backed, recompute-safe
             if freed:
                 print(f"-- cleared {freed} memoized checkpoint entries "
                       f"after family '{prev_family}'")

@@ -29,6 +29,7 @@ from check_oracle import normalize  # noqa: E402
 import test_fuzz_oracle as tf  # noqa: E402
 
 from duckdb_cluster_hash_spark.operators import dedup  # noqa: E402
+from duckdb_cluster_hash_spark.operators.ranking import release_rank_pins  # noqa: E402
 from duckdb_cluster_hash_spark.plans.catalog import ORACLES, QUERIES  # noqa: E402
 
 
@@ -141,6 +142,7 @@ def main(n_seeds: int, start: int = 100) -> int:
                 f"read_parquet('{sf_dir}/events.parquet/*.parquet')"
             )
             dedup.clear_shared_cache()
+            release_rank_pins()
             bad_d = _run_family(
                 spark, sf_dir, con, tf.FUZZ_QUERIES, seed, "docs"
             )
@@ -149,6 +151,7 @@ def main(n_seeds: int, start: int = 100) -> int:
             )
             con.close()
             dedup.clear_shared_cache()
+            release_rank_pins()
             failures += [(seed, "docs", n) for n in bad_d]
             failures += [(seed, "events", n) for n in bad_e]
             line = (

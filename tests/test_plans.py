@@ -299,13 +299,14 @@ def test_mixture_epochs_is_map_side(spark, sf_small):
 
 
 def test_deciles_avoid_single_partition_sort(spark, sf_small):
-    """customer_spend_deciles must rank via range repartition + parallel
-    per-partition windows (operators/ranking.py), never a bare global
-    ntile window (Exchange SinglePartition of every customer)."""
+    """customer_spend_deciles must rank via literal-cut buckets +
+    parallel per-bucket windows (operators/ranking.py), never a bare
+    global ntile window (Exchange SinglePartition of every customer).
+    This asserts the PRODUCTION plan — no flag flipping."""
     plan = plan_of(QUERIES["customer_spend_deciles"](spark, sf_small))
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning(_rkb" in plan  # windows are per-bucket
     assert "ntile" not in plan  # replaced by the exact rank arithmetic
-    assert "_pid" in plan  # windows are per-range-partition
+    assert "BroadcastHashJoin" in plan  # tiny offsets table broadcast back
 
 
 def test_q17_semi_join_below_per_part_agg(spark, sf_small):
@@ -531,18 +532,16 @@ def test_mad_anomaly_windows_partition_by_type(spark, sf_small):
         assert m.group(1).strip(), "unkeyed window found"
 
 
-def test_pareto_abc_uses_two_level_prefix_sum(spark, sf_small, monkeypatch):
-    """The cumulative share must come from the range-partitioned
-    two-level prefix sum: a rangepartitioning exchange on the cents
-    order, with only the bucket-totals table globally ordered.
-    MATERIALIZE_RANGED is flipped off so the localCheckpoint (which
-    pins the _pid assignment in production) doesn't truncate the
-    lineage being asserted on — the constructed plan is identical."""
-    from duckdb_cluster_hash_spark.operators import ranking
-
-    monkeypatch.setattr(ranking, "MATERIALIZE_RANGED", False)
+def test_pareto_abc_uses_two_level_prefix_sum(spark, sf_small):
+    """The cumulative share must come from the bucketed two-level
+    prefix sum: a hash exchange on the literal-cut bucket id, parallel
+    in-bucket running sums, and only the ≤ n_buckets totals table
+    globally ordered (broadcast back).  Asserted on the production
+    plan — the deterministic-cut construction needs no lineage
+    truncation to be replay-stable."""
     plan = plan_of(QUERIES["supplier_pareto_abc"](spark, sf_small))
-    assert "rangepartitioning(cents" in plan
+    assert "hashpartitioning(_rkb" in plan
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
 
@@ -564,6 +563,30 @@ def test_percent_rank_window_partitioned_by_brand(spark, sf_small):
     plan = plan_of(QUERIES["part_size_percent_rank"](spark, sf_small))
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_substring_rewrite_keyed_splice_no_collect(spark, sf_small):
+    """The ExactSubstr deletion rewrite must splice via doc_id-keyed
+    ops only: region arrays join the corpus on doc_id (never a
+    cartesian), the fold is a JVM expression (no Python), and the
+    graded audit reads the parquet ARTIFACT back joined keyed to the
+    originals."""
+    from duckdb_cluster_hash_spark.operators.dedup import exact_substring_rewrite
+    from duckdb_cluster_hash_spark.sources import load_table
+
+    op_plan = plan_of(
+        exact_substring_rewrite(
+            load_table(spark, sf_small, "documents"), "doc_id", "text"
+        )
+    )
+    assert "CartesianProduct" not in op_plan
+    assert "BatchEvalPython" not in op_plan and "ArrowEvalPython" not in op_plan
+    assert "doc_id" in op_plan  # splice join keyed on the doc id
+    audit_plan = plan_of(QUERIES["docs_exact_substring_rewrite"](spark, sf_small))
+    assert "CartesianProduct" not in audit_plan
+    assert "BatchEvalPython" not in audit_plan
+    # the audit's kept_chars/md5 read the written artifact, not the frame
+    assert audit_plan.count("Scan parquet") >= 2
 
 
 def test_bpe_pairs_map_side_no_join_topk(spark, sf_small):
@@ -640,10 +663,11 @@ def test_user_similarity_broadcasts_anchor_no_densification(spark, sf_small):
 
 def test_rfm_three_parallel_rankings_not_chained(spark, sf_small):
     """The three quintiles must rank INDEPENDENTLY and join on the key.
-    Each ntile_exact statically references its input 4x (ranks, counts,
-    offsets, total; AQE reuses the identical exchanges at runtime), so
-    three independent rankings print <= 12 scans — a 3-deep chain
-    compounds to ~4^3 and this gate pins the non-chained shape."""
+    Each ntile_exact statically references its input 3x (ranks, counts,
+    offsets; the total is a driver-side literal and the pinned input is
+    cached), so three independent rankings print <= 12 scans — a 3-deep
+    chain compounds geometrically and this gate pins the non-chained
+    shape."""
     plan = plan_of(QUERIES["customer_rfm_segments"](spark, sf_small))
     assert plan.count("Scan parquet") <= 12
     assert "CartesianProduct" not in plan
@@ -692,15 +716,12 @@ def test_resharding_key_impact_native_exprs_single_scan(spark, sf_small):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_spearman_two_independent_range_rankings(spark, sf_small, monkeypatch):
-    """Both rank assignments must be the two-level range ranking (never
-    a corpus-wide single-partition sort window) joined on the doc key.
-    MATERIALIZE_RANGED off: see test_pareto_abc_uses_two_level_prefix_sum."""
-    from duckdb_cluster_hash_spark.operators import ranking
-
-    monkeypatch.setattr(ranking, "MATERIALIZE_RANGED", False)
+def test_spearman_two_independent_range_rankings(spark, sf_small):
+    """Both rank assignments must be the two-level bucketed ranking
+    (never a corpus-wide single-partition sort window) joined on the
+    doc key.  Asserted on the production plan."""
     plan = plan_of(QUERIES["docs_spearman_chars_tokens"](spark, sf_small))
-    assert plan.count("rangepartitioning") >= 2
+    assert plan.count("hashpartitioning(_rkb") >= 2
     assert "CartesianProduct" not in plan
 
 
@@ -1024,17 +1045,13 @@ def test_k_anonymity_single_keyed_aggregate(spark, sf_small):
     assert "BatchEvalPython" not in plan
 
 
-def test_trimmed_stats_rank_via_range_partitioning(spark, sf_small, monkeypatch):
-    """The global price rank must come from rangepartitioning + local
+def test_trimmed_stats_rank_via_range_partitioning(spark, sf_small):
+    """The global price rank must come from literal-cut buckets + local
     sorts (the distributed construction), never a corpus-wide
-    SinglePartition window sort.
-    MATERIALIZE_RANGED off: see test_pareto_abc_uses_two_level_prefix_sum."""
-    from duckdb_cluster_hash_spark.operators import ranking
-
-    monkeypatch.setattr(ranking, "MATERIALIZE_RANGED", False)
+    SinglePartition window sort.  Asserted on the production plan."""
     plan = plan_of(QUERIES["lineitem_trimmed_price_stats"](spark, sf_small))
-    assert "rangepartitioning" in plan
-    assert "BroadcastHashJoin" in plan  # 256-row offsets broadcast
+    assert "hashpartitioning(_rkb" in plan
+    assert "BroadcastHashJoin" in plan  # ≤256-row offsets broadcast
 
 
 def test_sequence_distance_caps_history_map_side(spark, sf_small):

@@ -202,3 +202,90 @@ def test_ranks_stable_without_exchange_reuse(spark, scored):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ranks_survive_pin_loss_mid_plan(spark, scored):
+    """Executor-loss equivalent: build the ranked frame, then UNPERSIST
+    the pinned input (simulating every cached/checkpointed block being
+    lost) BEFORE collecting.  The collect recomputes both plan branches
+    from lineage — bucket ids are pure functions of (data, literal
+    cuts), so the recomputed ranks must still be exact.  This is the
+    durability property the old localCheckpoint construction did NOT
+    have (sampled range boundaries + spark_partition_id are not
+    replay-stable)."""
+    from duckdb_cluster_hash_spark.operators import ranking
+
+    order = [F.desc("score"), F.asc("id")]
+    out = ranking.global_row_number(scored, order, n_buckets=16)
+    gout = ranking.grouped_row_number(
+        scored.withColumn("grp", (F.col("id") % 5).cast("string")),
+        ["grp"],
+        order,
+        n_buckets=16,
+        out_col="grn",
+    )
+    released = ranking.release_rank_pins()
+    assert released >= 1  # the inputs really were pinned, and are now gone
+    got = {r["id"]: r["rn"] for r in out.collect()}
+    want = {
+        r["id"]: r["rn"]
+        for r in scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+    ggot = {(r["grp"], r["id"]): r["grn"] for r in gout.collect()}
+    gwant = {
+        (r["grp"], r["id"]): r["rn"]
+        for r in scored.withColumn("grp", (F.col("id") % 5).cast("string"))
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("grp").orderBy(*order))
+        )
+        .collect()
+    }
+    assert ggot == gwant
+
+
+def test_ranks_identical_with_and_without_pin(spark, scored):
+    """PIN_INPUT is an optimization only: the unpinned lineage (every
+    branch recomputed independently, no cache anywhere) must produce
+    byte-identical ranks — the pure-function-of-data contract."""
+    from duckdb_cluster_hash_spark.operators import ranking
+
+    order = [F.desc("score"), F.asc("id")]
+    pinned = {
+        r["id"]: r["rn"]
+        for r in ranking.global_row_number(scored, order, n_buckets=16).collect()
+    }
+    saved = ranking.PIN_INPUT
+    try:
+        ranking.PIN_INPUT = False
+        unpinned = {
+            r["id"]: r["rn"]
+            for r in ranking.global_row_number(
+                scored, order, n_buckets=16
+            ).collect()
+        }
+    finally:
+        ranking.PIN_INPUT = saved
+        ranking.release_rank_pins()
+    assert pinned == unpinned
+
+
+def test_order_spec_rejects_exotic_sort_wrappers(spark, scored):
+    """Unsupported sort forms must fail loudly at build time, never
+    mis-bucket: non-default null ordering and sort-wrapped compound
+    expressions have no bucket normalization."""
+    import pytest as _pytest
+
+    from duckdb_cluster_hash_spark.operators.ranking import global_row_number
+
+    with _pytest.raises(ValueError):
+        global_row_number(scored, [F.col("score").desc_nulls_first()])
+    with _pytest.raises(ValueError):
+        global_row_number(scored, [(F.col("score") + F.col("id")).desc()])
+    # descending STRING has no order-reversing normalization
+    with _pytest.raises(ValueError):
+        global_row_number(
+            scored.withColumn("s", F.col("id").cast("string")), [F.desc("s")]
+        )
