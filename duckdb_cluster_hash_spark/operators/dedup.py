@@ -23,11 +23,66 @@ oracle-checkable.
 
 from __future__ import annotations
 
+import os
+import shutil
 import threading
+import uuid
 import weakref
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Where the exact-substring family stages its corpus-sized position
+# tables.  None (default) = persist() in executor memory/disk — right
+# for single-node and bench scale.  A path (or the
+# SPARK_GRAFT_SUBSTR_STAGE env var) = write each intermediate to a temp
+# parquet table under it and read it back — the corpus-scale option the
+# design doc calls for: position tables at 100 TB outgrow executor
+# storage, and a staged parquet table is re-scannable by every consumer
+# stage at parquet cost, survives executor loss, and is deleted the
+# moment the (tiny) run table materializes.  Measured at the x10 scale
+# notch in SCALE.md (parity footnote).
+POSITION_STAGE_DIR: str | None = os.environ.get("SPARK_GRAFT_SUBSTR_STAGE") or None
+
+# Edge-count cutover below which connected components close on the
+# driver (bounded collect + union-find) instead of iterating on the
+# cluster — see neardup_components.  200k edges ≈ a few MB of int
+# pairs; the distributed path takes over beyond it.
+SMALL_GRAPH_EDGE_CAP = int(
+    os.environ.get("SPARK_GRAFT_CC_DRIVER_CAP", "200000")
+)
+
+
+def _materialize_positions(df: DataFrame, tag: str):
+    """Materialize a corpus-sized intermediate for multi-consumer reuse;
+    returns (frame, release).  Default: CacheManager persist()
+    (MEMORY_AND_DISK) — unlike localCheckpoint, ``release()`` then
+    genuinely frees the blocks (Dataset.unpersist only uncaches
+    CacheManager-registered plans), and a post-release consumer merely
+    recomputes the deterministic lineage.  With POSITION_STAGE_DIR set:
+    a temp parquet table, released by deleting the directory."""
+    if POSITION_STAGE_DIR:
+        path = os.path.join(
+            POSITION_STAGE_DIR, f"substr_{tag}_{uuid.uuid4().hex}"
+        )
+        df.write.mode("overwrite").parquet(path)
+        staged = df.sparkSession.read.parquet(path)
+
+        def release() -> None:
+            shutil.rmtree(path, ignore_errors=True)
+
+        return staged, release
+    from pyspark import StorageLevel
+
+    persisted = df.persist(StorageLevel.MEMORY_AND_DISK)
+
+    def release() -> None:
+        try:
+            persisted.unpersist(False)
+        except Exception:
+            pass
+
+    return persisted, release
 
 __all__ = [
     "exact_dedup",
@@ -39,6 +94,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_neardup_pairs",
     "neardup_components",
+    "neardup_components_shared",
     "neardup_components_pathjump",
     "simhash64",
     "simhash64_shared",
@@ -48,6 +104,7 @@ __all__ = [
     "duplicated_span_coverage",
     "exact_substring_span_pairs",
     "substring_dup_bill",
+    "exact_substring_rewrite",
     "clear_shared_cache",
 ]
 
@@ -79,7 +136,15 @@ def _shared_checkpoint(df: DataFrame, key: tuple, build) -> DataFrame:
     """One builder per (corpus, key); concurrent requesters block on the
     builder's event and reuse its checkpoint.  Without the exclusivity a
     concurrent suite (the bench's 8 workers) launches the same expensive
-    materialization N times and nobody shares anything."""
+    materialization N times and nobody shares anything.
+
+    ``build`` returns either a LAZY DataFrame, or ``(frame, cleanup)``
+    where ``cleanup()`` releases the builder's intermediates; the single
+    eager checkpoint HERE is what materializes the frame, and cleanup
+    runs only after it completes — so intermediates are never released
+    under the materializing job, and the run table is checkpointed
+    exactly once (the old build-side inner checkpoint paid a redundant
+    second materialization and stored the table twice)."""
     with _SHARED_LOCK:
         per_df = _SHARED_MATERIALIZED.get(df)
         if per_df is None:
@@ -94,7 +159,13 @@ def _shared_checkpoint(df: DataFrame, key: tuple, build) -> DataFrame:
             is_builder = False
     if is_builder:
         try:
-            entry["df"] = build().localCheckpoint(eager=True)
+            built = build()
+            cleanup = None
+            if isinstance(built, tuple):
+                built, cleanup = built
+            entry["df"] = built.localCheckpoint(eager=True)
+            if cleanup is not None:
+                cleanup()
         except BaseException:
             with _SHARED_LOCK:
                 per_df.pop(key, None)  # let a later caller rebuild
@@ -113,10 +184,14 @@ def clear_shared_cache(df: DataFrame | None = None) -> int:
     long-lived sessions, where the per-corpus localCheckpoint blocks
     would otherwise live as long as the corpus DataFrame does).
 
-    Unpersists every completed checkpoint so executor storage is
-    reclaimed immediately, then forgets the memo entries — the next
-    dedup call over the same corpus rebuilds from lineage.  With ``df``
-    given, only that corpus's entries are dropped; with ``None``, all.
+    Forgets the memo entries — the next dedup call over the same corpus
+    rebuilds from lineage.  Block reclamation is at GC, not eager:
+    entries are localCheckpoint'ed, and Dataset.unpersist only uncaches
+    CacheManager-registered plans, so the checkpoint RDD blocks are
+    freed when the dropped DataFrame (and its py4j handle) is
+    garbage-collected and the ContextCleaner sweeps the orphaned RDD.
+    With ``df`` given, only that corpus's entries are dropped; with
+    ``None``, all.
     Returns the number of entries cleared.  In-flight builders (entry
     not yet ``done``) are left untouched and clear on a later call.
 
@@ -777,10 +852,12 @@ def exact_substring_span_pairs(
     equality on both engines at any graded scale.
 
     Scale: positions shuffle as (digest, id, pos) — never text; the
-    position table is materialized once (localCheckpoint — it feeds the
-    frequency gate AND the gated join back; this is the distributed
-    analog of materializing the suffix array, which Lee et al. also
-    pay; at corpus scale target a temp parquet table instead).  The
+    position table is materialized once (it feeds the frequency gate
+    AND the gated join back — the distributed analog of materializing
+    the suffix array, which Lee et al. also pay): CacheManager
+    persist() by default (releasable, recompute-safe), or a temp
+    parquet table under ``POSITION_STAGE_DIR`` — the corpus-scale
+    staging path, measured for parity in SCALE.md.  The
     digest-frequency gate (>= 2 docs, <= ``cap`` total occurrences) is
     one keyed aggregation and bounds the per-digest join fan-out at
     cap^2, the same stop-gram guard the LSH path uses (a k-char gram
@@ -817,13 +894,17 @@ def _substring_match_runs(
     The finished run table is memoized per (corpus, params) via
     ``_shared_checkpoint`` — the pair view and the per-doc bill both
     start from it, so one engine session pays the position-anchor scan
-    once.  The intermediate position checkpoints are unpersisted as
-    soon as the runs materialize: the run table is tiny (one row per
-    maximal shared span) while the position table is corpus-sized.
+    once.  The corpus-sized position intermediates are persist()'ed
+    (or parquet-staged, see ``POSITION_STAGE_DIR``) and released by the
+    builder's cleanup immediately after the single eager run-table
+    checkpoint completes: the run table is tiny (one row per maximal
+    shared span) while the position table is corpus-sized, and
+    persist()-backed blocks — unlike localCheckpoint's — are actually
+    freed by unpersist, with any later recomputation deterministic.
     """
 
-    def build() -> DataFrame:
-        occ = (
+    def build():
+        occ, release_occ = _materialize_positions(
             df.where(F.length(text_col) >= k)
             .select(
                 F.col(id_col).alias("doc_id"),
@@ -837,8 +918,8 @@ def _substring_match_runs(
             )
             .select(
                 "doc_id", F.col("g.p").alias("p"), F.col("g.dig").alias("dig")
-            )
-            .localCheckpoint(eager=True)
+            ),
+            "occ",
         )
         keep = (
             occ.groupBy("dig")
@@ -849,7 +930,7 @@ def _substring_match_runs(
             .where((F.col("dd") >= 2) & (F.col("c") <= cap))
             .select("dig")
         )
-        kept = occ.join(keep, "dig").localCheckpoint(eager=True)
+        kept, release_kept = _materialize_positions(occ.join(keep, "dig"), "kept")
         a = kept.select(
             "dig", F.col("doc_id").alias("doc_a"), F.col("p").alias("pa")
         )
@@ -874,12 +955,18 @@ def _substring_match_runs(
                 (F.count("*") + F.lit(k - 1)).cast("bigint").alias("span_chars"),
             )
             .drop("island")
-            # materialize before releasing the corpus-sized intermediates
-            .localCheckpoint(eager=True)
         )
-        occ.unpersist()
-        kept.unpersist()
-        return runs
+
+        def cleanup() -> None:
+            # runs only after _shared_checkpoint's single eager
+            # materialization completes: the corpus-sized position
+            # tables are then genuinely released (persist path) or
+            # deleted (staged-parquet path), never pulled out from
+            # under the materializing job
+            release_kept()
+            release_occ()
+
+        return runs, cleanup
 
     return _shared_checkpoint(
         df, ("substr_runs", id_col, text_col, k, cap), build
@@ -915,6 +1002,47 @@ def substring_dup_bill(
     the final left join back to the corpus is digest-free and keyed on
     the doc id.
     """
+    covered = (
+        _merged_covered_regions(df, id_col, text_col, k=k, cap=cap)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars")
+        )
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.length(text_col).cast("bigint").alias("n_chars"),
+        )
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            # greatest(1, ...) so an empty document degrades identically
+            # on both engines (dup_bp 0) instead of NULL-vs-error
+            F.expr("(10000 * coalesce(dup_chars, 0)) div greatest(1, n_chars)")
+            .cast("bigint")
+            .alias("dup_bp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _merged_covered_regions(
+    df: DataFrame, id_col: str, text_col: str, k: int, cap: int
+) -> DataFrame:
+    """Per-document MERGED duplicated-char intervals — the shared core
+    of the deletion bill and the deletion rewrite: each maximal matched
+    run (see :func:`_substring_match_runs`) contributes the interval
+    [start, start+span-1] to BOTH endpoint docs (doc_b's start shifted
+    by the diagonal); per-doc intervals merge with the classic
+    running-max sweep (cummax of interval end over the start-ordered
+    window — a NEW covered region begins where start exceeds every
+    previous end), so overlapping runs from different partners never
+    double-count a character.  Returns (doc_id, s, e), disjoint and
+    keyed per doc — the window is bounded by a doc's shared-span count,
+    never corpus-sized."""
     from pyspark.sql import Window
 
     runs = _substring_match_runs(df, id_col, text_col, k=k, cap=cap)
@@ -936,10 +1064,7 @@ def substring_dup_bill(
         .distinct()
     )
     w = Window.partitionBy("doc_id").orderBy("s", "e")
-    prev_max = (
-        F.max("e")
-        .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    )
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     swept = ivals.withColumn(
         "new_reg",
         F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
@@ -949,29 +1074,69 @@ def substring_dup_bill(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    covered = (
-        swept.groupBy("doc_id", "reg_id")
-        .agg((F.max("e") - F.min("s") + 1).alias("rlen"))
-        .groupBy("doc_id")
-        .agg(F.sum("rlen").cast("bigint").alias("dup_chars"))
-    )
     return (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.length(text_col).cast("bigint").alias("n_chars"),
+        swept.groupBy("doc_id", "reg_id")
+        .agg(
+            F.min("s").cast("bigint").alias("s"),
+            F.max("e").cast("bigint").alias("e"),
         )
-        .join(covered, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chars",
-            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
-            # greatest(1, ...) so an empty document degrades identically
-            # on both engines (dup_bp 0) instead of NULL-vs-error
-            F.expr("(10000 * coalesce(dup_chars, 0)) div greatest(1, n_chars)")
-            .cast("bigint")
-            .alias("dup_bp"),
-        )
-        .orderBy("doc_id")
+        .drop("reg_id")
+    )
+
+
+def exact_substring_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 40,
+    cap: int = 64,
+) -> DataFrame:
+    """The DELETION step that completes Lee et al. 2022's ExactSubstr:
+    return the corpus with every cross-document duplicated span (every
+    char covered by a >= ``k``-char substring that also appears
+    verbatim in another document, under the ``cap`` stop-gram guard)
+    physically REMOVED from every document — the paper's §4.1 policy
+    (delete all copies; aggressive by design, and exactly what the
+    deletion bill priced).  Returns (doc_id, text) for EVERY input doc:
+    untouched docs keep their text verbatim, fully-covered docs come
+    back empty.
+
+    Construction: the merged covered regions (shared with
+    :func:`substring_dup_bill`) collapse to ONE sorted interval array
+    per doc; the kept text is a single JVM-side ``aggregate`` fold over
+    that array — each step appends the gap before the next deleted
+    region and jumps the cursor past it, the finish lambda appends the
+    tail.  No Python, no per-char explode: one keyed aggregation to
+    build the arrays and one keyed join back to the corpus (text moves
+    to its own regions only, exactly once).
+
+    Scale: region arrays are bounded by a doc's merged-span count
+    (tiny); the join is doc_id-keyed — never a cartesian, never a
+    corpus-sized collect; the expensive part remains the shared run
+    table, paid once per (corpus, params) via the family memo.
+    """
+    regs = (
+        _merged_covered_regions(df, id_col, text_col, k=k, cap=cap)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_regs"))
+    )
+    src = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")
+    )
+    rebuilt = F.expr(
+        "aggregate(_regs, "
+        "named_struct('pos', CAST(1 AS BIGINT), 'acc', ''), "
+        "(st, r) -> named_struct("
+        "'pos', r.e + CAST(1 AS BIGINT), "
+        "'acc', concat(st.acc, "
+        "substr(_txt, CAST(st.pos AS INT), CAST(r.s - st.pos AS INT)))), "
+        "st -> concat(st.acc, substr(_txt, CAST(st.pos AS INT))))"
+    )
+    return src.join(regs, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("_regs").isNull(), F.col("_txt"))
+        .otherwise(rebuilt)
+        .alias("text"),
     )
 
 
@@ -994,8 +1159,45 @@ def neardup_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     Returns (doc_id, component) where component = min doc_id of the
     cluster; only docs appearing in >= 1 pair are returned (singletons
     need no dedup decision).
+
+    ADAPTIVE CUTOVER (the same move AQE makes for broadcast joins): a
+    near-dup EDGE list is orders of magnitude smaller than the corpus
+    (only docs with a >= threshold partner appear), and below
+    ``SMALL_GRAPH_EDGE_CAP`` edges the distributed iteration is pure
+    scheduler overhead — 2 joins x ~3 rounds of sub-second jobs.  Such
+    graphs collect to the driver (bounded by the cap, ~a few MB) and
+    close with union-find; output is bit-identical (component = min
+    reachable id either way).  Above the cap — the true 100 TB case —
+    the distributed label propagation below is the path.
     """
     pairs_cp = pairs.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    if pairs_cp.count() <= SMALL_GRAPH_EDGE_CAP:
+        rows = pairs_cp.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in rows:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # attach the LARGER root under the smaller so every
+                # tree root is already the component's min doc id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = sorted((n, find(n)) for n in parent)
+        id_type = pairs_cp.schema["doc_a"].dataType.simpleString()
+        return pairs_cp.sparkSession.createDataFrame(
+            out, f"doc_id {id_type}, component {id_type}"
+        )
     fwd = pairs_cp.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     rev = pairs_cp.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=True)
@@ -1122,6 +1324,43 @@ def neardup_components_pathjump(
     raise RuntimeError(
         f"neardup_components_pathjump did not converge in {max_rounds} "
         "rounds; components would be wrong — raise max_rounds"
+    )
+
+
+def neardup_components_shared(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Session-memoized :func:`neardup_components` over the MinHash/LSH
+    pair graph — the components table is tiny (docs in clusters only)
+    and deterministic, but the label-propagation closure costs a
+    shuffle round per graph diameter, so consumers that need the SAME
+    clustering (the components census query, the composed curation
+    pipeline's near-dup stage) share one materialization per (corpus,
+    params) instead of each re-running the iteration."""
+
+    def build() -> DataFrame:
+        return neardup_components(
+            minhash_neardup_pairs(
+                df,
+                id_col,
+                text_col,
+                n=n,
+                k=k,
+                bands=bands,
+                rows=rows,
+                threshold=threshold,
+            )
+        )
+
+    return _shared_checkpoint(
+        df, ("neardup_components", id_col, text_col, n, k, bands, rows, threshold), build
     )
 
 

@@ -689,6 +689,154 @@ def substring_dup_bill_sql(
     )
 
 
+def curation_pipeline_sql(
+    min_quality: float = 0.65,
+    rep_bp_max: int = 2000,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 8,
+    rows: int = 2,
+    threshold: float = 0.2,
+    table: str = "documents",
+) -> str:
+    """Oracle for docs_curation_pipeline: the end-to-end keep/drop
+    ladder — exact dedup, quality + Gopher-repetition gate, near-dup
+    component drop (MinHash/LSH closure reused verbatim from
+    neardup_components_sql), train-quota split — each document labeled
+    with the FIRST stage that drops it, rolled up to the per-stage
+    attrition bill (stage, n_docs, n_chars).
+
+    Every gate is a pure per-doc function (quality score and rep_bp
+    don't depend on which other docs survive), so the ladder is
+    single-pass; the only set-dependent stages are the near-dup keeper
+    (min surviving doc_id per corpus-wide component, a grouped min over
+    cluster members only — never a window over the null-component
+    mass) and the per-lang 80% train quota over pending docs (the
+    stratified-split rank rule verbatim)."""
+    comp = neardup_components_sql(n, k, bands, rows, threshold)
+    comp_ctes = comp[
+        len("WITH RECURSIVE "):comp.rindex("SELECT src AS doc_id")
+    ].rstrip()
+    feats = ", ".join(
+        f"{sql} AS {name}" for name, sql in _QUALITY_FEATURES_SQL.items()
+    )
+    score = (
+        "(round((0.25 * (CASE WHEN n_tokens >= 5 AND n_tokens <= 100000 "
+        "THEN 1.0 ELSE 0.0 END) + 0.25 * (1.0 - repetition_ratio) "
+        "+ 0.25 * least(stop_ratio * 5, 1.0) "
+        "+ 0.25 * (1.0 - least(punct_ratio * 4, 1.0))) * 10000) / 10000)"
+    )
+    return (
+        "WITH RECURSIVE " + comp_ctes + ", "
+        "comps AS (SELECT src AS doc_id, min(dst) AS component "
+        "FROM reach GROUP BY src), "
+        "s0 AS (SELECT doc_id, text, lang, "
+        f"CAST(length(text) AS BIGINT) AS nch FROM {table}), "
+        "r1 AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep "
+        "FROM s0), "
+        f"fe AS (SELECT doc_id, lang, nch, rep, {feats} FROM r1), "
+        f"q AS (SELECT doc_id, lang, nch, rep, {score} AS quality FROM fe), "
+        "gw AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS w "
+        "FROM s0), "
+        "gb AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] "
+        "FOR i IN range(1, len(w))]) AS bg FROM gw WHERE len(w) >= 2), "
+        "gc AS (SELECT doc_id, bg, count(*) AS c FROM gb GROUP BY doc_id, bg), "
+        "gm AS (SELECT doc_id, CAST((10000 * max(c)) // sum(c) AS BIGINT) "
+        "AS rep_bp FROM gc GROUP BY doc_id), "
+        "lad AS (SELECT q.doc_id, q.lang, q.nch, (q.doc_id <> q.rep) AS d1, "
+        f"(q.quality < {min_quality} OR COALESCE(g.rep_bp, 0) >= {rep_bp_max}) "
+        "AS d2, c.component "
+        "FROM q LEFT JOIN gm g USING (doc_id) LEFT JOIN comps c USING (doc_id)), "
+        "keeper AS (SELECT component, "
+        "min(CASE WHEN NOT d1 AND NOT d2 THEN doc_id END) AS keep_id "
+        "FROM lad WHERE component IS NOT NULL GROUP BY component), "
+        "staged AS (SELECT l.doc_id, l.lang, l.nch, CASE "
+        "WHEN l.d1 THEN '1_exact_dup' "
+        "WHEN l.d2 THEN '2_low_quality' "
+        "WHEN l.component IS NOT NULL AND l.doc_id <> kk.keep_id "
+        "THEN '3_near_dup' ELSE NULL END AS drop_stage "
+        "FROM lad l LEFT JOIN keeper kk USING (component)), "
+        "pend AS (SELECT doc_id, lang, nch, row_number() OVER ("
+        "PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk, "
+        "count(*) OVER (PARTITION BY lang) AS nl "
+        "FROM staged WHERE drop_stage IS NULL), "
+        "final AS (SELECT doc_id, lang, nch, "
+        "CASE WHEN rk <= (nl * 8) // 10 THEN '5_kept' "
+        "ELSE '4_quota_held_out' END AS stage FROM pend "
+        "UNION ALL SELECT doc_id, lang, nch, drop_stage FROM staged "
+        "WHERE drop_stage IS NOT NULL) "
+        "SELECT stage, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(COALESCE(sum(nch), 0) AS BIGINT) AS n_chars "
+        "FROM final GROUP BY stage ORDER BY stage"
+    )
+
+
+def exact_substring_rewrite_sql(
+    k: int = 40, cap: int = 64, table: str = "documents"
+) -> str:
+    """Oracle for operators.dedup.exact_substring_rewrite (and the
+    docs_exact_substring_rewrite audit): same matched runs and merged
+    covered regions as substring_dup_bill_sql, then the deletion itself
+    — per doc, the kept text is the ordered concatenation of the gap
+    before each deleted region (lag(e) window) plus the tail after the
+    last region; docs with no regions keep their text verbatim.  Graded
+    columns are the post-deletion char counts AND md5 over the
+    rewritten text (md5 = the one cross-engine hash), so a single
+    off-by-one in any engine's splice breaks the value hash."""
+    wd = "PARTITION BY doc_id ORDER BY s, e"
+    prev_max = f"max(e) OVER ({wd} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    return (
+        "WITH occ AS (SELECT doc_id, p, "
+        f"md5(substr(text, p, {k})) AS dig "
+        f"FROM {table}, LATERAL unnest(range(1, length(text) - {k} + 2)) AS t(p) "
+        f"WHERE length(text) >= {k}), "
+        "keep AS (SELECT dig FROM occ GROUP BY dig "
+        f"HAVING count(DISTINCT doc_id) >= 2 AND count(*) <= {cap}), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, "
+        "a.p - b.p AS diag "
+        "FROM occ a JOIN keep USING (dig) JOIN occ b USING (dig) "
+        "WHERE a.doc_id < b.doc_id), "
+        "runs AS (SELECT doc_a, doc_b, diag, pa, pa - row_number() OVER ("
+        "PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island FROM pairs), "
+        "spans AS (SELECT doc_a, doc_b, diag, CAST(min(pa) AS BIGINT) AS "
+        f"start_a, CAST(count(*) + {k} - 1 AS BIGINT) AS span_chars "
+        "FROM runs GROUP BY doc_a, doc_b, diag, island), "
+        "ivals AS (SELECT DISTINCT doc_id, s, e FROM ("
+        "SELECT doc_a AS doc_id, start_a AS s, start_a + span_chars - 1 AS e "
+        "FROM spans UNION ALL "
+        "SELECT doc_b, start_a - diag, start_a - diag + span_chars - 1 "
+        "FROM spans)), "
+        "swept AS (SELECT doc_id, s, e, "
+        f"CASE WHEN {prev_max} IS NULL OR s > {prev_max} THEN 1 ELSE 0 END "
+        "AS new_reg FROM ivals), "
+        f"reg AS (SELECT doc_id, s, e, sum(new_reg) OVER ({wd} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS reg_id "
+        "FROM swept), "
+        "regions AS (SELECT doc_id, CAST(min(s) AS BIGINT) AS s, "
+        "CAST(max(e) AS BIGINT) AS e FROM reg GROUP BY doc_id, reg_id), "
+        "pieces AS (SELECT doc_id, s, e, "
+        f"lag(e) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e FROM regions), "
+        "frag AS ("
+        "SELECT p.doc_id, p.s AS ord, substr(d.text, "
+        "CAST(COALESCE(p.prev_e + 1, 1) AS INT), "
+        "CAST(p.s - COALESCE(p.prev_e + 1, 1) AS INT)) AS piece "
+        f"FROM pieces p JOIN {table} d USING (doc_id) "
+        "UNION ALL "
+        "SELECT m.doc_id, CAST(9223372036854775807 AS BIGINT) AS ord, "
+        "substr(d.text, CAST(m.me + 1 AS INT)) AS piece "
+        "FROM (SELECT doc_id, max(e) AS me FROM regions GROUP BY doc_id) m "
+        f"JOIN {table} d USING (doc_id)), "
+        "rebuilt AS (SELECT doc_id, coalesce(string_agg(piece, '' ORDER BY ord), '') "
+        "AS txt FROM frag GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars, "
+        "CAST(length(COALESCE(r.txt, d.text)) AS BIGINT) AS kept_chars, "
+        "CAST(length(d.text) - length(COALESCE(r.txt, d.text)) AS BIGINT) "
+        "AS removed_chars, "
+        "md5(COALESCE(r.txt, d.text)) AS rewritten_md5 "
+        f"FROM {table} d LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id"
+    )
+
+
 def margin_bitext_sql(
     label_a: int = 0,
     label_b: int = 1,

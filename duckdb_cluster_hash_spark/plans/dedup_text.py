@@ -118,12 +118,14 @@ def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering (C4 end-game): MinHash pairs -> connected
     components via iterative min-label propagation; component id = min
-    doc id (the oracle computes the same closure with a recursive CTE)."""
-    pairs = _dd.minhash_neardup_pairs(
+    doc id (the oracle computes the same closure with a recursive CTE).
+    Session-memoized (neardup_components_shared): the curation pipeline
+    consumes the same clustering, so the closure iteration runs once
+    per (corpus, params), not once per consumer."""
+    return _dd.neardup_components_shared(
         _t(spark, sf_dir, "documents"), "doc_id", "text",
         n=3, k=16, bands=8, rows=2, threshold=0.2,
     )
-    return _dd.neardup_components(pairs)
 
 
 @query(
@@ -216,6 +218,66 @@ def docs_substring_dup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
     See operators/dedup.py:substring_dup_bill."""
     return _dd.substring_dup_bill(
         _t(spark, sf_dir, "documents"), "doc_id", "text", k=40, cap=64
+    )
+
+
+@query(
+    "docs_exact_substring_rewrite",
+    oracle=_ot.exact_substring_rewrite_sql(40, 64),
+)
+def docs_exact_substring_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ExactSubstr DELETION itself (C3/C4; Lee et al. 2022 §4.1) —
+    the step that turns the bill into a corpus: every character covered
+    by a >= 40-char substring shared verbatim with another document is
+    physically removed from every document, and the deduplicated corpus
+    is WRITTEN as a lake artifact (parquet, one row per doc including
+    untouched ones).  The graded audit is then computed FROM the
+    artifact — per-doc pre/post char counts plus md5 over the rewritten
+    text — so the oracle certifies the bytes that actually landed on
+    disk, not an intermediate frame; a one-char splice error anywhere
+    breaks the value hash.
+
+    Scale: see operators/dedup.py:exact_substring_rewrite — merged
+    regions collapse to one bounded interval array per doc, the splice
+    is a JVM-side aggregate fold, and both joins (regions -> corpus,
+    audit -> originals) are doc_id-keyed; no cartesian, no
+    corpus-sized collect, no Python.  The run table is the family memo
+    shared with the pair view and the bill."""
+    import os as _os
+    import tempfile as _tf
+
+    docs = _t(spark, sf_dir, "documents")
+    rewritten = _dd.exact_substring_rewrite(
+        docs, "doc_id", "text", k=40, cap=64
+    )
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"dch_substr_rewrite_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    rewritten.write.mode("overwrite").parquet(path)
+    art = spark.read.parquet(path)
+    orig = docs.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_chars")
+    )
+    return (
+        art.select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("kept_chars"),
+            F.md5("text").alias("rewritten_md5"),
+        )
+        .join(orig, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "kept_chars",
+            (F.col("n_chars") - F.col("kept_chars"))
+            .cast("bigint")
+            .alias("removed_chars"),
+            "rewritten_md5",
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -508,6 +508,179 @@ def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("docs_curation_pipeline", oracle=_ot.curation_pipeline_sql())
+def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED end-to-end curation pass (C3+C4+C6 north star):
+    every signal the suite grades independently, chained into one
+    keep/drop ladder per document — exact dedup (md5 group, min-id
+    keeper) → quality gate (quality score >= 0.65 AND Gopher top-bigram
+    repetition < 2000 bp) → near-dup drop (MinHash/LSH components,
+    keeper = min SURVIVING doc_id per corpus-wide cluster) → per-lang
+    80% train quota (the stratified-split rank rule) — with the kept
+    corpus WRITTEN as a lake artifact and the graded output the
+    per-stage attrition bill (stage, n_docs, n_chars); the kept row is
+    computed FROM the re-read artifact, so the bill certifies the bytes
+    on disk.
+
+    Scale: the per-doc gates (quality, rep_bp) are set-independent, so
+    the ladder is ONE corpus pass + the Gopher bigram rollup; the
+    MinHash candidate graph and components reuse the family memo
+    (shared with docs_neardup_components — same corpus frame, same
+    params); the near-dup keeper is a grouped min over CLUSTER MEMBERS
+    only (never a window whose null-component partition holds the whole
+    corpus) broadcast back; the quota rank is
+    ranking.grouped_row_number (literal-cut buckets — a hot language
+    never becomes one reducer's sort).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from duckdb_cluster_hash_spark.functions.text import (
+        quality_features,
+        quality_score_col,
+    )
+    from duckdb_cluster_hash_spark.operators.ranking import grouped_row_number
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    s0 = docs.select(
+        "doc_id", "text", "lang", F.length("text").cast("bigint").alias("nch")
+    )
+    q = quality_features(
+        s0.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ),
+        "text",
+    ).select("doc_id", "lang", "nch", "rep", quality_score_col().alias("quality"))
+    # Gopher top-bigram repetition share, per doc (same construction as
+    # docs_gopher_repetition, keyed by doc only)
+    gw = s0.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("w"),
+    ).where(F.size("w") >= 2)
+    gm = (
+        gw.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> element_at(w, i) || ' ' || element_at(w, i + 1))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST((10000 * max(c)) div sum(c) AS BIGINT)").alias("rep_bp")
+        )
+    )
+    comps = _dd.neardup_components_shared(
+        docs, "doc_id", "text", n=3, k=16, bands=8, rows=2, threshold=0.2
+    )
+    lad = (
+        q.join(gm, "doc_id", "left")
+        .join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "nch",
+            (F.col("doc_id") != F.col("rep")).alias("d1"),
+            (
+                (F.col("quality") < 0.65)
+                | (F.coalesce("rep_bp", F.lit(0)) >= 2000)
+            ).alias("d2"),
+            "component",
+        )
+    )
+    keeper = (
+        lad.where(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(
+            F.min(F.when(~F.col("d1") & ~F.col("d2"), F.col("doc_id"))).alias(
+                "keep_id"
+            )
+        )
+    )
+    from duckdb_cluster_hash_spark.operators.ranking import _pin as _rank_pin
+
+    # the narrow ladder frame feeds five consumers (dropped bill, quota
+    # rank, per-lang totals, artifact write, quota bill) — pin it so
+    # the quality/Gopher/keeper chain executes once, not per consumer
+    # (persist-backed: releasable at family boundaries, recompute-safe)
+    staged = _rank_pin(
+        lad.join(F.broadcast(keeper), "component", "left").select(
+            "doc_id",
+            "lang",
+            "nch",
+            F.when(F.col("d1"), "1_exact_dup")
+            .when(F.col("d2"), "2_low_quality")
+            .when(
+                F.col("component").isNotNull()
+                & (F.col("doc_id") != F.col("keep_id")),
+                "3_near_dup",
+            )
+            .alias("drop_stage"),
+        )
+    )
+    pend = staged.where(F.col("drop_stage").isNull()).select(
+        "doc_id", "lang", "nch"
+    )
+    ranked = grouped_row_number(
+        pend.withColumn("kq", F.md5(F.col("doc_id").cast("string"))),
+        ["lang"],
+        [F.col("kq"), F.col("doc_id")],
+        out_col="rk",
+    )
+    totals = pend.groupBy("lang").agg(F.count("*").alias("nl"))
+    labeled = (
+        ranked.join(F.broadcast(totals), "lang")
+        .withColumn(
+            "stage",
+            F.when(F.col("rk") <= F.expr("(nl * 8) div 10"), "5_kept").otherwise(
+                "4_quota_held_out"
+            ),
+        )
+        .select("doc_id", "lang", "nch", "stage")
+    )
+    # the kept corpus IS the artifact; the bill's kept row reads it back
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"dch_curated_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    labeled.where(F.col("stage") == "5_kept").select("doc_id").join(
+        docs.select("doc_id", "lang", "text"), "doc_id"
+    ).write.mode("overwrite").parquet(path)
+    art = spark.read.parquet(path)
+    kept_bill = art.groupBy(F.lit("5_kept").alias("stage")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.length("text").cast("bigint")), F.lit(0))
+        .cast("bigint")
+        .alias("n_chars"),
+    )
+    dropped_bill = (
+        staged.where(F.col("drop_stage").isNotNull())
+        .groupBy(F.col("drop_stage").alias("stage"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nch").cast("bigint").alias("n_chars"),
+        )
+    )
+    quota_bill = (
+        labeled.where(F.col("stage") == "4_quota_held_out")
+        .groupBy("stage")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nch").cast("bigint").alias("n_chars"),
+        )
+    )
+    return (
+        dropped_bill.unionByName(quota_bill)
+        .unionByName(kept_bill)
+        .orderBy("stage")
+    )
+
+
 @query(
     "docs_stratified_sample",
     oracle=(

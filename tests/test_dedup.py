@@ -365,3 +365,137 @@ def test_substring_dup_bill_interval_union(spark):
     assert rows[3]["dup_chars"] == 20
     assert rows[4]["dup_chars"] == 0 and rows[4]["dup_bp"] == 0
     assert rows[5]["dup_chars"] == 0
+
+
+def test_exact_substring_staged_parquet_parity(spark, tmp_path):
+    """POSITION_STAGE_DIR (the corpus-scale staging path: position
+    tables written to temp parquet instead of executor persist) must
+    produce byte-identical spans AND clean its staging directories up
+    as soon as the run table materializes."""
+    import os
+
+    rows = [
+        (1, "qqqqqqqqqq" + "SHAREDBLOCKONE!!" + "rrrrrrrrrr"),
+        (2, "uuuuuuuuuu" + "SHAREDBLOCKONE!!" + "vvvvvvvvvv"),
+        (3, "kkkkkkkkkkkkkkkkkkkk"),
+    ]
+    schema = "doc_id long, text string"
+    base = {
+        (r["doc_a"], r["doc_b"]): (
+            r["longest_span_chars"], r["n_spans"], r["dup_chars_bound"]
+        )
+        for r in dd.exact_substring_span_pairs(
+            spark.createDataFrame(rows, schema), "doc_id", "text",
+            k=10, cap=64, min_span=12,
+        ).collect()
+    }
+    stage = str(tmp_path / "substr_stage")
+    os.makedirs(stage, exist_ok=True)
+    saved = dd.POSITION_STAGE_DIR
+    try:
+        dd.POSITION_STAGE_DIR = stage
+        staged = {
+            (r["doc_a"], r["doc_b"]): (
+                r["longest_span_chars"], r["n_spans"], r["dup_chars_bound"]
+            )
+            for r in dd.exact_substring_span_pairs(
+                spark.createDataFrame(rows, schema), "doc_id", "text",
+                k=10, cap=64, min_span=12,
+            ).collect()
+        }
+    finally:
+        dd.POSITION_STAGE_DIR = saved
+    assert staged == base and (1, 2) in base
+    # builder cleanup deleted both staged position tables
+    assert os.listdir(stage) == []
+
+
+def test_substring_bill_after_intermediate_release(spark):
+    """The run-table memo must keep serving correct bills AFTER the
+    builder released its position intermediates (the persist()-backed
+    blocks are genuinely freed now — the old localCheckpoint+unpersist
+    was a no-op): a second family member computed post-release reads
+    the checkpointed runs, never the dropped positions."""
+    b = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"
+    df = spark.createDataFrame(
+        [(1, "xx" + b + "yy"), (2, "zz" + b + "ww"), (3, "mmmmmmmmmmmm")],
+        "doc_id long, text string",
+    )
+    pairs = dd.exact_substring_span_pairs(
+        df, "doc_id", "text", k=10, cap=64, min_span=10
+    ).collect()  # materializes runs; builder cleanup has run by now
+    bill = {
+        r["doc_id"]: r["dup_chars"]
+        for r in dd.substring_dup_bill(
+            df, "doc_id", "text", k=10, cap=64
+        ).collect()
+    }
+    assert len(pairs) == 1 and pairs[0]["longest_span_chars"] == 30
+    assert bill == {1: 30, 2: 30, 3: 0}
+
+
+def test_exact_substring_rewrite_splices_exactly(spark):
+    """The deletion rewrite must remove EXACTLY the merged covered
+    intervals from every doc: head/middle/tail gaps survive verbatim,
+    overlapping partner spans are cut once, untouched and sub-k docs
+    come back byte-identical, and a fully-covered doc comes back
+    empty."""
+    b = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 distinct chars
+    full = "FULLYSHAREDDOCBODY!!"  # 20 chars, the whole of docs 4 and 5
+    rows = [
+        # doc 1 shares b[:20] with doc 2 and b[10:] with doc 3 ->
+        # union covers all 30 chars of b inside doc 1
+        (1, "xx" + b + "yy"),
+        (2, "mm" + b[:20] + "nn"),
+        (3, "pp" + b[10:] + "qq"),
+        (4, full),
+        (5, full),
+        (6, "nothing shared here at all, unique."),
+        (7, "tiny"),  # < k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dd.exact_substring_rewrite(
+            df, "doc_id", "text", k=10, cap=64
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}
+    assert got[1] == "xxyy"  # whole 30-char union cut, gaps spliced
+    assert got[2] == "mmnn"
+    assert got[3] == "ppqq"
+    assert got[4] == "" and got[5] == ""  # fully covered -> empty
+    assert got[6] == rows[5][1]  # untouched, byte-identical
+    assert got[7] == "tiny"  # sub-k doc contributes no positions
+    # the deletion agrees with the bill: removed chars == dup_chars
+    bill = {
+        r["doc_id"]: r["dup_chars"]
+        for r in dd.substring_dup_bill(
+            df, "doc_id", "text", k=10, cap=64
+        ).collect()
+    }
+    for d, txt in got.items():
+        orig = dict((r[0], r[1]) for r in rows)[d]
+        assert len(orig) - len(txt) == bill[d], d
+
+
+def test_components_driver_cutover_matches_distributed(spark):
+    """The small-graph driver union-find cutover must be bit-identical
+    to the distributed label propagation on the same pairs — chain,
+    clique, and singleton-free shapes — and the distributed path must
+    still engage when the cap is zeroed."""
+    rows = [(i, i + 1) for i in range(0, 20)]  # 21-node chain
+    rows += [(100, 101), (100, 102), (101, 102)]  # clique
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    fast = {(r.doc_id, r.component) for r in dd.neardup_components(pairs).collect()}
+    saved = dd.SMALL_GRAPH_EDGE_CAP
+    try:
+        dd.SMALL_GRAPH_EDGE_CAP = 0  # force the distributed iteration
+        slow = {
+            (r.doc_id, r.component)
+            for r in dd.neardup_components(pairs).collect()
+        }
+    finally:
+        dd.SMALL_GRAPH_EDGE_CAP = saved
+    assert fast == slow
+    assert {c for _, c in fast} == {0, 100}
