@@ -46,56 +46,56 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 #   stamp[q] = max round whose CORRECTNESS_r*.json contains q;
 #   window = new queries + sorted(catalog, key=stamp)[:50-len(new)].
 _DRIVER_WINDOW_FIRST = [
-    "docs_exact_substring_dedup",  # never stamped
-    "docs_substring_dup_bill",  # never stamped
-    "lineitem_discount_quantity_ols",  # newest stamp: r5
-    "orders_cube_status_priority",  # newest stamp: r5
-    "parts_brand_triangles",  # newest stamp: r5
-    "docs_media_frame_sample",  # newest stamp: r5
-    "docs_bpe_first_merges",  # newest stamp: r5
-    "docs_quality_constraints",  # newest stamp: r5
-    "docs_vocab_growth_curve",  # newest stamp: r5
-    "docs_spearman_chars_tokens",  # newest stamp: r5
-    "docs_token_weighted_sample",  # newest stamp: r5
-    "docs_countmin_heavy_hitters",  # newest stamp: r5
-    "events_node_partitioned_sink",  # newest stamp: r5
-    "events_salted_dim_join",  # newest stamp: r5
-    "events_funnel_conversion",  # newest stamp: r5
-    "events_volume_anomaly_mad",  # newest stamp: r5
-    "events_rolling_active_users",  # newest stamp: r5
-    "events_markov_transitions",  # newest stamp: r5
-    "events_hourly_error_purchase_coverage",  # newest stamp: r5
-    "events_user_feature_vectors",  # newest stamp: r5
-    "events_incremental_agg_refresh",  # newest stamp: r5
-    "events_zorder_layout",  # newest stamp: r5
-    "events_k_anonymity_audit",  # newest stamp: r5
-    "events_hll_shard_distinct",  # newest stamp: r5
-    "events_pii_redaction",  # newest stamp: r5
-    "events_user_similarity_topk",  # newest stamp: r5
-    "events_segment_scd2",  # newest stamp: r5
-    "events_chi2_type_dow",  # newest stamp: r5
-    "events_bloom_prefilter_join",  # newest stamp: r5
-    "docs_dup_span_coverage",  # newest stamp: r5
-    "events_streaming_hourly",  # newest stamp: r5
-    "events_streaming_late_data",  # newest stamp: r5
-    "events_streaming_user_totals",  # newest stamp: r5
-    "events_streaming_outer_attribution",  # newest stamp: r5
-    "formats_text_roundtrip",  # newest stamp: r5
-    "formats_schema_evolution",  # newest stamp: r5
-    "formats_partitioned_overwrite",  # newest stamp: r5
-    "formats_compaction",  # newest stamp: r5
-    "emb_lsh_ann_recall",  # newest stamp: r5
-    "cluster_scalar_goldens",  # newest stamp: r6
-    "cluster_node_distribution",  # newest stamp: r6
-    "cluster_node_arity_sweep",  # newest stamp: r6
-    "ddl_readme_flow",  # newest stamp: r6
-    "cluster_resharding_plan",  # newest stamp: r6
-    "sql_portable_text_probe",  # newest stamp: r6
-    "sql_null_semantics_probe",  # newest stamp: r6
-    "tpch_q1_pricing_summary",  # newest stamp: r6
-    "tpch_fk_orphan_audit",  # newest stamp: r6
-    "orders_reorder_intervals",  # newest stamp: r6
-    "part_size_percent_rank",  # newest stamp: r6
+    "docs_curation_pipeline",  # never stamped
+    "docs_exact_substring_rewrite",  # never stamped
+    "parts_brand_pagerank",  # newest stamp: r6
+    "parts_skyline_price_size",  # newest stamp: r6
+    "orders_snapshot_diff",  # newest stamp: r6
+    "lineitem_trimmed_price_stats",  # newest stamp: r6
+    "orders_bucket_pruned_lookup",  # newest stamp: r6
+    "orders_set_operations",  # newest stamp: r6
+    "docs_lang_top_tokens",  # newest stamp: r6
+    "docs_source_quota_sample",  # newest stamp: r6
+    "docs_rag_chunks",  # newest stamp: r6
+    "docs_pack_sequences",  # newest stamp: r6
+    "docs_bm25_search",  # newest stamp: r6
+    "docs_bigram_collocations",  # newest stamp: r6
+    "docs_token_heavy_hitters",  # newest stamp: r6
+    "docs_bpe_training_loop",  # newest stamp: r6
+    "docs_hybrid_rrf_search",  # newest stamp: r6
+    "docs_next_token_accuracy",  # newest stamp: r6
+    "docs_string_functions_probe",  # newest stamp: r6
+    "events_retention_cohorts",  # newest stamp: r6
+    "events_daily_engagement",  # newest stamp: r6
+    "events_cumulative_hll_curve",  # newest stamp: r6
+    "events_user_erasure",  # newest stamp: r6
+    "events_merkle_bucket_digests",  # newest stamp: r6
+    "events_sequence_edit_distance",  # newest stamp: r6
+    "events_churn_batch_scoring",  # newest stamp: r6
+    "events_keyset_pagination",  # newest stamp: r6
+    "docs_exact_dedup",  # newest stamp: r6
+    "docs_minhash_neardup_pairs",  # newest stamp: r6
+    "docs_incremental_dedup",  # newest stamp: r6
+    "docs_set_similarity_join",  # newest stamp: r6
+    "events_streaming_attribution",  # newest stamp: r6
+    "events_streaming_dedup_replay",  # newest stamp: r6
+    "events_streaming_sessions",  # newest stamp: r6
+    "events_streaming_routed_sink",  # newest stamp: r6
+    "formats_merge_on_read",  # newest stamp: r6
+    "emb_cosine_topk",  # newest stamp: r6
+    "emb_dim_stats",  # newest stamp: r6
+    "emb_pq_adc_recall",  # newest stamp: r6
+    "emb_matryoshka_recall",  # newest stamp: r6
+    "emb_binary_hamming_recall",  # newest stamp: r6
+    "cluster_user_keys_histogram",  # newest stamp: r7
+    "ddl_ctas_distribution",  # newest stamp: r7
+    "cluster_slot_projection",  # newest stamp: r7
+    "cluster_hashtag_colocation",  # newest stamp: r7
+    "cluster_hot_slots_topk",  # newest stamp: r7
+    "cluster_skew_report",  # newest stamp: r7
+    "cluster_shard_ranges",  # newest stamp: r7
+    "sql_error_probe",  # newest stamp: r7
+    "tpch_q6_forecast_revenue",  # newest stamp: r7
 ]
 
 
