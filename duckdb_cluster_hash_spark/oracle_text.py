@@ -1173,3 +1173,94 @@ def hubness_audit_sql(
         "SELECT vec_id, cell, k_occurrence FROM occ "
         f"ORDER BY k_occurrence DESC, vec_id LIMIT {top}"
     )
+
+
+def quality_perceptron_sql(iters: int = 8, table: str = "documents") -> str:
+    """Oracle for the batch-perceptron quality-classifier trainer: the
+    full ``iters``-step trajectory as unrolled CTEs — one mistake-gated
+    gradient aggregate and one integer weight update per iteration,
+    matching plans/docs.py:docs_quality_perceptron step for step.
+
+    All arithmetic is BIGINT: features are integer by construction, the
+    update divides the summed gradient by the mistake count with ``//``
+    (DuckDB truncates toward zero, mirrored by the Spark side's explicit
+    trunc-div — Python's ``//`` floors and would diverge on negative
+    gradients), and DuckDB's HUGEINT sum widening is cast back down.
+    """
+    toks = "regexp_extract_all(text, '[^ ]+')"
+    sql = (
+        "WITH f AS MATERIALIZED (SELECT "
+        "CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y, "
+        "CAST(1 AS BIGINT) AS x0, "
+        f"CAST(len({toks}) AS BIGINT) AS x1, "
+        f"CAST(len(list_distinct({toks})) AS BIGINT) AS x2, "
+        "CAST(n_chars AS BIGINT) AS x3, "
+        f"CAST(len(list_filter({toks}, t -> t = 'the')) AS BIGINT) AS x4 "
+        f"FROM {table}), "
+        "it0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1, "
+        "CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3, "
+        "CAST(0 AS BIGINT) AS w4)"
+    )
+    for t in range(1, iters + 1):
+        sql += (
+            f", m{t} AS (SELECT f.*, "
+            "(y * (w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4) <= 0) AS mis "
+            f"FROM f CROSS JOIN it{t - 1})"
+            f", a{t} AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(coalesce(sum(CASE WHEN mis THEN 1 ELSE 0 END), 0) AS BIGINT) AS nm, "
+            + ", ".join(
+                f"CAST(coalesce(sum(y * x{j}) FILTER (WHERE mis), 0) "
+                f"AS BIGINT) AS g{j}"
+                for j in range(5)
+            )
+            + f" FROM m{t})"
+            f", it{t} AS (SELECT "
+            + ", ".join(
+                f"w{j} + g{j} // GREATEST(nm, 1) AS w{j}" for j in range(5)
+            )
+            + f" FROM it{t - 1} CROSS JOIN a{t})"
+            f", r{t} AS (SELECT CAST({t} AS INTEGER) AS it, "
+            "nm AS n_mistakes, "
+            "(10000 * (n - nm)) // GREATEST(n, 1) AS acc_bp, "
+            f"w0, w1, w2, w3, w4 FROM a{t} CROSS JOIN it{t})"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM r{t}" for t in range(1, iters + 1))
+    return f"{sql} SELECT * FROM ({union}) ORDER BY it"
+
+
+def knn_label_accuracy_sql(
+    k: int = 5, step: int = 29, cap: int = 1160, dim: int = 64
+) -> str:
+    """Oracle for the leave-out k-NN label-accuracy audit: brute-force
+    fold-exact cosine of every held-out query vector against the whole
+    train side, top-k by (micro-cosine DESC, vec_id), majority label
+    vote with min-label tie-break — the all-pairs formulation the Spark
+    side's two-level keyed top-k must reproduce exactly."""
+
+    def dot(u: str, v: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            f"[{u}[i]::DOUBLE * {v}[i]::DOUBLE FOR i IN range(1, {dim + 1})]), "
+            "(acc, x) -> acc + x)"
+        )
+
+    return (
+        "WITH ev AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv "
+        f"FROM embeddings WHERE vec_id % {step} = 0 AND vec_id < {cap}), "
+        "tr AS (SELECT vec_id, label, embedding AS tv FROM embeddings "
+        f"WHERE NOT (vec_id % {step} = 0 AND vec_id < {cap})), "
+        "sc AS (SELECT qid, qlabel, vec_id, label, "
+        f"CAST(round(({dot('tv', 'qv')} / "
+        f"sqrt({dot('tv', 'tv')} * {dot('qv', 'qv')})) * 1000000) AS BIGINT) "
+        "AS cm FROM tr CROSS JOIN ev), "
+        "top AS (SELECT * FROM sc QUALIFY "
+        f"row_number() OVER (PARTITION BY qid ORDER BY cm DESC, vec_id) <= {k}), "
+        "v AS (SELECT qid, qlabel, label, CAST(count(*) AS BIGINT) AS votes "
+        "FROM top GROUP BY qid, qlabel, label), "
+        "p AS (SELECT qid, qlabel, label AS pred_label, votes FROM v QUALIFY "
+        "row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) = 1) "
+        "SELECT qid AS vec_id, qlabel AS label, pred_label, "
+        "votes AS top_votes, "
+        "CAST(CASE WHEN pred_label = qlabel THEN 1 ELSE 0 END AS INTEGER) "
+        "AS correct FROM p ORDER BY vec_id"
+    )

@@ -48,6 +48,9 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 _DRIVER_WINDOW_FIRST = [
     "docs_curation_pipeline",  # never stamped
     "docs_exact_substring_rewrite",  # never stamped
+    "docs_quality_perceptron",  # never stamped
+    "emb_knn_label_accuracy",  # never stamped
+    "docs_softdedup_reweight",  # never stamped
     "parts_brand_pagerank",  # newest stamp: r6
     "parts_skyline_price_size",  # newest stamp: r6
     "orders_snapshot_diff",  # newest stamp: r6
@@ -93,9 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "cluster_hashtag_colocation",  # newest stamp: r7
     "cluster_hot_slots_topk",  # newest stamp: r7
     "cluster_skew_report",  # newest stamp: r7
-    "cluster_shard_ranges",  # newest stamp: r7
-    "sql_error_probe",  # newest stamp: r7
-    "tpch_q6_forecast_revenue",  # newest stamp: r7
 ]
 
 

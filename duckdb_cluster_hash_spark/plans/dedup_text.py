@@ -869,3 +869,58 @@ def docs_minhash_jaccard_calibration(
     return out.orderBy(
         F.abs(F.col("err_permille")).desc(), F.asc("doc_a"), F.asc("doc_b")
     ).limit(20)
+
+
+@query(
+    "docs_softdedup_reweight",
+    oracle=(
+        "WITH h AS (SELECT source, md5(text) AS th, "
+        "CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT) AS toks "
+        "FROM documents), "
+        "c AS (SELECT th, CAST(count(*) AS BIGINT) AS cnt FROM h GROUP BY th), "
+        "j AS (SELECT source, toks, 10000 // cnt AS wbp FROM h JOIN c USING (th)) "
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(toks) AS BIGINT) AS n_tokens, "
+        "CAST(sum(wbp) AS BIGINT) AS eff_docs_bp, "
+        "CAST(sum(toks * wbp) AS BIGINT) AS eff_tokens_bp "
+        "FROM j GROUP BY source ORDER BY source"
+    ),
+)
+def docs_softdedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (C3 frontier): instead of DROPPING exact duplicates,
+    each copy is down-weighted to 1/cnt of a document (integer basis
+    points, ``10000 div cnt``) so a duplicate group contributes ~one
+    document of training mass wherever it appears — the
+    keep-but-reweight alternative to hard dedup that preserves
+    naturally-frequent text without letting boilerplate dominate the
+    mixture.  Reported per source: raw vs EFFECTIVE doc/token mass,
+    i.e. what the sampler would actually draw after re-weighting.
+
+    Scale: duplicate groups key on the md5 digest, so the wire carries
+    (digest, tokens) pairs, never bodies; one map-side-combined digest
+    aggregate, one digest-keyed join back, one per-source aggregate
+    over ~20 groups.  Integer floor-division keeps the weights
+    bit-identical cross-engine (both truncate toward zero).
+    """
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        F.md5("text").alias("th"),
+        F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)"))
+        .cast("long")
+        .alias("toks"),
+    )
+    c = h.groupBy("th").agg(F.count("*").cast("long").alias("cnt"))
+    j = h.join(c, "th").select(
+        "source", "toks", F.expr("10000 div cnt").alias("wbp")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum("wbp").cast("long").alias("eff_docs_bp"),
+            F.sum(F.col("toks") * F.col("wbp")).cast("long").alias("eff_tokens_bp"),
+        )
+        .orderBy("source")
+    )

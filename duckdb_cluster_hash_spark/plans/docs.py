@@ -3627,3 +3627,121 @@ def docs_cross_lang_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared_texts"))
         .orderBy("lang_a", "lang_b")
     )
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH SQL
+    engines implement (Spark ``div``, DuckDB ``//``; verified in the
+    registry header).  Python's ``//`` floors instead, which diverges on
+    negative numerators (-7 // 2 == -4 vs SQL -3), so the driver-side
+    weight update must not use it."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def perceptron_train_trajectory(
+    feats: DataFrame, iters: int = 8
+) -> list[tuple[int, int, int, int, int, int, int, int]]:
+    """Run ``iters`` batch-perceptron steps over an integer feature
+    frame ``(y, x0..x4)`` (y in {-1, +1}, x0 the bias 1) and return the
+    trajectory ``[(it, n_mistakes, acc_bp, w0..w4), ...]``.
+
+    The update is the mistake-averaged batch rule
+    ``w += (sum_{y*(w.x) <= 0} y*x) div max(1, n_mistakes)`` — all
+    BIGINT, division truncating toward zero on both engines (see
+    :func:`_trunc_div`).  Averaging (vs the classic lr=1 sum) is
+    load-bearing at scale: it keeps weights O(feature magnitude) so the
+    per-row margin ``y*(w.x)`` stays far inside int64 at any corpus
+    size, where the raw-sum rule's weights grow with corpus rows and
+    would overflow the margin around 10^12 docs.
+
+    One map-side-combined scalar aggregate + one 1-row collect per
+    iteration (the BPE-trainer shape, docs.py:bpe_train_merges): the
+    corpus is projected once to six BIGINTs per doc, persist()-ed
+    (CacheManager-tracked, genuinely released in the finally), and each
+    pass reduces it to a single 7-counter row.  Nothing corpus-sized
+    ever reaches the driver.
+    """
+    from pyspark import StorageLevel
+
+    rows: list[tuple[int, int, int, int, int, int, int, int]] = []
+    w = [0, 0, 0, 0, 0]
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for t in range(1, iters + 1):
+            margin = F.col("y") * sum(
+                F.lit(w[j]).cast("long") * F.col(f"x{j}") for j in range(5)
+            )
+            mis = margin <= 0
+            r = feats.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(mis, 1).otherwise(0)).cast("long").alias("nm"),
+                *[
+                    F.coalesce(
+                        F.sum(F.when(mis, F.col("y") * F.col(f"x{j}"))),
+                        F.lit(0),
+                    )
+                    .cast("long")
+                    .alias(f"g{j}")
+                    for j in range(5)
+                ],
+            ).collect()[0]
+            n, nm = int(r["n"]), int(r["nm"])
+            d = max(nm, 1)
+            w = [w[j] + _trunc_div(int(r[f"g{j}"]), d) for j in range(5)]
+            acc_bp = (10000 * (n - nm)) // max(n, 1)
+            rows.append((t, nm, acc_bp, w[0], w[1], w[2], w[3], w[4]))
+    finally:
+        feats.unpersist(False)
+    return rows
+
+
+def perceptron_features(docs: DataFrame) -> DataFrame:
+    """Integer feature projection for the quality perceptron: bias,
+    token count, distinct-token count, n_chars, stopword ('the')
+    occurrences; label +1 for lang = 'en' else -1.  Pure per-row
+    map work — the only corpus pass the trainer's aggregates scan."""
+    toks = F.expr("regexp_extract_all(text, '[^ ]+', 0)")
+    return docs.select(
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long").alias("y"),
+        F.lit(1).cast("long").alias("x0"),
+        F.size(toks).cast("long").alias("x1"),
+        F.size(F.array_distinct(toks)).cast("long").alias("x2"),
+        F.col("n_chars").cast("long").alias("x3"),
+        F.size(F.filter(toks, lambda tk: tk == F.lit("the")))
+        .cast("long")
+        .alias("x4"),
+    )
+
+
+@query("docs_quality_perceptron", oracle=_ot.quality_perceptron_sql(8))
+def docs_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAIN the quality classifier, distributed (the fastText-style
+    filter model every FineWeb/DCLM-shaped pipeline fits before
+    filtering; the reference has no analog — driver Tier C): an
+    8-iteration batch perceptron over integer text features (token
+    count, distinct tokens, chars, stopword hits) with metadata-derived
+    labels (lang = 'en'), reporting the full trajectory — pre-update
+    mistake count, accuracy in basis points, and the post-update weight
+    vector per iteration.
+
+    Grading is float-free: features, margins, gradients, and the
+    mistake-averaged weight update are all BIGINT (division truncates
+    toward zero on both engines), so the 8-step trajectory — an
+    iterative distributed TRAINING loop, not just a scoring pass — is
+    reproduced bit-for-bit by the oracle's unrolled CTEs.
+
+    Scale: see :func:`perceptron_train_trajectory` — per iteration, one
+    map-side-combined 7-counter aggregate over a six-BIGINT projection
+    of the corpus; 8 scans of a cached narrow frame, 8 single-row
+    collects, weights bounded by the averaged update.  The
+    iterative-algorithm floor (like BPE/k-means), not a shuffle
+    problem.
+    """
+    feats = perceptron_features(_t(spark, sf_dir, "documents"))
+    rows = perceptron_train_trajectory(feats, iters=8)
+    return spark.createDataFrame(
+        rows,
+        "it int, n_mistakes bigint, acc_bp bigint, "
+        "w0 bigint, w1 bigint, w2 bigint, w3 bigint, w4 bigint",
+    ).orderBy("it")

@@ -889,3 +889,106 @@ def emb_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("k_occurrence"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@query("emb_knn_label_accuracy", oracle=_ot.knn_label_accuracy_sql(5, 29, 1160, 64))
+def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-accuracy audit (C5; the embedding-classifier filter
+    eval a DCLM-shaped pipeline runs before trusting an
+    embedding-space quality gate): every held-out query vector
+    (``vec_id % 29 == 0 AND vec_id < 1160`` — a BOUNDED, benchmark-sized
+    probe set of <= 40 vectors at any corpus scale) is classified by the
+    majority label of its 5 nearest train-side neighbours under exact
+    fold-cosine, and the per-query prediction is graded against the true
+    label.  Ties are total on both engines: neighbours rank by
+    (micro-cosine DESC, vec_id), votes by (count DESC, label).
+
+    Scale: the probe set is collected once (<= 40 rows) and embedded as
+    PLAN LITERALS — no broadcast-nested-loop join ever appears; the
+    corpus is scanned ONCE, exploding each row against the literal query
+    array (40x map-side fan-out).  Top-5 per query is TWO-LEVEL keyed:
+    a local window per (query, vec_id % 32 salt bucket) prunes to
+    5 x 32 survivor rows per query, then the global window per query
+    ranks <= 160 rows — no corpus-sized single-reducer sort at any
+    scale.  Cosines quantize to integer micros before ranking, so
+    grading is float-free past the fold.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    is_eval = (F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 1160)
+    evals = (
+        emb.where(is_eval).select("vec_id", "label", "embedding").collect()
+    )
+    out_schema = (
+        "vec_id bigint, label int, pred_label int, "
+        "top_votes bigint, correct int"
+    )
+    if not evals:
+        return spark.createDataFrame([], out_schema)
+    qarr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r["vec_id"])).cast("long").alias("qid"),
+                F.lit(int(r["label"])).alias("qlabel"),
+                _sim._vec_lit([float(x) for x in r["embedding"]]).alias("qv"),
+            )
+            for r in evals
+        ]
+    )
+    sc = (
+        emb.where(~is_eval)
+        .select("vec_id", "label", "embedding", F.explode(qarr).alias("q"))
+        .select(
+            F.col("q.qid").alias("qid"),
+            F.col("q.qlabel").alias("qlabel"),
+            "vec_id",
+            "label",
+            F.round(
+                (
+                    _sim.dot_fold(F.col("embedding"), F.col("q.qv"))
+                    / F.sqrt(
+                        _sim.dot_fold(F.col("embedding"), F.col("embedding"))
+                        * _sim.dot_fold(F.col("q.qv"), F.col("q.qv"))
+                    )
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("cm"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    order = [F.desc("cm"), F.asc("vec_id")]
+    local = _W.partitionBy("qid", F.pmod(F.col("vec_id"), F.lit(32))).orderBy(
+        *order
+    )
+    glob = _W.partitionBy("qid").orderBy(*order)
+    top = (
+        sc.withColumn("_lrn", F.row_number().over(local))
+        .where(F.col("_lrn") <= 5)
+        .withColumn("_grn", F.row_number().over(glob))
+        .where(F.col("_grn") <= 5)
+    )
+    votes = top.groupBy("qid", "qlabel", "label").agg(
+        F.count("*").cast("bigint").alias("votes")
+    )
+    pred = (
+        votes.withColumn(
+            "_vrn",
+            F.row_number().over(
+                _W.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+            ),
+        )
+        .where(F.col("_vrn") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("qlabel").alias("label"),
+            F.col("label").alias("pred_label"),
+            F.col("votes").alias("top_votes"),
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("correct"),
+        )
+    )
+    return pred.orderBy("vec_id")

@@ -124,6 +124,12 @@ WAIVERS: dict[str, str] = {
         "partial-aggs map-side and ranks via rangepartitioning + local "
         "sorts"
     ),
+    "docs_softdedup_reweight": (
+        "the unpushed filter is isnotnull(md5(text)) injected by the "
+        "digest-keyed equi-join — a computed column unknowable to the "
+        "scan; the corpus sees one digest groupBy and one keyed join "
+        "back (same shape as docs_dedup_impact_by_source)"
+    ),
     "docs_dedup_impact_by_source": (
         "the unpushed filter is the keep flag over the computed digest "
         "join (doc_id = min doc_id of its md5 group, unknowable to the "

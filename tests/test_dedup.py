@@ -499,3 +499,35 @@ def test_components_driver_cutover_matches_distributed(spark):
         dd.SMALL_GRAPH_EDGE_CAP = saved
     assert fast == slow
     assert {c for _, c in fast} == {0, 100}
+
+
+def test_softdedup_reweight_hand_values(spark, tmp_path):
+    """4 copies of A in src0, 1 unique B in src0, 2 copies of C split
+    across src0/src1: each copy of a cnt-group weighs 10000 div cnt bp."""
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    rows = [
+        (0, "a a a", "en", "src0", 5),
+        (1, "a a a", "en", "src0", 5),
+        (2, "a a a", "en", "src0", 5),
+        (3, "a a a", "en", "src0", 5),
+        (4, "b unique words", "en", "src0", 14),
+        (5, "c shared", "en", "src0", 8),
+        (6, "c shared", "en", "src1", 8),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_tokens"], r["eff_docs_bp"], r["eff_tokens_bp"]
+        )
+        for r in QUERIES["docs_softdedup_reweight"](spark, sf).collect()
+    }
+    # src0: 4xA (w=2500, 3 toks) + B (w=10000, 3 toks) + C copy (w=5000, 2 toks)
+    assert got["src0"] == (6, 17, 4 * 2500 + 10000 + 5000, 4 * 3 * 2500 + 3 * 10000 + 2 * 5000)
+    # src1: the other C copy
+    assert got["src1"] == (1, 2, 5000, 2 * 5000)
+    # soft mass never exceeds hard mass, and a full group sums to <= 10000
+    assert all(v[2] <= 10000 * v[0] for v in got.values())

@@ -1088,3 +1088,28 @@ def test_bucket_pruned_lookup_scans_one_bucket(spark, sf_small):
     plan = plan_of(QUERIES["orders_bucket_pruned_lookup"](spark, sf_small))
     assert "SelectedBucketsCount: 1 out of 8" in plan
     assert "Exchange hashpartitioning" not in plan  # bucketing kills the shuffle
+
+
+def test_knn_probe_set_is_plan_literals_not_join(spark, sf_small):
+    """emb_knn_label_accuracy's probe set must enter the plan as an
+    exploded LITERAL array (one corpus scan, 40x map-side fan-out) —
+    never a query-set x corpus join — and top-5 must rank through the
+    two-level keyed windows, not a single global sort."""
+    plan = plan_of(QUERIES["emb_knn_label_accuracy"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") == 1  # probe side never rescans
+    assert "Generate explode" in plan  # the literal probe array fan-out
+    assert "BatchEvalPython" not in plan
+
+
+def test_softdedup_single_digest_shuffle(spark, sf_small):
+    """The soft-dedup bill must shuffle digests, not bodies: the text
+    column may not cross the digest exchange."""
+    plan = plan_of(QUERIES["docs_softdedup_reweight"](spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re as _re
+
+    for ex in _re.findall(r"Exchange hashpartitioning\([^)]*\)", plan):
+        assert "text" not in ex  # keyed on th/source, never the body

@@ -1,0 +1,139 @@
+"""Distributed-training operators: the batch-perceptron quality
+classifier (plans/docs.py) and the k-NN label-accuracy audit
+(plans/emb.py) against independent pure-Python references — the same
+strategy as the BPE-trainer tests: the SQL oracle pins cross-engine
+agreement, these pin that both engines compute the RIGHT thing."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_cluster_hash_spark.plans.docs import (
+    _trunc_div,
+    perceptron_features,
+    perceptron_train_trajectory,
+)
+from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+
+def _ref_perceptron(rows, iters=8):
+    """Independent reference: rows = [(y, x0..x4)], the mistake-averaged
+    batch rule with trunc-toward-zero division."""
+    w = [0] * 5
+    out = []
+    for t in range(1, iters + 1):
+        n = len(rows)
+        mis = [r for r in rows if r[0] * sum(w[j] * r[1 + j] for j in range(5)) <= 0]
+        nm = len(mis)
+        d = max(nm, 1)
+        g = [sum(r[0] * r[1 + j] for r in mis) for j in range(5)]
+        w = [w[j] + _trunc_div(g[j], d) for j in range(5)]
+        out.append((t, nm, (10000 * (n - nm)) // max(n, 1), *w))
+    return out
+
+
+def test_trunc_div_matches_both_engines():
+    con = duckdb.connect()
+    for a in [-17, -7, -2, -1, 0, 1, 2, 7, 17, 10**12 + 7]:
+        for b in [1, 2, 3, 5, 97]:
+            (dd,) = con.execute(f"SELECT {a} // {b}").fetchone()
+            assert _trunc_div(a, b) == dd, (a, b)
+    # Python floor division would fail exactly here:
+    assert _trunc_div(-7, 2) == -3 and (-7 // 2) == -4
+
+
+def _mk_docs(spark, seed=3, n=60):
+    rng = random.Random(seed)
+    vocab = "the a data spark table value fast slow row key".split()
+    rows = []
+    for i in range(n):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        text = " ".join(words)
+        rows.append(
+            (i, text, rng.choice(["en", "de", "fr"]), "src", len(text))
+        )
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    )
+
+
+def test_perceptron_trajectory_matches_reference(spark):
+    docs = _mk_docs(spark)
+    feats = perceptron_features(docs)
+    got = perceptron_train_trajectory(feats, iters=6)
+    ref_rows = [tuple(int(v) for v in r) for r in feats.collect()]
+    assert got == _ref_perceptron(ref_rows, iters=6)
+
+
+def test_perceptron_negative_gradient_truncation(spark):
+    # all labels -1 with positive features: gradients are negative every
+    # iteration, exercising the trunc-vs-floor division edge for real
+    docs = _mk_docs(spark, seed=9).withColumn("lang", F.lit("de"))
+    feats = perceptron_features(docs)
+    got = perceptron_train_trajectory(feats, iters=3)
+    ref_rows = [tuple(int(v) for v in r) for r in feats.collect()]
+    assert got == _ref_perceptron(ref_rows, iters=3)
+    assert all(r[3] <= 0 for r in got)  # w0 driven negative, not past zero
+
+
+def _ref_knn(rows, k=5, step=29, cap=1160):
+    """rows = [(vec_id, embedding(list), label)]; sequential-fold cosine,
+    micro-rounded, (cm desc, vec_id) top-k, (votes desc, label) vote."""
+    ev = [r for r in rows if r[0] % step == 0 and r[0] < cap]
+    tr = [r for r in rows if not (r[0] % step == 0 and r[0] < cap)]
+
+    def fold(u, v):
+        acc = 0.0
+        for x, y in zip(u, v):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    out = []
+    for qid, qv, qlabel in ev:
+        scored = []
+        for vid, tv, lbl in tr:
+            cos = fold(tv, qv) / (fold(tv, tv) * fold(qv, qv)) ** 0.5
+            # round-half-away like both engines' round()
+            from duckdb_cluster_hash_spark.operators.similarity import (
+                round_half_away,
+            )
+
+            scored.append((round_half_away(cos * 1e6), vid, lbl))
+        scored.sort(key=lambda s: (-s[0], s[1]))
+        top = scored[:k]
+        votes = {}
+        for _, _, lbl in top:
+            votes[lbl] = votes.get(lbl, 0) + 1
+        pred, v = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out.append((qid, qlabel, pred, v, 1 if pred == qlabel else 0))
+    return sorted(out)
+
+
+def test_knn_label_accuracy_matches_reference(spark, tmp_path):
+    rng = random.Random(11)
+    rows = []
+    for i in range(140):
+        emb = [rng.randrange(-512, 513) / 1024 for _ in range(64)]
+        if not any(emb):
+            emb[0] = 1 / 1024
+        rows.append((i, emb, rng.randrange(4)))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    got = sorted(
+        tuple(int(v) for v in r)
+        for r in QUERIES["emb_knn_label_accuracy"](spark, sf_dir).collect()
+    )
+    # reference reads back the PARQUET floats (float32 round-trip), the
+    # same values both engines fold over
+    stored = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]], int(r["label"]))
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ]
+    assert got == _ref_knn(stored)
+    assert len(got) == 5  # vec_ids 0,29,58,87,116
