@@ -508,6 +508,45 @@ def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_rep_shared(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher top-bigram repetition table ``(doc_id,
+    source, rep_bp)`` (docs with >= 2 letter-words only), materialized
+    ONCE per corpus per session through the dedup family memo
+    (operators/dedup._shared_checkpoint) and shared between
+    ``docs_gopher_repetition`` (per-source rollup) and
+    ``docs_curation_pipeline`` (per-doc quality gate): the bigram
+    explode + two keyed groupBys are the expensive part and are
+    identical in both, so a suite run pays them once."""
+
+    def build():
+        t = docs.select(
+            "doc_id",
+            "source",
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("w"),
+        ).where(F.size("w") >= 2)
+        b = t.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> element_at(w, i) || ' ' || element_at(w, i + 1))"
+                )
+            ).alias("bg"),
+        )
+        c = b.groupBy("doc_id", "source", "bg").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        m = c.groupBy("doc_id", "source").agg(
+            F.max("c").alias("mx"), F.sum("c").alias("nb")
+        )
+        return m.selectExpr(
+            "doc_id", "source", "CAST((10000 * mx) div nb AS BIGINT) AS rep_bp"
+        )
+
+    return _dd._shared_checkpoint(docs, ("gopher_rep_bp",), build)
+
+
 @query("docs_curation_pipeline", oracle=_ot.curation_pipeline_sql())
 def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED end-to-end curation pass (C3+C4+C6 north star):
@@ -552,29 +591,10 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "text",
     ).select("doc_id", "lang", "nch", "rep", quality_score_col().alias("quality"))
-    # Gopher top-bigram repetition share, per doc (same construction as
-    # docs_gopher_repetition, keyed by doc only)
-    gw = s0.select(
-        "doc_id",
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("w"),
-    ).where(F.size("w") >= 2)
-    gm = (
-        gw.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(w) - 1), "
-                    "i -> element_at(w, i) || ' ' || element_at(w, i + 1))"
-                )
-            ).alias("bg"),
-        )
-        .groupBy("doc_id", "bg")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.expr("CAST((10000 * max(c)) div sum(c) AS BIGINT)").alias("rep_bp")
-        )
-    )
+    # Gopher top-bigram repetition share, per doc — the SAME memoized
+    # table docs_gopher_repetition rolls up (one bigram explode per
+    # corpus per session)
+    gm = gopher_rep_shared(docs).select("doc_id", "rep_bp")
     comps = _dd.neardup_components_shared(
         docs, "doc_id", "text", n=3, k=16, bands=8, rows=2, threshold=0.2
     )
@@ -3148,33 +3168,12 @@ def docs_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: bigrams materialize map-side off each token array (no
     self-join), the per-doc histogram and its argmax are two keyed
     map-side-combining groupBys on doc_id, and only the
-    source-bounded rollup crosses the final exchange.
+    source-bounded rollup crosses the final exchange.  The per-doc
+    table is the session memo shared with docs_curation_pipeline
+    (:func:`gopher_rep_shared`) — one bigram explode per corpus.
     """
     docs = _t(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        "source",
-        F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("w"),
-    ).where(F.size("w") >= 2)
-    b = t.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 1), "
-                "i -> element_at(w, i) || ' ' || element_at(w, i + 1))"
-            )
-        ).alias("bg"),
-    )
-    c = b.groupBy("doc_id", "source", "bg").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    m = c.groupBy("doc_id", "source").agg(
-        F.max("c").alias("mx"), F.sum("c").alias("nb")
-    )
-    r = m.selectExpr(
-        "doc_id", "source", "CAST((10000 * mx) div nb AS BIGINT) AS rep_bp"
-    )
+    r = gopher_rep_shared(docs)
     return (
         r.groupBy("source")
         .agg(
