@@ -1187,9 +1187,18 @@ def quality_perceptron_sql(iters: int = 8, table: str = "documents") -> str:
     trunc-div — Python's ``//`` floors and would diverge on negative
     gradients), and DuckDB's HUGEINT sum widening is cast back down.
     """
+    sql = _perceptron_ctes(iters, table)
+    union = " UNION ALL ".join(f"SELECT * FROM r{t}" for t in range(1, iters + 1))
+    return f"{sql} SELECT * FROM ({union}) ORDER BY it"
+
+
+def _perceptron_ctes(iters: int, table: str) -> str:
+    """The shared unrolled training chain: feature CTE ``f`` (with
+    ``source`` carried through for the filter view), weight CTEs
+    ``it0..it{iters}``, per-iteration report CTEs ``r1..r{iters}``."""
     toks = "regexp_extract_all(text, '[^ ]+')"
     sql = (
-        "WITH f AS MATERIALIZED (SELECT "
+        "WITH f AS MATERIALIZED (SELECT source, "
         "CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS BIGINT) AS y, "
         "CAST(1 AS BIGINT) AS x0, "
         f"CAST(len({toks}) AS BIGINT) AS x1, "
@@ -1224,8 +1233,27 @@ def quality_perceptron_sql(iters: int = 8, table: str = "documents") -> str:
             "(10000 * (n - nm)) // GREATEST(n, 1) AS acc_bp, "
             f"w0, w1, w2, w3, w4 FROM a{t} CROSS JOIN it{t})"
         )
-    union = " UNION ALL ".join(f"SELECT * FROM r{t}" for t in range(1, iters + 1))
-    return f"{sql} SELECT * FROM ({union}) ORDER BY it"
+    return sql
+
+
+def quality_perceptron_filter_sql(
+    iters: int = 8, table: str = "documents"
+) -> str:
+    """Oracle for the apply-the-classifier view: the SAME unrolled
+    training chain, then one scoring pass with the final weights —
+    per-source doc / predicted-positive / true-label / true-positive
+    counts (margin > 0 = predicted positive), all BIGINT."""
+    sql = _perceptron_ctes(iters, table)
+    return (
+        f"{sql} SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4 > 0 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos, "
+        "CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, "
+        "CAST(sum(CASE WHEN y = 1 AND "
+        "w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4 > 0 "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos "
+        f"FROM f CROSS JOIN it{iters} GROUP BY source ORDER BY source"
+    )
 
 
 def knn_label_accuracy_sql(

@@ -51,6 +51,7 @@ _DRIVER_WINDOW_FIRST = [
     "docs_quality_perceptron",  # never stamped
     "emb_knn_label_accuracy",  # never stamped
     "docs_softdedup_reweight",  # never stamped
+    "docs_quality_perceptron_filter",  # never stamped
     "parts_brand_pagerank",  # newest stamp: r6
     "parts_skyline_price_size",  # newest stamp: r6
     "orders_snapshot_diff",  # newest stamp: r6
@@ -95,7 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "cluster_slot_projection",  # newest stamp: r7
     "cluster_hashtag_colocation",  # newest stamp: r7
     "cluster_hot_slots_topk",  # newest stamp: r7
-    "cluster_skew_report",  # newest stamp: r7
 ]
 
 

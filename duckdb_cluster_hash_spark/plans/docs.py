@@ -3713,6 +3713,39 @@ def perceptron_features(docs: DataFrame) -> DataFrame:
     )
 
 
+# Per-corpus trajectory memo (the dedup-family-memo pattern, driver-side
+# rows instead of a checkpointed frame): the trainer and the filter
+# query share one 8-aggregate training run per corpus per session.
+import threading as _threading
+import weakref as _weakref
+
+_PERC_MEMO: "_weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+_PERC_LOCK = _threading.Lock()
+
+
+def perceptron_trajectory_shared(docs: DataFrame, iters: int = 8):
+    """Memoized :func:`perceptron_train_trajectory` keyed on the corpus
+    frame (plan-memoized by sources/tables, so every catalog query sees
+    the same object): the 8 training aggregates run once per corpus per
+    session, shared by ``docs_quality_perceptron`` (trajectory view) and
+    ``docs_quality_perceptron_filter`` (apply view).  The memo holds 8
+    tuples of 8 ints — driver-side, bounded."""
+    with _PERC_LOCK:
+        per = _PERC_MEMO.get(docs)
+        if per is not None and iters in per:
+            return per[iters]
+    rows = perceptron_train_trajectory(perceptron_features(docs), iters)
+    with _PERC_LOCK:
+        per = _PERC_MEMO.get(docs)
+        if per is None:
+            per = {}
+            _PERC_MEMO[docs] = per
+        per.setdefault(iters, rows)
+        return per[iters]
+
+
 @query("docs_quality_perceptron", oracle=_ot.quality_perceptron_sql(8))
 def docs_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAIN the quality classifier, distributed (the fastText-style
@@ -3737,10 +3770,64 @@ def docs_quality_perceptron(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative-algorithm floor (like BPE/k-means), not a shuffle
     problem.
     """
-    feats = perceptron_features(_t(spark, sf_dir, "documents"))
-    rows = perceptron_train_trajectory(feats, iters=8)
+    rows = perceptron_trajectory_shared(_t(spark, sf_dir, "documents"), 8)
     return spark.createDataFrame(
         rows,
         "it int, n_mistakes bigint, acc_bp bigint, "
         "w0 bigint, w1 bigint, w2 bigint, w3 bigint, w4 bigint",
     ).orderBy("it")
+
+
+@query(
+    "docs_quality_perceptron_filter",
+    oracle=_ot.quality_perceptron_filter_sql(8),
+)
+def docs_quality_perceptron_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPLY the trained quality classifier (the other half of the
+    fastText-filter story: train, then score and bill the corpus): the
+    final weight vector from the shared 8-iteration perceptron run
+    scores every document (positive = margin > 0), rolled up per source
+    as doc count, predicted-positive count, true-label count, and
+    true-positive count — the confusion mass a pipeline reads before
+    trusting the filter on unlabeled data.
+
+    Scale: training is the SESSION MEMO (one 8-aggregate run per corpus
+    — :func:`perceptron_trajectory_shared`); scoring is one map-side
+    projection with the weights as literals plus one per-source
+    aggregate.  All BIGINT, so the bill is bit-graded against the
+    oracle's unrolled training chain + scoring CTE.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = list(perceptron_trajectory_shared(docs, 8)[-1][3:])
+    toks = F.expr("regexp_extract_all(text, '[^ ]+', 0)")
+    scored = docs.select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long").alias("y"),
+        (
+            F.lit(w[0]).cast("long")
+            + F.lit(w[1]).cast("long") * F.size(toks).cast("long")
+            + F.lit(w[2]).cast("long")
+            * F.size(F.array_distinct(toks)).cast("long")
+            + F.lit(w[3]).cast("long") * F.col("n_chars").cast("long")
+            + F.lit(w[4]).cast("long")
+            * F.size(F.filter(toks, lambda tk: tk == F.lit("the"))).cast("long")
+        ).alias("m"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("m") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred_pos"),
+            F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+            F.sum(F.when((F.col("y") == 1) & (F.col("m") > 0), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pos"),
+        )
+        .orderBy("source")
+    )

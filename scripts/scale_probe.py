@@ -36,9 +36,14 @@ sys.path.insert(0, ROOT)
 BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", "/root/testdata/sf0.1")
 
 # The five families the round-10 verdict named, the exact-substring
-# operator (its cap^2 fan-out bound deserves a number), plus the four
-# next-heaviest bench queries the round-11 verdict asked to probe.
+# operator (its cap^2 fan-out bound deserves a number), the four
+# next-heaviest bench queries the round-11 verdict asked to probe, plus
+# the round-12 additions: the composed curation pipeline (now the
+# heaviest single bench query) and the perceptron trainer (8 fixed
+# corpus scans — the iterative-trainer shape).
 FAMILIES = [
+    ("docs_curation_pipeline", "documents", "composed ladder: per-doc gates one corpus pass, memoized LSH components, literal-cut quota rank, artifact write: ~linear in docs"),
+    ("docs_quality_perceptron", "documents", "8 map-side-combined scalar aggregates over a cached 6-int projection: ~linear in docs"),
     ("docs_set_similarity_join", "documents", "PPJoin+ prefix-filter join: ~linear in near-dup pair mass"),
     ("docs_neardup_component_census", "documents", "LSH bands + pointer-jump CC: O(n log d) shuffle rounds"),
     ("docs_exact_substring_dedup", "documents", "digest-grouped diagonals, cap-bounded fan-out: ~linear in shared-span mass"),

@@ -137,3 +137,37 @@ def test_knn_label_accuracy_matches_reference(spark, tmp_path):
     ]
     assert got == _ref_knn(stored)
     assert len(got) == 5  # vec_ids 0,29,58,87,116
+
+
+def test_perceptron_filter_confusion_mass_and_memo(spark, tmp_path):
+    docs = _mk_docs(spark, seed=5, n=70)
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _PERC_MEMO,
+        perceptron_trajectory_shared,
+    )
+    from duckdb_cluster_hash_spark.sources.tables import load_table
+
+    corpus = load_table(spark, sf, "documents")
+    rows = {
+        r["source"]: r
+        for r in QUERIES["docs_quality_perceptron_filter"](spark, sf).collect()
+    }
+    # confusion-mass sanity: counts nest
+    for r in rows.values():
+        assert 0 <= r["n_true_pos"] <= min(r["n_pred_pos"], r["n_pos"])
+        assert max(r["n_pred_pos"], r["n_pos"]) <= r["n_docs"]
+    # totals match the corpus and the final trajectory weights decide
+    assert sum(r["n_docs"] for r in rows.values()) == 70
+    # the trainer memo is shared: same corpus frame -> same object back
+    t1 = perceptron_trajectory_shared(corpus, 8)
+    t2 = perceptron_trajectory_shared(corpus, 8)
+    assert t1 is t2 and corpus in _PERC_MEMO
+    # scoring with the final weights reproduces n_pred_pos
+    w = list(t1[-1][3:])
+    feats = [tuple(int(v) for v in r) for r in
+             __import__("duckdb_cluster_hash_spark.plans.docs", fromlist=["perceptron_features"]).perceptron_features(corpus).collect()]
+    # (y, x0..x4): margin > 0 predicted positive
+    npred = sum(1 for f in feats if sum(w[j] * f[1 + j] for j in range(5)) > 0)
+    assert npred == sum(r["n_pred_pos"] for r in rows.values())
