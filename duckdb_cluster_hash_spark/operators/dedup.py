@@ -179,6 +179,22 @@ def _shared_checkpoint(df: DataFrame, key: tuple, build) -> DataFrame:
     return entry["df"]
 
 
+# External per-session memos (e.g. the perceptron trajectory memo in
+# plans/docs.py) register a clearer here so every harness that calls
+# clear_shared_cache() — bench repeats, the scale probe, check_oracle,
+# the fuzz soak — resets ALL session memos through the ONE hook instead
+# of each harness having to know about each memo.  A clearer takes the
+# same optional corpus frame and returns the number of entries dropped.
+_EXTRA_CLEARERS: list = []
+
+
+def register_cache_clearer(fn) -> None:
+    """Register ``fn(df | None) -> int`` to run inside every
+    :func:`clear_shared_cache` call (idempotent per function object)."""
+    if fn not in _EXTRA_CLEARERS:
+        _EXTRA_CLEARERS.append(fn)
+
+
 def clear_shared_cache(df: DataFrame | None = None) -> int:
     """Drop the session's memoized dedup intermediates (public hook for
     long-lived sessions, where the per-corpus localCheckpoint blocks
@@ -222,6 +238,11 @@ def clear_shared_cache(df: DataFrame | None = None) -> int:
                 cleared += 1
             if not per_df:
                 _SHARED_MATERIALIZED.pop(corpus, None)
+    for fn in list(_EXTRA_CLEARERS):
+        try:
+            cleared += int(fn(df) or 0)
+        except Exception:
+            pass  # a dead session's clearer must not mask the others
     return cleared
 
 

@@ -166,8 +166,46 @@ def test_perceptron_filter_confusion_mass_and_memo(spark, tmp_path):
     assert t1 is t2 and corpus in _PERC_MEMO
     # scoring with the final weights reproduces n_pred_pos
     w = list(t1[-1][3:])
-    feats = [tuple(int(v) for v in r) for r in
-             __import__("duckdb_cluster_hash_spark.plans.docs", fromlist=["perceptron_features"]).perceptron_features(corpus).collect()]
+    feats = [
+        tuple(int(v) for v in r)
+        for r in perceptron_features(corpus).collect()
+    ]
     # (y, x0..x4): margin > 0 predicted positive
     npred = sum(1 for f in feats if sum(w[j] * f[1 + j] for j in range(5)) > 0)
     assert npred == sum(r["n_pred_pos"] for r in rows.values())
+
+
+def test_perceptron_memo_cleared_by_shared_cache_hook(spark, tmp_path):
+    """Timing harnesses reset session memos through the ONE hook
+    (operators.dedup.clear_shared_cache); the trajectory memo must obey
+    it, or bench repeats / scale-probe passes measure memo hits."""
+    from duckdb_cluster_hash_spark.operators.dedup import clear_shared_cache
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _PERC_MEMO,
+        perceptron_trajectory_shared,
+    )
+    from duckdb_cluster_hash_spark.sources.tables import load_table
+
+    sf = str(tmp_path)
+    _mk_docs(spark, seed=7, n=30).coalesce(1).write.mode("overwrite").parquet(
+        f"{sf}/documents.parquet"
+    )
+    corpus = load_table(spark, sf, "documents")
+    t1 = perceptron_trajectory_shared(corpus, 3)
+    assert corpus in _PERC_MEMO
+    assert clear_shared_cache() >= 1
+    assert corpus not in _PERC_MEMO
+    t2 = perceptron_trajectory_shared(corpus, 3)
+    assert t1 == t2 and t1 is not t2  # retrained, same trajectory
+
+
+def test_perceptron_empty_corpus_zero_trajectory(spark):
+    """Zero-row corpus: the engine must emit the same all-zero
+    trajectory the oracle's coalesce() chain produces, not crash."""
+    feats = perceptron_features(
+        spark.createDataFrame(
+            [], "doc_id bigint, text string, lang string, source string, n_chars int"
+        )
+    )
+    rows = perceptron_train_trajectory(feats, iters=3)
+    assert rows == [(t, 0, 0, 0, 0, 0, 0, 0) for t in (1, 2, 3)]
