@@ -113,6 +113,28 @@ INVARIANCE_QUERIES = [
     # the same runs projected to per-doc intervals and swept with a
     # running-max window: the merged coverage must be layout-pure
     "docs_substring_dup_bill",
+    # 8 mistake-gated gradient aggregates, each collected to the driver
+    # and fed back as literal weights: integer sums are order-free, so
+    # the whole trajectory must be layout-pure (memo cleared between
+    # runs via the shared hook, so the alt layout genuinely retrains)
+    "docs_quality_perceptron",
+    # final-weight scoring over the same projection: the per-source
+    # confusion bill must follow the trained weights, not the layout
+    "docs_quality_perceptron_filter",
+    # two-level keyed top-5 (vec_id%32 salt windows, then per-query) +
+    # majority vote: every rank and tie-break is on (micro-cos, vec_id),
+    # so no scan split or shuffle width may move a neighbour
+    "emb_knn_label_accuracy",
+    # digest-keyed duplicate groups -> 10000 div cnt weights: the
+    # effective-mass bill is keyed aggregation only, trivially pure —
+    # enrolled because the digest join is the classic place layout
+    # sensitivity sneaks in via partial-agg order
+    "docs_softdedup_reweight",
+    # the composed ladder end-to-end: exact-dup window, quality gates,
+    # memoized LSH components, keeper broadcast, grouped_row_number
+    # quota, artifact write + read-back — the full-stage bill must be
+    # a pure function of the corpus under any layout
+    "docs_curation_pipeline",
 ]
 
 ALT_CONFS = {
