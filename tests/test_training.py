@@ -209,3 +209,29 @@ def test_perceptron_empty_corpus_zero_trajectory(spark):
     )
     rows = perceptron_train_trajectory(feats, iters=3)
     assert rows == [(t, 0, 0, 0, 0, 0, 0, 0) for t in (1, 2, 3)]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except Exception:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @given(
+        a=st.integers(min_value=-(2**62), max_value=2**62),
+        b=st.integers(min_value=1, max_value=2**31),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_trunc_div_matches_duckdb_hypothesis(a, b):
+        """The weight-update division must agree with SQL `//` on any
+        gradient sign/magnitude the trainer can produce (int64-safe)."""
+        con = duckdb.connect()
+        (dd,) = con.execute(
+            f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
+        ).fetchone()
+        assert _trunc_div(a, b) == dd
