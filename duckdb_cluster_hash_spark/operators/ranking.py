@@ -47,8 +47,21 @@ land in bucket 0 regardless of direction).
 ntile is then a pure expression over (rank, total): the SQL-standard
 allocation gives the first ``n mod k`` tiles ``ceil(n/k)`` rows and
 the rest ``floor(n/k)`` — integer arithmetic both engines reproduce
-exactly; ``total`` comes from the same driver-side count that sized
-the sample fraction, so the old 1-row broadcast-total join is gone.
+exactly; ``total`` is the sum of the per-bucket counts the
+construction already aggregates (step 3), carried on the same tiny
+broadcast offsets table — no separate ``count()`` job.
+
+Cost model (the r12 regression fix): nothing here runs an exact count
+job, and the bucket count ADAPTS to the data.  The input row count is
+ESTIMATED from the optimized plan's statistics (exact for
+``range``/fully-materialized caches, sizeInBytes/row-width otherwise)
+— a mis-estimate can only skew bucket BALANCE, never a rank, and the
+driver-side sample collect is hard-capped with ``limit``.  The
+effective bucket count is ``min(n_buckets, ceil(n_est / 8192))``: a
+15k-row frame gets 1-2 buckets (plan literals, search depth, sample
+size all shrink with it — driver plan-build time was the dominant
+cost at B=256), while a 100 TB input saturates the caller's
+``n_buckets`` cap exactly as before.
 """
 
 from __future__ import annotations
@@ -90,14 +103,21 @@ _PIN_LOCK = threading.Lock()
 _SAMPLE_SEED = 0x5EEDCA7  # fixed: the sample pass is replay-stable
 _SAMPLE_PER_BUCKET = 24  # ~24 sampled keys per cut ≈ ±20% bucket balance
 
-# Driver-side memo of (cut tuples, key types, exact count) keyed by the
-# ANALYZED plan's semantic hash + order spec: re-constructing the same
-# ranking over the same frame (a benchmark repeat, a notebook re-run)
-# skips the count + sample jobs entirely.  Same immutability contract
-# as Spark's own CacheManager: if the underlying storage is rewritten
-# between constructions, call clear_cut_memo() (stale cuts would only
-# skew balance, but ntile's total must be exact).  Tiny (collected key
-# tuples only) and bounded.
+# Rows-per-bucket target for the ADAPTIVE bucket count: effective
+# B = min(caller's n_buckets cap, ceil(n_est / this)).  8192 keeps a
+# bucket's sort trivially in-task while bounding cut-literal count,
+# search depth, and sample size to what the data needs; tests shrink it
+# to force multi-bucket paths on tiny frames.
+_TARGET_ROWS_PER_BUCKET = 8192
+
+# Driver-side memo of cut tuples keyed by the ANALYZED plan's semantic
+# hash + order spec: re-constructing the same ranking over the same
+# frame (a benchmark repeat, a notebook re-run) skips the sample job
+# entirely.  Same immutability contract as Spark's own CacheManager:
+# if the underlying storage is rewritten between constructions, call
+# clear_cut_memo() — though stale cuts can only skew bucket balance,
+# never a rank (ntile's total is computed in-plan from the per-bucket
+# counts).  Tiny (collected key tuples only) and bounded.
 _CUT_MEMO: dict = {}
 _CUT_MEMO_CAP = 512
 
@@ -258,30 +278,66 @@ def _memo_key(df: DataFrame, specs, n_buckets: int):
     )
 
 
+_TYPE_WIDTH_GUESS = 20  # bytes/column when no better stats exist
+
+
+def _estimate_rows(df: DataFrame) -> "int | None":
+    """Cheap driver-side row-count ESTIMATE from the optimized plan's
+    statistics — no job.  Exact when the plan carries a rowCount
+    (``range``, a materialized cache); otherwise sizeInBytes divided by
+    a crude per-column width.  A mis-estimate can only affect bucket
+    BALANCE and the sample fraction (the collect is limit-capped), so
+    order-of-magnitude accuracy is all this needs; returns None when
+    stats are unavailable (caller falls back to an exact count)."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            return max(0, int(str(rc.get())))
+        size = int(str(stats.sizeInBytes()))
+    except Exception:
+        return None
+    width = max(8, _TYPE_WIDTH_GUESS * max(1, len(df.schema.fields)))
+    return max(1, size // width)
+
+
 def _cut_array(
     df: DataFrame, specs: list[tuple[Column, bool]], n_buckets: int
-) -> tuple["Column | None", int, int]:
-    """One fixed-seed sample pass → up to ``n_buckets - 1`` strictly
+) -> tuple["Column | None", int]:
+    """One fixed-seed sample pass → up to ``B_eff - 1`` strictly
     increasing composite cut tuples, frozen as plan literals; returns
-    (cuts array Column or None, cut count, exact input row count).
-    The count doubles as ntile's total, and sizes the sample fraction
-    so the driver never collects more than ~1.3 × 24 × n_buckets key
-    tuples regardless of input size.  Memoized per (semantic plan,
-    spec) — see _CUT_MEMO."""
+    (cuts array Column or None, cut count).  ``B_eff`` adapts to the
+    estimated input size (see _TARGET_ROWS_PER_BUCKET) under the
+    caller's ``n_buckets`` cap; the sample fraction comes from the same
+    estimate and the driver collect is hard-capped with ``limit`` so a
+    low estimate can never blow the driver (a truncated sample is
+    layout-biased, which skews balance only).  No exact count job runs
+    on this path.  Memoized per (semantic plan, spec) — see
+    _CUT_MEMO."""
     import math as _math
 
     proj = df.select(*_key_fields(df, specs))
     ktypes = [f.dataType for f in proj.schema.fields]
     mk = _memo_key(df, specs, n_buckets)
     if mk is not None and mk in _CUT_MEMO:
-        cuts, n = _CUT_MEMO[mk]
+        cuts = _CUT_MEMO[mk]
     else:
-        n = df.count()
+        n_est = _estimate_rows(df)
+        if n_est is None:
+            n_est = df.count()
+        b_eff = min(
+            int(n_buckets),
+            max(1, -(-int(n_est) // _TARGET_ROWS_PER_BUCKET)),
+        )
         cuts = []
-        if n > 1 and n_buckets > 1:
-            want = _SAMPLE_PER_BUCKET * n_buckets
-            frac = min(1.0, (want * 1.3) / n)
-            rows = proj.sample(False, frac, seed=_SAMPLE_SEED).collect()
+        if n_est > 1 and b_eff > 1:
+            want = _SAMPLE_PER_BUCKET * b_eff
+            frac = min(1.0, (want * 1.3) / n_est)
+            rows = (
+                proj.sample(False, frac, seed=_SAMPLE_SEED)
+                .limit(4 * want)
+                .collect()
+            )
             vals = sorted(
                 {
                     tuple(r)
@@ -296,15 +352,15 @@ def _cut_array(
             if vals:
                 m = len(vals)
                 prev = None
-                for j in range(1, n_buckets):
-                    v = vals[min(m - 1, (j * m) // n_buckets)]
+                for j in range(1, b_eff):
+                    v = vals[min(m - 1, (j * m) // b_eff)]
                     if v != prev:
                         cuts.append(v)
                         prev = v
         if mk is not None and len(_CUT_MEMO) < _CUT_MEMO_CAP:
-            _CUT_MEMO[mk] = (cuts, n)
+            _CUT_MEMO[mk] = cuts
     if not cuts:
-        return None, 0, n
+        return None, 0
     structs = [
         "named_struct("
         + ", ".join(
@@ -313,7 +369,7 @@ def _cut_array(
         + ")"
         for t in cuts
     ]
-    return F.expr("array(" + ", ".join(structs) + ")"), len(cuts), n
+    return F.expr("array(" + ", ".join(structs) + ")"), len(cuts)
 
 
 def _with_bucket(
@@ -329,34 +385,42 @@ def _with_bucket(
     array literal per step) — never the O(B)-literal CASE tree (its
     codegen cost made multi-consumer plans ~40x slower) and never a
     per-row HOF fold over all B cuts (measured ~40x slower than this
-    at B=256 on 1M rows)."""
+    at B=256 on 1M rows).  Each level is TWO batched ``withColumns``
+    calls (mid+comparison, then lo+hi), not four ``withColumn`` calls:
+    per-call plan re-analysis dominated driver time on deep-lineage
+    inputs (measured 1-2.2 s per construction at B=256 — the r12
+    ranking regression's largest term)."""
     if arr is None or m == 0:
         return df.withColumn(_B, F.lit(0))
     import math
-    out = (
-        df.withColumn("_rkbk", F.struct(*_key_fields(df, specs)))
-        .withColumn("_rklo", F.lit(0))
-        .withColumn("_rkhi", F.lit(m))
+    out = df.withColumns(
+        {
+            "_rkbk": F.struct(*_key_fields(df, specs)),
+            "_rklo": F.lit(0),
+            "_rkhi": F.lit(m),
+        }
     )
     for _ in range(max(1, math.ceil(math.log2(m + 1)))):
-        out = out.withColumn(
-            "_rkmid", F.shiftright(F.col("_rklo") + F.col("_rkhi"), 1)
+        lo, hi = F.col("_rklo"), F.col("_rkhi")
+        out = out.withColumns(
+            {
+                "_rkmid": F.shiftright(lo + hi, 1),
+                "_rkc": (lo < hi)
+                & (
+                    F.col("_rkbk")
+                    > F.element_at(arr, F.shiftright(lo + hi, 1) + 1)
+                ),
+            }
         )
-        out = out.withColumn(
-            "_rkc",
-            (F.col("_rklo") < F.col("_rkhi"))
-            & (F.col("_rkbk") > F.element_at(arr, F.col("_rkmid") + 1)),
-        )
-        out = out.withColumn(
-            "_rkhi",
-            F.when(
-                F.col("_rkc") | (F.col("_rklo") >= F.col("_rkhi")),
-                F.col("_rkhi"),
-            ).otherwise(F.col("_rkmid")),
-        )
-        out = out.withColumn(
-            "_rklo",
-            F.when(F.col("_rkc"), F.col("_rkmid") + 1).otherwise(F.col("_rklo")),
+        out = out.withColumns(
+            {
+                "_rkhi": F.when(
+                    F.col("_rkc") | (lo >= hi), hi
+                ).otherwise(F.col("_rkmid")),
+                "_rklo": F.when(
+                    F.col("_rkc"), F.col("_rkmid") + 1
+                ).otherwise(lo),
+            }
         )
     return out.withColumn(_B, F.col("_rklo").cast("int")).drop(
         "_rkbk", "_rklo", "_rkhi", "_rkmid", "_rkc"
@@ -365,17 +429,16 @@ def _with_bucket(
 
 def _keyed_frame(
     df: DataFrame, specs: list[tuple[Column, bool]], n_buckets: int
-) -> tuple[DataFrame, int]:
-    """Pin the input (count/sample pass + bucket evaluation share one
+) -> DataFrame:
+    """Pin the input (sample pass + bucket evaluation share one
     materialization), assign buckets, then pin the BUCKETED frame too:
     every plan branch and every downstream consumer (a quantile-leg
     query may reference the ranked frame a dozen times) reads the
     bucket column from cache instead of re-evaluating the search —
     with recomputation still exact if any cache is lost."""
     src = _pin(df)
-    arr, m, n = _cut_array(src, specs, n_buckets)
-    keyed = _pin(_with_bucket(src, specs, arr, m))
-    return keyed, n
+    arr, m = _cut_array(src, specs, n_buckets)
+    return _pin(_with_bucket(src, specs, arr, m))
 
 
 def _global_rn(
@@ -383,8 +446,14 @@ def _global_rn(
     specs: list[tuple[Column, bool]],
     n_buckets: int,
     out_col: str,
-) -> tuple[DataFrame, int]:
-    keyed, n = _keyed_frame(df, specs, n_buckets)
+    carry_total: "str | None" = None,
+) -> DataFrame:
+    """Rank via per-bucket windows + broadcast offsets.  When
+    ``carry_total`` names a column, the exact input row count — the sum
+    of the per-bucket counts this construction already aggregates —
+    rides along on the same ≤ B-row broadcast table (ntile's total, no
+    separate count job)."""
+    keyed = _keyed_frame(df, specs, n_buckets)
     local = keyed.withColumn(
         _LRN,
         F.row_number().over(Window.partitionBy(_B).orderBy(*_sort_cols(specs))),
@@ -394,15 +463,21 @@ def _global_rn(
     over_b = Window.orderBy(_B).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    offsets = counts.select(
-        _B, (F.sum("_c").over(over_b) - F.col("_c")).alias(_OFF)
-    )
-    ranked = (
+    off_cols = [
+        F.col(_B),
+        (F.sum("_c").over(over_b) - F.col("_c")).alias(_OFF),
+    ]
+    if carry_total:
+        over_all = Window.orderBy(_B).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        off_cols.append(F.sum("_c").over(over_all).alias(carry_total))
+    offsets = counts.select(*off_cols)
+    return (
         local.join(F.broadcast(offsets), _B)
         .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("bigint"))
         .drop(_B, _LRN, _OFF)
     )
-    return ranked, n
 
 
 def global_row_number(
@@ -428,8 +503,7 @@ def global_row_number(
     a row across buckets, so the two consumers (local windows, counts)
     always agree without any checkpoint.
     """
-    ranked, _ = _global_rn(df, _order_specs(order_cols), n_buckets, out_col)
-    return ranked
+    return _global_rn(df, _order_specs(order_cols), n_buckets, out_col)
 
 
 def grouped_row_number(
@@ -454,7 +528,7 @@ def grouped_row_number(
     """
     gspecs = [(F.col(g), False) for g in group_cols]
     ospecs = _order_specs(order_cols)
-    keyed, _ = _keyed_frame(df, gspecs + ospecs, n_buckets)
+    keyed = _keyed_frame(df, gspecs + ospecs, n_buckets)
     local = keyed.withColumn(
         _LRN,
         F.row_number().over(
@@ -495,24 +569,27 @@ def ntile_exact(
     - r <= rem*(q+1):  tile = ceil(r / (q+1))
     - else:            tile = rem + ceil((r - rem*(q+1)) / q)
 
-    ``n`` is the exact driver-side count the cut-point pass already
-    paid for, so q/rem/head are Python-int LITERALS — no 1-row
-    broadcast-total join.  Pure integer arithmetic (``div`` quotients
-    and ``(a + d - 1) div d`` ceilings, no double-precision division),
-    bit-exact on both engines at any row count; ``max(q, 1)`` guards
-    the k >= n case where the else branch is dead anyway.
+    ``n`` is the SUM of the per-bucket counts the rank construction
+    already aggregates, carried on the same ≤ B-row broadcast offsets
+    table (``_t``) — no driver-side count job, no extra join.  Pure
+    integer arithmetic (``div`` quotients and ``(a + d - 1) div d``
+    ceilings, no double-precision division), bit-exact on both engines
+    at any row count; ``greatest(q, 1)`` guards the k >= n case where
+    the else branch is dead anyway (rem = n there, so every rank takes
+    the first branch and tile = r).
     """
-    ranked, n = _global_rn(df, _order_specs(order_cols), n_buckets, "_rn")
-    q, rem = divmod(int(n), int(k))
-    head = rem * (q + 1)
-    qs = max(q, 1)
-    tile = (
-        # ceil(r / (q+1)) == (r + q) div (q + 1); ceil(x / qs) == (x + qs - 1) div qs
-        F.when(F.col("_rn") <= F.lit(head), F.expr(f"(_rn + {q}) div {q + 1}"))
-        .otherwise(F.lit(rem) + F.expr(f"(_rn - {head} + {qs - 1}) div {qs}"))
-        .cast("int")
+    ranked = _global_rn(
+        df, _order_specs(order_cols), n_buckets, "_rn", carry_total=_T
     )
-    return ranked.withColumn(out_col, tile).drop("_rn")
+    k = int(k)
+    tile = F.expr(
+        "CAST(CASE WHEN _rn <= (_t % {k}) * ((_t div {k}) + 1) "
+        "THEN (_rn + (_t div {k})) div ((_t div {k}) + 1) "
+        "ELSE (_t % {k}) + (_rn - (_t % {k}) * ((_t div {k}) + 1) "
+        "+ greatest(_t div {k}, 1) - 1) div greatest(_t div {k}, 1) "
+        "END AS INT)".format(k=k)
+    )
+    return ranked.withColumn(out_col, tile).drop("_rn", _T)
 
 
 def ordered_prefix_sum(
@@ -534,7 +611,7 @@ def ordered_prefix_sum(
     the layout; bucket determinism per the module docstring.
     """
     specs = _order_specs(order_cols)
-    keyed, _ = _keyed_frame(df, specs, n_buckets)
+    keyed = _keyed_frame(df, specs, n_buckets)
     in_bucket = (
         Window.partitionBy(_B)
         .orderBy(*_sort_cols(specs))

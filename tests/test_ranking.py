@@ -11,6 +11,24 @@ from pyspark.sql import functions as F
 from duckdb_cluster_hash_spark.operators.ranking import global_row_number, ntile_exact
 
 
+@pytest.fixture(autouse=True)
+def _small_buckets():
+    """The adaptive bucket count would collapse these few-hundred-row
+    fixtures to a single bucket (correct, but the cut/binary-search
+    machinery would go untested); shrink the rows-per-bucket target so
+    the callers' n_buckets parameters take effect as written."""
+    from duckdb_cluster_hash_spark.operators import ranking
+
+    saved = ranking._TARGET_ROWS_PER_BUCKET
+    ranking._TARGET_ROWS_PER_BUCKET = 16
+    ranking.clear_cut_memo()
+    try:
+        yield
+    finally:
+        ranking._TARGET_ROWS_PER_BUCKET = saved
+        ranking.clear_cut_memo()
+
+
 @pytest.fixture(scope="module")
 def scored(spark):
     # duplicate scores force the tie-break; 997 rows exercises uneven tiles
@@ -270,6 +288,50 @@ def test_ranks_identical_with_and_without_pin(spark, scored):
         ranking.PIN_INPUT = saved
         ranking.release_rank_pins()
     assert pinned == unpinned
+
+
+def test_adaptive_bucket_count_and_no_count_job(spark, scored):
+    """The construction must (a) collapse a tiny frame to few buckets
+    under the data-scaled sizing (driver plan-build cost was the r12
+    regression), (b) honor the caller's n_buckets as a CAP, and (c)
+    never run an exact count() job — ranks and ntile totals must be
+    exact either way."""
+    from duckdb_cluster_hash_spark.operators import ranking
+
+    ranking._TARGET_ROWS_PER_BUCKET = 8192  # undo the autouse shrink
+    ranking.clear_cut_memo()
+    counted = {"n": 0}
+    orig = type(scored).count
+
+    def _spy(self):
+        counted["n"] += 1
+        return orig(self)
+
+    type(scored).count = _spy
+    try:
+        out = ntile_exact(scored, [F.asc("id")], 10, n_buckets=256)
+        got = {r["id"]: r["tile"] for r in out.collect()}
+    finally:
+        type(scored).count = orig
+    # 997 rows → 1 bucket at 8192 rows/bucket: the bucket column exists
+    # but the plan carries no cut literals, and no count job ran (the
+    # spark.range lineage carries an exact rowCount statistic)
+    assert counted["n"] == 0
+    want = {
+        r["id"]: r["t"]
+        for r in scored.withColumn(
+            "t", F.ntile(10).over(Window.orderBy(F.asc("id")))
+        ).collect()
+    }
+    assert got == want
+    # the estimate honors the caller's cap: a 997-row frame at target 16
+    # wants ceil(997/16)=63 buckets but a cap of 4 wins
+    ranking._TARGET_ROWS_PER_BUCKET = 16
+    ranking.clear_cut_memo()
+    arr, m = ranking._cut_array(
+        scored, ranking._order_specs([F.asc("id")]), 4
+    )
+    assert 1 <= m <= 3
 
 
 def test_order_spec_rejects_exotic_sort_wrappers(spark, scored):
