@@ -241,8 +241,19 @@ def clear_shared_cache(df: DataFrame | None = None) -> int:
     for fn in list(_EXTRA_CLEARERS):
         try:
             cleared += int(fn(df) or 0)
-        except Exception:
-            pass  # a dead session's clearer must not mask the others
+        except Exception as exc:
+            # A dead session's clearer must not mask the others — but a
+            # SILENT failure would leave its memo live, and bench
+            # repeats / scale-probe passes would time memo hits (the
+            # exact timing pollution this hook exists to prevent), so
+            # make the skip visible in harness output.
+            import sys as _sys
+
+            print(
+                f"clear_shared_cache: clearer {getattr(fn, '__qualname__', fn)!r} "
+                f"raised {exc!r}; its memo may still be live",
+                file=_sys.stderr,
+            )
     return cleared
 
 

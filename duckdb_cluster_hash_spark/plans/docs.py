@@ -467,28 +467,16 @@ def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle (same key a digest groupBy would use, and only (doc_id,
     digest, small ints) cross the wire conceptually; text-derived
     features are computed scan-side before the exchange).  Quality and
-    lang-ID are pure codegen Column chains (no Python).  The decision
-    ladder mirrors a production pipeline: dedup wins over quality so
-    re-ingested copies never double-count against quality stats.
+    lang-ID are pure codegen Column chains (no Python); the scored
+    table is the :func:`quality_rep_shared` memo, so a suite run pays
+    the pass once between this report and the composed pipeline.  The
+    decision ladder mirrors a production pipeline: dedup wins over
+    quality so re-ingested copies never double-count against quality
+    stats.
     """
-    from pyspark.sql.window import Window
-
-    from duckdb_cluster_hash_spark.functions.text import (
-        language_id_col,
-        quality_features,
-        quality_score_col,
-    )
-
     docs = _t(spark, sf_dir, "documents")
-    feats = quality_features(docs, "text")
-    scored = feats.select(
-        "doc_id",
-        "n_tokens",
-        quality_score_col().alias("quality"),
-        language_id_col(F.col("text")).alias("lang_id"),
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5(F.col("text"))))
-        .alias("rep"),
+    scored = quality_rep_shared(docs).select(
+        "doc_id", "n_tokens", "quality", "lang_id", "rep"
     )
     decided = scored.select(
         "lang_id",
@@ -506,6 +494,52 @@ def docs_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_id", "decision")
     )
+
+
+def quality_rep_shared(docs: DataFrame) -> DataFrame:
+    """Per-document quality/dedup gate table ``(doc_id, lang, nch,
+    n_tokens, rep, quality, lang_id)``, materialized ONCE per corpus
+    per session through the dedup family memo
+    (operators/dedup._shared_checkpoint) and shared between
+    ``docs_corpus_curation`` (keep/drop report) and
+    ``docs_curation_pipeline`` (quality gate stage): the regex-heavy
+    quality features and the md5-digest exact-dup window are identical
+    in both, so a suite run pays the corpus pass once.  The window's
+    shuffle key is the 32-byte digest (text-derived features are
+    computed scan-side), same as a digest groupBy would use."""
+    from pyspark.sql.window import Window
+
+    from duckdb_cluster_hash_spark.functions.text import (
+        language_id_col,
+        quality_features,
+        quality_score_col,
+    )
+
+    def build():
+        s0 = docs.select(
+            "doc_id",
+            "text",
+            "lang",
+            F.length("text").cast("bigint").alias("nch"),
+        )
+        f = quality_features(
+            s0.withColumn(
+                "rep",
+                F.min("doc_id").over(Window.partitionBy(F.md5("text"))),
+            ),
+            "text",
+        )
+        return f.select(
+            "doc_id",
+            "lang",
+            "nch",
+            "n_tokens",
+            "rep",
+            quality_score_col().alias("quality"),
+            language_id_col(F.col("text")).alias("lang_id"),
+        )
+
+    return _dd._shared_checkpoint(docs, ("quality_rep",), build)
 
 
 def gopher_rep_shared(docs: DataFrame) -> DataFrame:
@@ -574,23 +608,14 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import tempfile as _tf
 
-    from duckdb_cluster_hash_spark.functions.text import (
-        quality_features,
-        quality_score_col,
-    )
     from duckdb_cluster_hash_spark.operators.ranking import grouped_row_number
-    from pyspark.sql.window import Window
 
     docs = _t(spark, sf_dir, "documents")
-    s0 = docs.select(
-        "doc_id", "text", "lang", F.length("text").cast("bigint").alias("nch")
+    # quality + exact-dup rep: the memoized table shared with
+    # docs_corpus_curation (one regex+digest-window corpus pass/session)
+    q = quality_rep_shared(docs).select(
+        "doc_id", "lang", "nch", "rep", "quality"
     )
-    q = quality_features(
-        s0.withColumn(
-            "rep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
-        ),
-        "text",
-    ).select("doc_id", "lang", "nch", "rep", quality_score_col().alias("quality"))
     # Gopher top-bigram repetition share, per doc — the SAME memoized
     # table docs_gopher_repetition rolls up (one bigram explode per
     # corpus per session)
@@ -663,10 +688,20 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "nch", "stage")
     )
-    # the kept corpus IS the artifact; the bill's kept row reads it back
+    # the kept corpus IS the artifact; the bill's kept row reads it back.
+    # Keyed by a full-path hash + PID: CLAUDE.md allows correctness
+    # sweeps to overlap, and a basename-only key let two harnesses on
+    # the same corpus race the overwrite/read-back and corrupt the bill.
+    import hashlib as _hl
+
     path = _os.path.join(
         _tf.gettempdir(),
-        f"dch_curated_{_os.path.basename(sf_dir.rstrip('/'))}",
+        "dch_curated_{}_{}".format(
+            _hl.md5(
+                _os.path.abspath(sf_dir.rstrip("/")).encode()
+            ).hexdigest()[:8],
+            _os.getpid(),
+        ),
     )
     labeled.where(F.col("stage") == "5_kept").select("doc_id").join(
         docs.select("doc_id", "lang", "text"), "doc_id"
@@ -3653,6 +3688,18 @@ def perceptron_train_trajectory(
     per-row margin ``y*(w.x)`` stays far inside int64 at any corpus
     size, where the raw-sum rule's weights grow with corpus rows and
     would overflow the margin around 10^12 docs.
+
+    Gradient-sum bound (the one term that DOES grow with corpus mass):
+    the per-iteration aggregate ``sum(y * x_j)`` over mistaken rows is
+    bounded by rows x max|x_j| ~ rows x n_chars; at ~2 KB/doc it stays
+    inside int64 up to ~10^12 docs (≈ petabyte corpora), same order as
+    the margin bound above.  Past that the failure mode is ASYMMETRIC:
+    Spark's non-ANSI long sum wraps silently while the DuckDB oracle
+    widens to HUGEINT and errors on its BIGINT cast — so an overflow
+    surfaces as an oracle mismatch/error, never a silently-agreed wrong
+    answer, but a >10^12-doc deployment should pre-aggregate per shard
+    or enable ANSI mode to turn the wrap into an error on the Spark
+    side too.
 
     One map-side-combined scalar aggregate + one 1-row collect per
     iteration (the BPE-trainer shape, docs.py:bpe_train_merges): the
