@@ -1256,6 +1256,44 @@ def quality_perceptron_filter_sql(
     )
 
 
+def quality_perceptron_sweep_sql(
+    iters: int = 8,
+    table: str = "documents",
+    thresholds: tuple = (-1000000, -10000, -100, 0, 100, 10000, 1000000),
+) -> str:
+    """Oracle for the operating-point sweep: the SAME unrolled training
+    chain, one scoring pass, then a per-threshold confusion rollup —
+    predicted positive = margin > threshold.  The thresholds table is
+    LEFT JOINed onto the scored rows so an empty corpus still yields
+    one all-zero row per threshold (matching the Spark side's 1-row
+    aggregate + stack).  All BIGINT; ``//`` on the non-negative bp
+    ratios is exact on both engines."""
+    sql = _perceptron_ctes(iters, table)
+    vals = ", ".join(f"({t})" for t in thresholds)
+    return (
+        f"{sql}, s AS (SELECT y, "
+        f"(w0*x0 + w1*x1 + w2*x2 + w3*x3 + w4*x4) AS m "
+        f"FROM f CROSS JOIN it{iters}), "
+        f"g AS (SELECT CAST(t.th AS BIGINT) AS threshold, "
+        "CAST(count(s.m) AS BIGINT) AS n_docs, "
+        "CAST(coalesce(sum(CASE WHEN s.y = 1 THEN 1 END), 0) AS BIGINT) "
+        "AS n_pos, "
+        "CAST(coalesce(sum(CASE WHEN s.m > t.th THEN 1 END), 0) AS BIGINT) "
+        "AS n_pred_pos, "
+        "CAST(coalesce(sum(CASE WHEN s.y = 1 AND s.m > t.th THEN 1 END), 0) "
+        "AS BIGINT) AS n_true_pos "
+        f"FROM (VALUES {vals}) t(th) LEFT JOIN s ON TRUE GROUP BY t.th) "
+        "SELECT threshold, n_pred_pos, n_true_pos, "
+        "CAST((10000 * n_true_pos) // GREATEST(n_pred_pos, 1) AS BIGINT) "
+        "AS precision_bp, "
+        "CAST((10000 * n_true_pos) // GREATEST(n_pos, 1) AS BIGINT) "
+        "AS recall_bp, "
+        "CAST((10000 * (n_docs - n_pred_pos)) // GREATEST(n_docs, 1) "
+        "AS BIGINT) AS attrition_bp "
+        "FROM g ORDER BY threshold"
+    )
+
+
 def knn_label_accuracy_sql(
     k: int = 5, step: int = 29, cap: int = 1160, dim: int = 64
 ) -> str:

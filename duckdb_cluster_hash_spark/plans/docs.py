@@ -3926,3 +3926,93 @@ def docs_quality_perceptron_filter(
         )
         .orderBy("source")
     )
+
+
+# The sweep's operating points: fixed literals spanning the integer
+# margin's dynamic range (features are token/char counts, so margins
+# span ~±10^6 at real document sizes; on tiny fuzz corpora the extreme
+# thresholds simply degenerate to all-kept / all-dropped rows, which
+# the oracle reproduces bit-for-bit).  Data-independent by design —
+# a quantile-derived grid would make the bill depend on the corpus
+# sample and break replay determinism.
+_SWEEP_THRESHOLDS = (-1000000, -10000, -100, 0, 100, 10000, 1000000)
+
+
+@query(
+    "docs_quality_perceptron_sweep",
+    oracle=_ot.quality_perceptron_sweep_sql(8, thresholds=_SWEEP_THRESHOLDS),
+)
+def docs_quality_perceptron_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Operating-point sweep for the trained quality classifier: the
+    precision / recall / attrition bill at k margin thresholds — what a
+    real quality-gate decision reads BEFORE picking the one threshold
+    the filter applies (the attrition a corpus can afford vs the
+    precision it needs).  Predicted positive = margin > threshold.
+
+    Scale: training is the session memo
+    (:func:`perceptron_trajectory_shared`); the sweep itself is ONE
+    map-side-combined aggregate over the same scoring projection the
+    filter uses (2 + 2k counters), unpivoted driver-free with ``stack``
+    into one row per threshold — no join, no second corpus pass, no
+    per-threshold scan.  All BIGINT; bp ratios are trunc-div on
+    non-negative operands, so the bill is bit-graded against the
+    oracle's unrolled training chain + grouped CASE rollup.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    w = list(perceptron_trajectory_shared(docs, 8)[-1][3:])
+    feats = perceptron_features(docs)
+    scored = feats.select(
+        "y",
+        sum(
+            F.lit(w[j]).cast("long") * F.col(f"x{j}") for j in range(5)
+        ).alias("m"),
+    )
+    aggs = [
+        F.count("m").cast("long").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("y") == 1, 1)), F.lit(0))
+        .cast("long")
+        .alias("npos"),
+    ]
+    for i, th in enumerate(_SWEEP_THRESHOLDS):
+        aggs.append(
+            F.coalesce(F.sum(F.when(F.col("m") > th, 1)), F.lit(0))
+            .cast("long")
+            .alias(f"pp{i}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when((F.col("y") == 1) & (F.col("m") > th), 1)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"tp{i}")
+        )
+    stacked = scored.agg(*aggs).select(
+        "n",
+        "npos",
+        F.expr(
+            "stack({}, {}) AS (threshold, n_pred_pos, n_true_pos)".format(
+                len(_SWEEP_THRESHOLDS),
+                ", ".join(
+                    f"CAST({th} AS BIGINT), pp{i}, tp{i}"
+                    for i, th in enumerate(_SWEEP_THRESHOLDS)
+                ),
+            )
+        ),
+    )
+    return stacked.select(
+        "threshold",
+        "n_pred_pos",
+        "n_true_pos",
+        F.expr("(10000 * n_true_pos) div greatest(n_pred_pos, 1)")
+        .cast("long")
+        .alias("precision_bp"),
+        F.expr("(10000 * n_true_pos) div greatest(npos, 1)")
+        .cast("long")
+        .alias("recall_bp"),
+        F.expr("(10000 * (n - n_pred_pos)) div greatest(n, 1)")
+        .cast("long")
+        .alias("attrition_bp"),
+    ).orderBy("threshold")

@@ -60,6 +60,11 @@ WAIVERS: dict[str, str] = {
         "L(Nt+V)-L(Nr+V) shift; LM deltas join on the vocab key"
     ),
     "docs_exact_dedup": "final scalar rollup of partial-agg rows",
+    "docs_quality_perceptron_sweep": (
+        "the SinglePartition exchange merges map-side partials of ONE "
+        "2+2k-counter scalar aggregate (one 16-counter row total crosses "
+        "the wire); the stack unpivot runs on the 1-row result"
+    ),
     "formats_text_roundtrip": "final scalar rollup of partial-agg rows",
     "formats_schema_evolution": "final scalar rollup of partial-agg rows",
     "docs_quality_constraints": (

@@ -121,6 +121,10 @@ INVARIANCE_QUERIES = [
     # final-weight scoring over the same projection: the per-source
     # confusion bill must follow the trained weights, not the layout
     "docs_quality_perceptron_filter",
+    # k-threshold confusion sweep from one 2+2k-counter aggregate +
+    # stack unpivot: every counter is an order-free integer sum over
+    # the trained margins, so the whole bill must be layout-pure
+    "docs_quality_perceptron_sweep",
     # two-level keyed top-5 (vec_id%32 salt windows, then per-query) +
     # majority vote: every rank and tie-break is on (micro-cos, vec_id),
     # so no scan split or shuffle width may move a neighbour

@@ -175,6 +175,63 @@ def test_perceptron_filter_confusion_mass_and_memo(spark, tmp_path):
     assert npred == sum(r["n_pred_pos"] for r in rows.values())
 
 
+def test_perceptron_sweep_matches_reference_and_plan(spark, tmp_path):
+    """The operating-point sweep must reproduce an independent Python
+    confusion sweep at every threshold, AND stay one aggregate: no
+    join, a single corpus scan, stack-unpivoted (the plan-gate half of
+    the 'no new corpus pass' contract)."""
+    from duckdb_cluster_hash_spark.plans.docs import (
+        _SWEEP_THRESHOLDS,
+        perceptron_trajectory_shared,
+    )
+    from duckdb_cluster_hash_spark.sources.tables import load_table
+
+    docs = _mk_docs(spark, seed=11, n=80)
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    corpus = load_table(spark, sf, "documents")
+    out = QUERIES["docs_quality_perceptron_sweep"](spark, sf)
+    got = {r["threshold"]: tuple(r)[1:] for r in out.collect()}
+    w = list(perceptron_trajectory_shared(corpus, 8)[-1][3:])
+    feats = [
+        tuple(int(v) for v in r)
+        for r in perceptron_features(corpus).collect()
+    ]
+    margins = [
+        (f[0], sum(w[j] * f[1 + j] for j in range(5))) for f in feats
+    ]
+    n = len(margins)
+    npos = sum(1 for y, _ in margins if y == 1)
+    for th in _SWEEP_THRESHOLDS:
+        pp = sum(1 for _, m in margins if m > th)
+        tp = sum(1 for y, m in margins if y == 1 and m > th)
+        want = (
+            pp,
+            tp,
+            (10000 * tp) // max(pp, 1),
+            (10000 * tp) // max(npos, 1),
+            (10000 * (n - pp)) // max(n, 1),
+        )
+        assert got[th] == want, (th, got[th], want)
+    # attrition must be non-decreasing and predictions non-increasing
+    # as the threshold tightens
+    ths = sorted(got)
+    pps = [got[t][0] for t in ths]
+    assert pps == sorted(pps, reverse=True)
+    # plan gate: one scan, no join, stack generator present (post-run
+    # AQE toString echoes the initial plan below the final one — only
+    # the final section counts)
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("Initial Plan")[0]
+    )
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "stack(" in plan
+
+
 def test_perceptron_memo_cleared_by_shared_cache_hook(spark, tmp_path):
     """Timing harnesses reset session memos through the ONE hook
     (operators.dedup.clear_shared_cache); the trajectory memo must obey
