@@ -388,6 +388,73 @@ def pnm_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "media").mapInPandas(decode, PNM_STATS_SCHEMA)
 
 
+# 9x8 sample grid -> 8 horizontal-gradient bits per row -> 8 one-byte
+# bands.  The grid is NEAREST-NEIGHBOR (x = w*gx//9, y = h*gy//8):
+# integer-exact at any image size (area averaging has empty cells when
+# w < 9) and closed-form reproducible by the SQL oracle.
+DHASH_GRID_W, DHASH_GRID_H = 9, 8
+
+PNM_DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band_idx", IntegerType()),
+        StructField("band", IntegerType()),
+    ]
+)
+
+
+def pnm_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual difference-hash of a PNM binary column, LONG format:
+    8 rows per image — ``(doc_id, band_idx 0..7, band 0..255)`` — one
+    byte per grid row, ready for the banded-Hamming candidate join
+    (band equality = at least 8 of 64 bits agree contiguously).
+
+    The dHash recipe (real decode, integer-only arithmetic so the
+    oracle can reproduce every bit from the generator's closed form):
+
+    1. decode the actual bytes (:func:`decode_pnm` — header grammar,
+       comments, raster offset);
+    2. integer luma ``(299 R + 587 G + 114 B) // 1000`` for 3-channel
+       images (the Rec.601 weights, trunc-div), raw pixel for 1-channel;
+    3. sample a 9x8 grid at ``(h*gy//8, w*gx//9)``;
+    4. bit gx of band gy = ``grid[gy][gx+1] > grid[gy][gx]``.
+
+    Arrow-batched ``mapInPandas``; payload bytes cross into Python once
+    per batch and 8 small ints per image come out — at 100 TB the wire
+    carries hashes, never rasters.
+    """
+    shifts = 1 << np.arange(DHASH_GRID_W - 1, dtype=np.int64)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = []
+            idxs = []
+            bands = []
+            for doc_id, m in zip(pdf[id_col], pdf["media"]):
+                w, h, ch, _mv, px = decode_pnm(bytes(m))
+                if ch == 3:
+                    p = px.reshape(h, w, 3).astype(np.int64)
+                    gray = (p[..., 0] * 299 + p[..., 1] * 587 + p[..., 2] * 114) // 1000
+                else:
+                    gray = px.reshape(h, w).astype(np.int64)
+                ys = (h * np.arange(DHASH_GRID_H)) // DHASH_GRID_H
+                xs = (w * np.arange(DHASH_GRID_W)) // DHASH_GRID_W
+                grid = gray[np.ix_(ys, xs)]
+                b = ((grid[:, 1:] > grid[:, :-1]) * shifts).sum(axis=1)
+                ids.extend([int(doc_id)] * DHASH_GRID_H)
+                idxs.extend(range(DHASH_GRID_H))
+                bands.extend(int(v) for v in b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "band_idx": pd.Series(idxs, dtype="int32"),
+                    "band": pd.Series(bands, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(hash_batches, PNM_DHASH_SCHEMA)
+
+
 def decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
     """Dependency-free RIFF/WAVE PCM decoder ->
     (sample_rate, channels, bits_per_sample, n_frames, int16 samples

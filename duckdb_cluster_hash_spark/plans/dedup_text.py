@@ -924,3 +924,159 @@ def docs_softdedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _image_dhash_ctes() -> str:
+    """Shared oracle CTE chain ending in ``hm(doc_a, doc_b, hamming)``:
+    the dHash bands re-derived from attach_fake_pnm's closed form
+    (pixel(i) = (7*doc_id + 13*i) % 256, Rec.601 integer luma ``//``
+    1000, nearest-neighbor 9x8 grid, horizontal-gradient bits), then
+    EVERY doc pair's Hamming distance via an all-pairs band join —
+    deliberately stronger than the Spark side's banded candidate
+    generation, so the grade also proves the banding loses no pair
+    below the threshold (pigeonhole: <= 7 differing bits cannot touch
+    all 8 one-byte bands)."""
+    base = "(((h * gy) // 8) * w + (w * gx) // 9)"
+
+    def pix(i: str) -> str:
+        return f"((7 * d + 13 * ({i})) % 256)"
+
+    return (
+        "WITH p AS (SELECT doc_id AS d, "
+        "CAST(4 + doc_id % 8 AS BIGINT) AS w, "
+        "CAST(3 + (doc_id * 3) % 5 AS BIGINT) AS h, "
+        "CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS c FROM documents), "
+        "g AS (SELECT d, gy, gx, CASE WHEN c = 3 THEN ("
+        f"299 * {pix('3 * ' + base)} "
+        f"+ 587 * {pix('3 * ' + base + ' + 1')} "
+        f"+ 114 * {pix('3 * ' + base + ' + 2')}) // 1000 "
+        f"ELSE {pix(base)} END AS v "
+        "FROM p CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS gy) "
+        "CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS gx)), "
+        "s AS (SELECT d, gy, gx, v, "
+        "lead(v) OVER (PARTITION BY d, gy ORDER BY gx) AS nxt FROM g), "
+        "b AS (SELECT d, gy, CAST(coalesce(sum(CASE WHEN nxt > v "
+        "THEN (CAST(1 AS BIGINT) << gx) ELSE 0 END), 0) AS INTEGER) AS band "
+        "FROM s WHERE gx < 8 GROUP BY d, gy), "
+        "hm AS (SELECT x.d AS doc_a, y.d AS doc_b, "
+        "CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming "
+        "FROM b x JOIN b y ON x.gy = y.gy AND x.d < y.d GROUP BY x.d, y.d)"
+    )
+
+
+def image_dhash_shared(docs: DataFrame) -> DataFrame:
+    """Long-format perceptual-hash table ``(doc_id, band_idx, band)``
+    (operators/multimodal.pnm_dhash over attach_fake_pnm media),
+    materialized once per corpus per session through the dedup family
+    memo and shared between the image near-dup pair and bill queries —
+    one decode + hash pass, 8 small ints per image on the wire."""
+    from duckdb_cluster_hash_spark.operators import multimodal as _mm
+
+    return _dd._shared_checkpoint(
+        docs,
+        ("pnm_dhash",),
+        lambda: _mm.pnm_dhash(_mm.attach_fake_pnm(docs.select("doc_id"))),
+    )
+
+
+def _image_pair_hamming(docs: DataFrame, tau: int = 6) -> DataFrame:
+    """Banded-Hamming near-dup pairs ``(da, db, hamming <= tau)``.
+
+    EXACT at the threshold by pigeonhole: the 64-bit dHash splits into
+    8 one-byte bands (one per grid row), and a pair differing in <= 6
+    of 64 bits can touch at most 6 bands, so at least two bands match
+    exactly — band equality as the candidate key loses nothing below
+    distance 8.  Candidates come from an EQUALITY self-join on
+    (band_idx, band) — never a cartesian product — and the Hamming
+    verify joins only the two 8-row signatures of each candidate."""
+    bands = image_dhash_shared(docs)
+    a = bands.select(F.col("doc_id").alias("da"), "band_idx", "band")
+    b = bands.select(F.col("doc_id").alias("db"), "band_idx", "band")
+    cand = (
+        a.join(b, ["band_idx", "band"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .dropDuplicates(["da", "db"])
+    )
+    ha = bands.select(
+        F.col("doc_id").alias("da"), "band_idx", F.col("band").alias("ba")
+    )
+    hb = bands.select(
+        F.col("doc_id").alias("db"), "band_idx", F.col("band").alias("bb")
+    )
+    return (
+        cand.join(ha, "da")
+        .join(hb, ["db", "band_idx"])
+        .groupBy("da", "db")
+        .agg(
+            F.sum(F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))))
+            .cast("bigint")
+            .alias("hamming")
+        )
+        .where(F.col("hamming") <= tau)
+    )
+
+
+@query(
+    "docs_image_neardup_pairs",
+    oracle=(
+        _image_dhash_ctes()
+        + " SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 6 "
+        "ORDER BY hamming, doc_a, doc_b LIMIT 100"
+    ),
+)
+def docs_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (the multimodal x dedup intersection):
+    REAL netpbm decode -> 64-bit difference hash (integer Rec.601 luma,
+    nearest-neighbor 9x8 grid, horizontal-gradient bits) -> banded
+    Hamming join — the image twin of docs_simhash_neardup_pairs, over
+    spec-compliant PPM/PGM images synthesized by attach_fake_pnm.
+    Emits the 100 CLOSEST pairs by (hamming, doc_a, doc_b); the full
+    pair mass is graded by docs_image_neardup_bill (the synthetic
+    rasters are small and linear, so their near-dup graph is dense —
+    an unbounded pair dump would be driver-hostile at sf0.1).
+
+    Scale: decode + hashing is one Arrow-batched map pass emitting 8
+    small ints per image, memoized per corpus (image_dhash_shared, the
+    wire carries hashes, never rasters); see _image_pair_hamming for
+    the banding-exactness argument.  The oracle grades against an
+    ALL-PAIRS formulation, so a recall hole in the banding would
+    hash-mismatch.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _image_pair_hamming(docs, 6)
+        .select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "hamming"
+        )
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+@query(
+    "docs_image_neardup_bill",
+    oracle=(
+        _image_dhash_ctes()
+        + " SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM hm WHERE hamming <= 6 GROUP BY hamming ORDER BY hamming"
+    ),
+)
+def docs_image_neardup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-mass bill for the perceptual image near-dup join: pair
+    counts per Hamming distance 0..6 — the full candidate+verify mass
+    in <= 7 rows, so EVERY pair the banding finds is graded (the
+    top-100 pair query alone would leave distance-5/6 recall holes
+    ungraded) while the output stays bounded at any corpus size.
+
+    Scale: shares the memoized hash table and the banded candidate
+    machinery with docs_image_neardup_pairs; the rollup adds one
+    7-group aggregate over the verified pairs.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _image_pair_hamming(docs, 6)
+        .groupBy("hamming")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )

@@ -125,6 +125,11 @@ INVARIANCE_QUERIES = [
     # stack unpivot: every counter is an order-free integer sum over
     # the trained margins, so the whole bill must be layout-pure
     "docs_quality_perceptron_sweep",
+    # perceptual dHash via an Arrow mapInPandas decode kernel + banded
+    # Hamming self-join: every hash bit is per-row pure, so the full
+    # pair-mass bill must survive any scan split or shuffle width
+    # (memo cleared between runs so the alt layout genuinely re-hashes)
+    "docs_image_neardup_bill",
     # two-level keyed top-5 (vec_id%32 salt windows, then per-query) +
     # majority vote: every rank and tie-break is on (micro-cos, vec_id),
     # so no scan split or shuffle width may move a neighbour

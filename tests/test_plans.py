@@ -155,6 +155,20 @@ def test_simhash_neardup_pairs_is_banded(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_image_neardup_is_banded(spark, sf_small):
+    """The perceptual image near-dup join must restrict candidates by
+    (band_idx, band) EQUALITY — never an all-pairs hash self-join —
+    and the decode must be the Arrow mapInPandas kernel (one Python
+    crossing per batch, hashes on the wire)."""
+    for name in ("docs_image_neardup_pairs", "docs_image_neardup_bill"):
+        df = QUERIES[name](spark, sf_small)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        opt = optimized_of(df)
+        assert "band_idx" in opt and "band" in opt, name
+
+
 def test_shard_ranges_udtf_matches_reference_table(spark):
     from duckdb_cluster_hash_spark import register_all
     from duckdb_cluster_hash_spark.core import REFERENCE_NODE_RANGES_6

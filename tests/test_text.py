@@ -107,6 +107,92 @@ def test_frame_sampling(spark):
     assert [f["frame_idx"] for f in frames] == [0]
 
 
+def test_pnm_dhash_matches_python_reference(spark):
+    """The Arrow dHash kernel must reproduce a pure-Python rendering of
+    the recipe (decode -> Rec.601 integer luma -> nearest-neighbor 9x8
+    grid -> horizontal-gradient bits) on both channel layouts, and two
+    identical rasters must hash identically (Hamming 0)."""
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(2, "x"), (9, "y"), (1282, "z")], "doc_id long, text string"
+    )  # 1282 = 2 + lcm(40, 256): same (w, h, parity) AND same 7d%256 shift
+    got = {}
+    for r in mm.pnm_dhash(mm.attach_fake_pnm(df)).collect():
+        got.setdefault(r["doc_id"], {})[r["band_idx"]] = r["band"]
+
+    def ref_bands(d):
+        w, h = 4 + d % 8, 3 + (d * 3) % 5
+        c = 3 if d % 2 == 0 else 1
+        px = [(d * 7 + i * 13) % 256 for i in range(w * h * c)]
+        if c == 3:
+            gray = [
+                (299 * px[3 * i] + 587 * px[3 * i + 1] + 114 * px[3 * i + 2])
+                // 1000
+                for i in range(w * h)
+            ]
+        else:
+            gray = px
+        grid = [
+            [gray[((h * gy) // 8) * w + (w * gx) // 9] for gx in range(9)]
+            for gy in range(8)
+        ]
+        return [
+            sum(
+                (1 << gx)
+                for gx in range(8)
+                if grid[gy][gx + 1] > grid[gy][gx]
+            )
+            for gy in range(8)
+        ]
+
+    for d in (2, 9, 1282):
+        assert [got[d][i] for i in range(8)] == ref_bands(d), d
+    # doc 1282's raster is bit-identical to doc 2's (same dims via
+    # mod 40, same 7d%256 shift) -> identical hash -> a distance-0 pair
+    assert got[2] == got[1282]
+
+
+def test_image_neardup_banding_exact_vs_bruteforce(spark, tmp_path):
+    """The banded candidate join must find EXACTLY the brute-force
+    pair set at tau=6 (pigeonhole recall proof on real data), and the
+    bill must account every verified pair."""
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    sf = str(tmp_path)
+    docs = spark.range(0, 120).selectExpr(
+        "id AS doc_id", "'t' AS text", "'en' AS lang", "'s' AS source",
+        "CAST(1 AS BIGINT) AS n_chars"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    bill = {
+        r["hamming"]: r["n_pairs"]
+        for r in QUERIES["docs_image_neardup_bill"](spark, sf).collect()
+    }
+    # brute force over the collected hashes
+    sig = {}
+    for r in mm.pnm_dhash(
+        mm.attach_fake_pnm(
+            spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+        )
+    ).collect():
+        sig.setdefault(r["doc_id"], [0] * 8)[r["band_idx"]] = r["band"]
+    want = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(
+                bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b])
+            )
+            if ham <= 6:
+                want[ham] = want.get(ham, 0) + 1
+    assert bill == want
+    pairs = QUERIES["docs_image_neardup_pairs"](spark, sf).collect()
+    assert len(pairs) == min(100, sum(want.values()))
+    assert all(p["hamming"] <= 6 and p["doc_a"] < p["doc_b"] for p in pairs)
+
+
 def test_decode_image_is_stubbed_for_non_pnm():
     from duckdb_cluster_hash_spark.operators import multimodal as mm
 
