@@ -46,56 +46,56 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 #   stamp[q] = max round whose CORRECTNESS_r*.json contains q;
 #   window = new queries + sorted(catalog, key=stamp)[:50-len(new)].
 _DRIVER_WINDOW_FIRST = [
-    "docs_curation_pipeline",  # never stamped
-    "docs_exact_substring_rewrite",  # never stamped
-    "docs_quality_perceptron",  # never stamped
-    "emb_knn_label_accuracy",  # never stamped
-    "docs_softdedup_reweight",  # never stamped
-    "docs_quality_perceptron_filter",  # never stamped
-    "parts_brand_pagerank",  # newest stamp: r6
-    "parts_skyline_price_size",  # newest stamp: r6
-    "orders_snapshot_diff",  # newest stamp: r6
-    "lineitem_trimmed_price_stats",  # newest stamp: r6
-    "orders_bucket_pruned_lookup",  # newest stamp: r6
-    "orders_set_operations",  # newest stamp: r6
-    "docs_lang_top_tokens",  # newest stamp: r6
-    "docs_source_quota_sample",  # newest stamp: r6
-    "docs_rag_chunks",  # newest stamp: r6
-    "docs_pack_sequences",  # newest stamp: r6
-    "docs_bm25_search",  # newest stamp: r6
-    "docs_bigram_collocations",  # newest stamp: r6
-    "docs_token_heavy_hitters",  # newest stamp: r6
-    "docs_bpe_training_loop",  # newest stamp: r6
-    "docs_hybrid_rrf_search",  # newest stamp: r6
-    "docs_next_token_accuracy",  # newest stamp: r6
-    "docs_string_functions_probe",  # newest stamp: r6
-    "events_retention_cohorts",  # newest stamp: r6
-    "events_daily_engagement",  # newest stamp: r6
-    "events_cumulative_hll_curve",  # newest stamp: r6
-    "events_user_erasure",  # newest stamp: r6
-    "events_merkle_bucket_digests",  # newest stamp: r6
-    "events_sequence_edit_distance",  # newest stamp: r6
-    "events_churn_batch_scoring",  # newest stamp: r6
-    "events_keyset_pagination",  # newest stamp: r6
-    "docs_exact_dedup",  # newest stamp: r6
-    "docs_minhash_neardup_pairs",  # newest stamp: r6
-    "docs_incremental_dedup",  # newest stamp: r6
-    "docs_set_similarity_join",  # newest stamp: r6
-    "events_streaming_attribution",  # newest stamp: r6
-    "events_streaming_dedup_replay",  # newest stamp: r6
-    "events_streaming_sessions",  # newest stamp: r6
-    "events_streaming_routed_sink",  # newest stamp: r6
-    "formats_merge_on_read",  # newest stamp: r6
-    "emb_cosine_topk",  # newest stamp: r6
-    "emb_dim_stats",  # newest stamp: r6
-    "emb_pq_adc_recall",  # newest stamp: r6
-    "emb_matryoshka_recall",  # newest stamp: r6
-    "emb_binary_hamming_recall",  # newest stamp: r6
-    "cluster_user_keys_histogram",  # newest stamp: r7
-    "ddl_ctas_distribution",  # newest stamp: r7
-    "cluster_slot_projection",  # newest stamp: r7
-    "cluster_hashtag_colocation",  # newest stamp: r7
-    "cluster_hot_slots_topk",  # newest stamp: r7
+    "docs_quality_perceptron_sweep",  # never stamped
+    "docs_image_neardup_pairs",  # never stamped
+    "docs_image_neardup_bill",  # never stamped
+    "cluster_skew_report",  # newest stamp: r7
+    "cluster_shard_ranges",  # newest stamp: r7
+    "sql_error_probe",  # newest stamp: r7
+    "tpch_q6_forecast_revenue",  # newest stamp: r7
+    "tpch_q14_promo_effect",  # newest stamp: r7
+    "tpch_q3_shipping_priority",  # newest stamp: r7
+    "tpch_q5_local_supplier_volume",  # newest stamp: r7
+    "tpch_q4_order_priority",  # newest stamp: r7
+    "tpch_q13_customer_order_counts",  # newest stamp: r7
+    "tpch_q17_small_quantity_revenue",  # newest stamp: r7
+    "tpch_q18_large_volume_customers",  # newest stamp: r7
+    "lineitem_priority_channels",  # newest stamp: r7
+    "orders_grouping_sets",  # newest stamp: r7
+    "customer_spend_deciles",  # newest stamp: r7
+    "part_price_histogram",  # newest stamp: r7
+    "nation_top_customers_window",  # newest stamp: r7
+    "orders_monthly_priority",  # newest stamp: r7
+    "orders_without_lineitems",  # newest stamp: r7
+    "active_multiline_customers",  # newest stamp: r7
+    "brand_type_setops",  # newest stamp: r7
+    "lineitem_quantity_quartiles",  # newest stamp: r7
+    "customer_running_spend",  # newest stamp: r7
+    "orders_rollup_year_priority",  # newest stamp: r7
+    "docs_stats_by_lang",  # newest stamp: r7
+    "docs_lang_id_counts",  # newest stamp: r7
+    "docs_quality_scores",  # newest stamp: r7
+    "docs_token_stats_by_source",  # newest stamp: r7
+    "docs_media_metadata",  # newest stamp: r7
+    "docs_ilike_filter",  # newest stamp: r7
+    "docs_bpe_encode",  # newest stamp: r7
+    "events_user_first_last",  # newest stamp: r7
+    "events_hourly",  # newest stamp: r7
+    "events_json_stats",  # newest stamp: r7
+    "events_sessionization",  # newest stamp: r7
+    "events_sliding_windows",  # newest stamp: r7
+    "events_node_routing_counts",  # newest stamp: r7
+    "events_user_profile",  # newest stamp: r7
+    "events_lag_deltas",  # newest stamp: r7
+    "events_daily_pivot",  # newest stamp: r7
+    "docs_dedup_representatives",  # newest stamp: r7
+    "docs_ngram_jaccard_pairs",  # newest stamp: r7
+    "docs_simhash_signatures",  # newest stamp: r7
+    "docs_simhash_neardup_pairs",  # newest stamp: r7
+    "docs_fingerprints",  # newest stamp: r7
+    "docs_winnow_fingerprints",  # newest stamp: r7
+    "cluster_rendezvous_placement",  # newest stamp: r9
+    "cluster_hashring_vnodes",  # newest stamp: r9
 ]
 
 
