@@ -248,6 +248,7 @@ def main() -> int:
         "docs_set_similarity_join",  # shingle/prefix-index memo
         "docs_simhash_neardup_pairs",  # simhash64 signature memo
         "docs_quality_perceptron",  # trajectory memo
+        "docs_image_neardup_pairs",  # pnm dHash table memo
         "parts_link_prediction",  # edge-degree checkpoint + codegen warm
         "emb_pca_power_iteration",  # gram/checkpoint warm
         "events_streaming_routed_sink",  # dch_stream_stage_ replay dir

@@ -395,19 +395,16 @@ def pnm_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 DHASH_GRID_W, DHASH_GRID_H = 9, 8
 
 PNM_DHASH_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("band_idx", IntegerType()),
-        StructField("band", IntegerType()),
-    ]
+    [StructField("doc_id", LongType())]
+    + [StructField(f"b{i}", IntegerType()) for i in range(DHASH_GRID_H)]
 )
 
 
 def pnm_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Perceptual difference-hash of a PNM binary column, LONG format:
-    8 rows per image — ``(doc_id, band_idx 0..7, band 0..255)`` — one
-    byte per grid row, ready for the banded-Hamming candidate join
-    (band equality = at least 8 of 64 bits agree contiguously).
+    """Perceptual difference-hash of a PNM binary column, one row per
+    image: ``(doc_id, b0..b7)`` — one byte per grid row (band), the
+    unit of the banded-Hamming candidate join (band equality = at
+    least 8 of 64 bits agree contiguously).
 
     The dHash recipe (real decode, integer-only arithmetic so the
     oracle can reproduce every bit from the generator's closed form):
@@ -428,8 +425,7 @@ def pnm_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = []
-            idxs = []
-            bands = []
+            bands: list[list[int]] = [[] for _ in range(DHASH_GRID_H)]
             for doc_id, m in zip(pdf[id_col], pdf["media"]):
                 w, h, ch, _mv, px = decode_pnm(bytes(m))
                 if ch == 3:
@@ -441,14 +437,16 @@ def pnm_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 xs = (w * np.arange(DHASH_GRID_W)) // DHASH_GRID_W
                 grid = gray[np.ix_(ys, xs)]
                 b = ((grid[:, 1:] > grid[:, :-1]) * shifts).sum(axis=1)
-                ids.extend([int(doc_id)] * DHASH_GRID_H)
-                idxs.extend(range(DHASH_GRID_H))
-                bands.extend(int(v) for v in b)
+                ids.append(int(doc_id))
+                for i in range(DHASH_GRID_H):
+                    bands[i].append(int(b[i]))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
-                    "band_idx": pd.Series(idxs, dtype="int32"),
-                    "band": pd.Series(bands, dtype="int32"),
+                    **{
+                        f"b{i}": pd.Series(bands[i], dtype="int32")
+                        for i in range(DHASH_GRID_H)
+                    },
                 }
             )
 

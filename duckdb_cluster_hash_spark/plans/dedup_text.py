@@ -927,20 +927,26 @@ def docs_softdedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _image_dhash_ctes() -> str:
-    """Shared oracle CTE chain ending in ``hm(doc_a, doc_b, hamming)``:
-    the dHash bands re-derived from attach_fake_pnm's closed form
-    (pixel(i) = (7*doc_id + 13*i) % 256, Rec.601 integer luma ``//``
-    1000, nearest-neighbor 9x8 grid, horizontal-gradient bits), then
-    EVERY doc pair's Hamming distance via an all-pairs band join —
+    """Shared oracle CTE chain ending in ``grp`` (one row per DISTINCT
+    signature: b0..b7, rep = min doc_id, mx = max doc_id, cnt) and
+    ``cross`` (EVERY distinct-signature pair with its Hamming distance
+    and doc-pair multiplicity cnt_a*cnt_b, brute force): the dHash
+    bands re-derived from attach_fake_pnm's closed form (pixel(i) =
+    (7*doc_id + 13*i) % 256, Rec.601 integer luma, nearest-neighbor
+    9x8 grid, horizontal-gradient bits).  The all-pairs cross join is
     deliberately stronger than the Spark side's banded candidate
-    generation, so the grade also proves the banding loses no pair
-    below the threshold (pigeonhole: <= 7 differing bits cannot touch
-    all 8 one-byte bands)."""
+    generation, so the grade also proves the banding loses no
+    signature pair below the threshold."""
     base = "(((h * gy) // 8) * w + (w * gx) // 9)"
 
     def pix(i: str) -> str:
         return f"((7 * d + 13 * ({i})) % 256)"
 
+    wide = ", ".join(
+        f"CAST(max(CASE WHEN gy = {i} THEN band END) AS INTEGER) AS b{i}"
+        for i in range(8)
+    )
+    ham = " + ".join(f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(8))
     return (
         "WITH p AS (SELECT doc_id AS d, "
         "CAST(4 + doc_id % 8 AS BIGINT) AS w, "
@@ -956,16 +962,27 @@ def _image_dhash_ctes() -> str:
         "s AS (SELECT d, gy, gx, v, "
         "lead(v) OVER (PARTITION BY d, gy ORDER BY gx) AS nxt FROM g), "
         "b AS (SELECT d, gy, CAST(coalesce(sum(CASE WHEN nxt > v "
-        "THEN (CAST(1 AS BIGINT) << gx) ELSE 0 END), 0) AS INTEGER) AS band "
+        "THEN (CAST(1 AS BIGINT) << gx) ELSE 0 END), 0) AS BIGINT) AS band "
         "FROM s WHERE gx < 8 GROUP BY d, gy), "
-        "hm AS (SELECT x.d AS doc_a, y.d AS doc_b, "
-        "CAST(sum(bit_count(xor(x.band, y.band))) AS BIGINT) AS hamming "
-        "FROM b x JOIN b y ON x.gy = y.gy AND x.d < y.d GROUP BY x.d, y.d)"
+        f"w8 AS (SELECT d, {wide} FROM b GROUP BY d), "
+        "grp AS (SELECT b0, b1, b2, b3, b4, b5, b6, b7, "
+        "CAST(min(d) AS BIGINT) AS rep, CAST(max(d) AS BIGINT) AS mx, "
+        "CAST(count(*) AS BIGINT) AS cnt "
+        "FROM w8 GROUP BY b0, b1, b2, b3, b4, b5, b6, b7), "
+        "crs AS (SELECT x.rep AS doc_a, y.rep AS doc_b, "
+        f"CAST({ham} AS BIGINT) AS hamming, "
+        "CAST(x.cnt * y.cnt AS BIGINT) AS n_pairs "
+        "FROM grp x JOIN grp y ON x.rep < y.rep), "
+        "cls AS (SELECT rep AS doc_a, mx AS doc_b, CAST(0 AS BIGINT) AS "
+        "hamming, CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS n_pairs "
+        "FROM grp WHERE cnt > 1 "
+        "UNION ALL SELECT doc_a, doc_b, hamming, n_pairs FROM crs "
+        "WHERE hamming <= 6)"
     )
 
 
 def image_dhash_shared(docs: DataFrame) -> DataFrame:
-    """Long-format perceptual-hash table ``(doc_id, band_idx, band)``
+    """Per-image perceptual-hash table ``(doc_id, b0..b7)``
     (operators/multimodal.pnm_dhash over attach_fake_pnm media),
     materialized once per corpus per session through the dedup family
     memo and shared between the image near-dup pair and bill queries —
@@ -979,76 +996,112 @@ def image_dhash_shared(docs: DataFrame) -> DataFrame:
     )
 
 
-def _image_pair_hamming(docs: DataFrame, tau: int = 6) -> DataFrame:
-    """Banded-Hamming near-dup pairs ``(da, db, hamming <= tau)``.
+_IMG_BANDS = [f"b{i}" for i in range(8)]
+
+
+def _image_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
+    """Near-dup PAIR CLASSES at the DISTINCT-SIGNATURE level:
+    ``(doc_a, doc_b, hamming <= tau, n_pairs)`` where each row is one
+    signature pair (or one exact-duplicate cluster at distance 0),
+    represented by its smallest member ids, carrying the number of
+    underlying doc pairs it stands for.
+
+    Collapsing to distinct signatures FIRST is the load-bearing scale
+    move: duplicate-heavy corpora (the synthetic generator tops out at
+    ~20k distinct rasters, so doc-level pair mass grows ~n^2/20k —
+    measured exp(x10) = 2.0 before this rewrite) cost one linear
+    grouping pass, and the quadratic-risk candidate join runs over
+    distinct signatures only, whose count is bounded by image
+    diversity, not corpus size.  Pair multiplicities are exact integer
+    products, so nothing is lost vs the doc-level enumeration.
 
     EXACT at the threshold by pigeonhole: the 64-bit dHash splits into
-    8 one-byte bands (one per grid row), and a pair differing in <= 6
-    of 64 bits can touch at most 6 bands, so at least two bands match
-    exactly — band equality as the candidate key loses nothing below
-    distance 8.  Candidates come from an EQUALITY self-join on
-    (band_idx, band) — never a cartesian product — and the Hamming
-    verify joins only the two 8-row signatures of each candidate."""
-    bands = image_dhash_shared(docs)
-    a = bands.select(F.col("doc_id").alias("da"), "band_idx", "band")
-    b = bands.select(F.col("doc_id").alias("db"), "band_idx", "band")
-    cand = (
+    8 one-byte bands, and two signatures differing in <= 6 bits share
+    at least two bands — band equality as the candidate key loses
+    nothing below distance 8.  Distance-0 pairs exist only WITHIN a
+    signature group (distinct signatures differ by >= 1 bit), so the
+    cluster row covers them exactly.
+    """
+    sig = image_dhash_shared(docs)
+    groups = sig.groupBy(*_IMG_BANDS).agg(
+        F.min("doc_id").alias("rep"),
+        F.max("doc_id").alias("mx"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    stack = F.expr(
+        "stack(8, "
+        + ", ".join(f"{i}, b{i}" for i in range(8))
+        + ") AS (band_idx, band)"
+    )
+    a = groups.select(
+        F.col("rep").alias("ra"),
+        F.col("cnt").alias("ca"),
+        *[F.col(b).alias(f"a{i}") for i, b in enumerate(_IMG_BANDS)],
+        stack,
+    )
+    b = groups.select(
+        F.col("rep").alias("rb"),
+        F.col("cnt").alias("cb"),
+        *[F.col(b).alias(f"x{i}") for i, b in enumerate(_IMG_BANDS)],
+        stack,
+    )
+    ham = sum(
+        F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"x{i}")))
+        for i in range(8)
+    )
+    cross = (
         a.join(b, ["band_idx", "band"])
-        .where(F.col("da") < F.col("db"))
-        .select("da", "db")
-        .dropDuplicates(["da", "db"])
-    )
-    ha = bands.select(
-        F.col("doc_id").alias("da"), "band_idx", F.col("band").alias("ba")
-    )
-    hb = bands.select(
-        F.col("doc_id").alias("db"), "band_idx", F.col("band").alias("bb")
-    )
-    return (
-        cand.join(ha, "da")
-        .join(hb, ["db", "band_idx"])
-        .groupBy("da", "db")
-        .agg(
-            F.sum(F.bit_count(F.col("ba").bitwiseXOR(F.col("bb"))))
-            .cast("bigint")
-            .alias("hamming")
-        )
+        .where(F.col("ra") < F.col("rb"))
+        .dropDuplicates(["ra", "rb"])
+        .withColumn("hamming", ham.cast("bigint"))
         .where(F.col("hamming") <= tau)
+        .select(
+            F.col("ra").alias("doc_a"),
+            F.col("rb").alias("doc_b"),
+            "hamming",
+            (F.col("ca") * F.col("cb")).cast("bigint").alias("n_pairs"),
+        )
     )
+    clusters = groups.where(F.col("cnt") > 1).select(
+        F.col("rep").alias("doc_a"),
+        F.col("mx").alias("doc_b"),
+        F.lit(0).cast("bigint").alias("hamming"),
+        F.expr("(cnt * (cnt - 1)) div 2").cast("bigint").alias("n_pairs"),
+    )
+    return clusters.unionByName(cross)
 
 
 @query(
     "docs_image_neardup_pairs",
     oracle=(
         _image_dhash_ctes()
-        + " SELECT doc_a, doc_b, hamming FROM hm WHERE hamming <= 6 "
+        + " SELECT doc_a, doc_b, hamming, n_pairs FROM cls "
         "ORDER BY hamming, doc_a, doc_b LIMIT 100"
     ),
 )
 def docs_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup (the multimodal x dedup intersection):
     REAL netpbm decode -> 64-bit difference hash (integer Rec.601 luma,
-    nearest-neighbor 9x8 grid, horizontal-gradient bits) -> banded
-    Hamming join — the image twin of docs_simhash_neardup_pairs, over
-    spec-compliant PPM/PGM images synthesized by attach_fake_pnm.
-    Emits the 100 CLOSEST pairs by (hamming, doc_a, doc_b); the full
-    pair mass is graded by docs_image_neardup_bill (the synthetic
-    rasters are small and linear, so their near-dup graph is dense —
-    an unbounded pair dump would be driver-hostile at sf0.1).
+    nearest-neighbor 9x8 grid, horizontal-gradient bits) -> signature
+    grouping -> banded Hamming join — the image twin of
+    docs_simhash_neardup_pairs, over spec-compliant PPM/PGM images
+    synthesized by attach_fake_pnm.  Emits the 100 closest pair
+    CLASSES by (hamming, doc_a, doc_b): each row is one exact-dup
+    cluster (distance 0) or one distinct-signature pair, represented
+    by its smallest member ids with its doc-pair multiplicity — the
+    cluster-level view a dedup pipeline actually acts on.
 
     Scale: decode + hashing is one Arrow-batched map pass emitting 8
-    small ints per image, memoized per corpus (image_dhash_shared, the
-    wire carries hashes, never rasters); see _image_pair_hamming for
-    the banding-exactness argument.  The oracle grades against an
-    ALL-PAIRS formulation, so a recall hole in the banding would
-    hash-mismatch.
+    small ints per image, memoized per corpus (image_dhash_shared);
+    the candidate join runs over DISTINCT signatures only (bounded by
+    image diversity, not corpus size — see _image_pair_classes), on
+    (band_idx, band) EQUALITY, never a cartesian product.  The oracle
+    grades against an all-pairs formulation, so a banding recall hole
+    would hash-mismatch.
     """
     docs = _t(spark, sf_dir, "documents")
     return (
-        _image_pair_hamming(docs, 6)
-        .select(
-            F.col("da").alias("doc_a"), F.col("db").alias("doc_b"), "hamming"
-        )
+        _image_pair_classes(docs, 6)
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(100)
     )
@@ -1058,25 +1111,28 @@ def docs_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_image_neardup_bill",
     oracle=(
         _image_dhash_ctes()
-        + " SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs "
-        "FROM hm WHERE hamming <= 6 GROUP BY hamming ORDER BY hamming"
+        + " SELECT hamming, CAST(sum(n_pairs) AS BIGINT) AS n_pairs "
+        "FROM cls GROUP BY hamming ORDER BY hamming"
     ),
 )
 def docs_image_neardup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pair-mass bill for the perceptual image near-dup join: pair
-    counts per Hamming distance 0..6 — the full candidate+verify mass
-    in <= 7 rows, so EVERY pair the banding finds is graded (the
-    top-100 pair query alone would leave distance-5/6 recall holes
-    ungraded) while the output stays bounded at any corpus size.
+    """Pair-mass bill for the perceptual image near-dup join: DOC-pair
+    counts per Hamming distance 0..6 — the full near-dup mass in <= 7
+    rows, computed from multiplicity-weighted signature classes (exact
+    integer products; the synthetic corpus near-dups densely — 829k
+    doc pairs at sf0.1 — yet nothing doc-pair-sized is ever
+    materialized).  Grades EVERY pair the banding finds, so a
+    distance-5/6 recall hole the top-100 query can't see would
+    hash-mismatch here.
 
-    Scale: shares the memoized hash table and the banded candidate
-    machinery with docs_image_neardup_pairs; the rollup adds one
-    7-group aggregate over the verified pairs.
+    Scale: shares the memoized hash table and the distinct-signature
+    machinery with docs_image_neardup_pairs; the rollup is one 7-group
+    aggregate over signature-pair rows.
     """
     docs = _t(spark, sf_dir, "documents")
     return (
-        _image_pair_hamming(docs, 6)
+        _image_pair_classes(docs, 6)
         .groupBy("hamming")
-        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .agg(F.sum("n_pairs").cast("bigint").alias("n_pairs"))
         .orderBy("hamming")
     )

@@ -117,9 +117,10 @@ def test_pnm_dhash_matches_python_reference(spark):
     df = spark.createDataFrame(
         [(2, "x"), (9, "y"), (1282, "z")], "doc_id long, text string"
     )  # 1282 = 2 + lcm(40, 256): same (w, h, parity) AND same 7d%256 shift
-    got = {}
-    for r in mm.pnm_dhash(mm.attach_fake_pnm(df)).collect():
-        got.setdefault(r["doc_id"], {})[r["band_idx"]] = r["band"]
+    got = {
+        r["doc_id"]: [r[f"b{i}"] for i in range(8)]
+        for r in mm.pnm_dhash(mm.attach_fake_pnm(df)).collect()
+    }
 
     def ref_bands(d):
         w, h = 4 + d % 8, 3 + (d * 3) % 5
@@ -147,21 +148,24 @@ def test_pnm_dhash_matches_python_reference(spark):
         ]
 
     for d in (2, 9, 1282):
-        assert [got[d][i] for i in range(8)] == ref_bands(d), d
+        assert got[d] == ref_bands(d), d
     # doc 1282's raster is bit-identical to doc 2's (same dims via
     # mod 40, same 7d%256 shift) -> identical hash -> a distance-0 pair
     assert got[2] == got[1282]
 
 
 def test_image_neardup_banding_exact_vs_bruteforce(spark, tmp_path):
-    """The banded candidate join must find EXACTLY the brute-force
-    pair set at tau=6 (pigeonhole recall proof on real data), and the
-    bill must account every verified pair."""
+    """The signature-grouped banded join must account EXACTLY the
+    brute-force DOC-pair mass at tau=6 (pigeonhole recall + exact
+    multiplicity weighting proof on real data), and the pair-class
+    rows must carry consistent representatives.  The 1400-id range
+    guarantees exact-duplicate rasters (period 1280), exercising the
+    distance-0 cluster path."""
     from duckdb_cluster_hash_spark.plans.catalog import QUERIES
     from duckdb_cluster_hash_spark.operators import multimodal as mm
 
     sf = str(tmp_path)
-    docs = spark.range(0, 120).selectExpr(
+    docs = spark.range(0, 1400).selectExpr(
         "id AS doc_id", "'t' AS text", "'en' AS lang", "'s' AS source",
         "CAST(1 AS BIGINT) AS n_chars"
     )
@@ -170,14 +174,15 @@ def test_image_neardup_banding_exact_vs_bruteforce(spark, tmp_path):
         r["hamming"]: r["n_pairs"]
         for r in QUERIES["docs_image_neardup_bill"](spark, sf).collect()
     }
-    # brute force over the collected hashes
-    sig = {}
-    for r in mm.pnm_dhash(
-        mm.attach_fake_pnm(
-            spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
-        )
-    ).collect():
-        sig.setdefault(r["doc_id"], [0] * 8)[r["band_idx"]] = r["band"]
+    # brute force at DOC level over the collected hashes
+    sig = {
+        r["doc_id"]: tuple(r[f"b{i}"] for i in range(8))
+        for r in mm.pnm_dhash(
+            mm.attach_fake_pnm(
+                spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+            )
+        ).collect()
+    }
     want = {}
     ids = sorted(sig)
     for i, a in enumerate(ids):
@@ -188,9 +193,18 @@ def test_image_neardup_banding_exact_vs_bruteforce(spark, tmp_path):
             if ham <= 6:
                 want[ham] = want.get(ham, 0) + 1
     assert bill == want
-    pairs = QUERIES["docs_image_neardup_pairs"](spark, sf).collect()
-    assert len(pairs) == min(100, sum(want.values()))
-    assert all(p["hamming"] <= 6 and p["doc_a"] < p["doc_b"] for p in pairs)
+    assert 0 in bill  # the duplicate-cluster path really ran
+    classes = QUERIES["docs_image_neardup_pairs"](spark, sf).collect()
+    assert 0 < len(classes) <= 100
+    for p in classes:
+        assert p["hamming"] <= 6 and p["doc_a"] < p["doc_b"]
+        assert p["n_pairs"] >= 1
+        # representatives hash at exactly the claimed distance
+        got_ham = sum(
+            bin(x ^ y).count("1")
+            for x, y in zip(sig[p["doc_a"]], sig[p["doc_b"]])
+        )
+        assert got_ham == p["hamming"], p
 
 
 def test_decode_image_is_stubbed_for_non_pnm():
