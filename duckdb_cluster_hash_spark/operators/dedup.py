@@ -97,6 +97,7 @@ __all__ = [
     "neardup_components_shared",
     "neardup_components_pathjump",
     "simhash64",
+    "simhash64_project",
     "simhash64_shared",
     "simhash_neardup_pairs",
     "chunk_digest_table",
@@ -577,6 +578,46 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "doc_id",
         assemble("lo").alias("simhash_lo"),
         assemble("hi").alias("simhash_hi"),
+    )
+
+
+def simhash64_project(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """STREAM-SAFE SimHash: the same 64 bits as :func:`simhash64`
+    (identical token hash, strict-majority rule, ties -> 0 — pinned by
+    tests/test_streaming.py::test_simhash_projection_matches_batch), but
+    computed as a pure PROJECTION — one ``transform`` materializes the
+    per-token 32+32-bit hashes into an array column, then 64
+    higher-order ``aggregate`` folds take the bit majorities — so it
+    has no groupBy and can run INSIDE a structured stream ahead of a
+    stateful operator (Spark forbids chaining an aggregation into
+    ``dropDuplicatesWithinWatermark``; a projection chains fine).
+
+    Cost note: the md5 per token is hashed ONCE into the array column;
+    the 64 folds then re-walk the int array only (interpreted HOFs, but
+    per-row work is 64 * n_distinct_tokens integer ops — the ingest
+    path's fingerprint cost, not a corpus join).  For batch jobs prefer
+    :func:`simhash64` (codegen conditional sums).
+    """
+    hs = (
+        f"transform(array_distinct(split({text_col}, ' ')), w -> "
+        "struct(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) AS lo, "
+        "CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT) AS hi))"
+    )
+
+    def assemble(field: str):
+        terms = [
+            f"(CASE WHEN 2 * aggregate(_hs, CAST(0 AS BIGINT), "
+            f"(a, x) -> a + ((x.{field} >> {b}) & 1)) > size(_hs) "
+            f"THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END)"
+            for b in range(32)
+        ]
+        return F.expr(" + ".join(terms))
+
+    return (
+        df.withColumn("_hs", F.expr(hs))
+        .withColumn("simhash_lo", assemble("lo"))
+        .withColumn("simhash_hi", assemble("hi"))
+        .drop("_hs")
     )
 
 

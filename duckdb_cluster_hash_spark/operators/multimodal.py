@@ -54,6 +54,7 @@ __all__ = [
     "decode_wav",
     "pnm_decode_stats",
     "wav_decode_stats",
+    "wav_energy_dhash",
     "sample_frames",
     "MEDIA_META_SCHEMA",
     "BYTE_FEATURES_SCHEMA",
@@ -273,6 +274,19 @@ def decode_pnm(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
     return width, height, channels, maxval, px
 
 
+# Diversity knob for the synthetic PNM generator, scale-probe only
+# (scripts/scale_probe.py): 0 = off (the oracle-graded closed form,
+# whose rasters repeat with period lcm(256, 8, 5, 2) = 1280 in doc_id,
+# saturating distinct dHash signatures at ~1-2k classes).  Set to a
+# positive block size B to salt both the pixel STRIDE and OFFSET with
+# doc_id div B, so distinct rasters — and distinct signatures — grow
+# ~linearly with the corpus (measured: 29k distinct sigs at 50k docs
+# with B=1280 vs 1040 unsalted).  This is how the banded-join scale
+# claim is measured on a high-diversity corpus; graded queries always
+# run with the knob OFF (their oracles encode the unsalted form).
+PNM_DIVERSITY_BLOCK = 0
+
+
 def attach_fake_pnm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Synthesize REAL spec-compliant PNM images as a binary column:
     even doc_ids get a color PPM (``P6``), odd a grayscale PGM
@@ -281,7 +295,9 @@ def attach_fake_pnm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     Deterministic from doc_id (oracle-reproducible arithmetic):
       width  = 4 + doc_id % 8, height = 3 + (doc_id * 3) % 5,
-      pixel[i] = (doc_id * 7 + i * 13) % 256 in raster order.
+      pixel[i] = (doc_id * 7 + i * 13) % 256 in raster order
+    (with ``PNM_DIVERSITY_BLOCK`` set, stride/offset are additionally
+    salted by doc_id div block — probe-only, see the knob above).
 
     Pure Column expressions — the pixel raster builds as a
     sequence/transform/unhex chain, so synthesizing test media scales
@@ -301,13 +317,18 @@ def attach_fake_pnm(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         height.cast("string"),
         F.lit("\n255\n"),
     )
+    if PNM_DIVERSITY_BLOCK > 0:
+        blk = f"({id_col} div {int(PNM_DIVERSITY_BLOCK)})"
+        pix = f"{id_col} * 7 + i * (13 + 2 * {blk}) + 101 * {blk}"
+    else:
+        pix = f"{id_col} * 7 + i * 13"
     payload = F.unhex(
         F.expr(
             f"concat_ws('', transform("
             f"sequence(0, cast(4 + {id_col} % 8 as bigint) "
             f"* (3 + ({id_col} * 3) % 5) "
             f"* (case when {id_col} % 2 = 0 then 3 else 1 end) - 1), "
-            f"i -> lpad(hex(pmod({id_col} * 7 + i * 13, 256)), 2, '0')))"
+            f"i -> lpad(hex(pmod({pix}, 256)), 2, '0')))"
         )
     )
     return df.withColumn(
@@ -502,14 +523,23 @@ def decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
     return sample_rate, channels, bits, n_frames, samples
 
 
-def attach_fake_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_fake_wav(
+    df: DataFrame, id_col: str = "doc_id", n_base: int = 8
+) -> DataFrame:
     """Synthesize REAL spec-compliant RIFF/WAVE PCM16 audio as a binary
     column, deterministic from doc_id (oracle-reproducible):
 
       sample_rate = 8000 + (doc_id % 3) * 4000
       channels    = 1 + doc_id % 2
-      n_frames    = 8 + doc_id % 9
+      n_frames    = n_base + doc_id % 9      (default n_base = 8)
       sample[k]   = (doc_id * 31 + k * 17) % 4096 - 2048   (int16, LE)
+
+    ``n_base`` scales the clip length without changing the sample
+    closed form: the decode-stats queries keep the tiny default, the
+    audio near-dup fingerprint uses ``n_base=240`` so the 72-segment
+    energy profile has multi-sample segments (at the default, segment
+    EMPTINESS — a function of clip length alone — would dominate the
+    fingerprint and every bit of content structure would be lost).
 
     Every file carries a LIST metadata chunk with an ODD body size
     between ``fmt `` and ``data``, so the decoder's unknown-chunk skip
@@ -517,6 +547,7 @@ def attach_fake_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Column expressions (hex-swap arithmetic builds the little-endian
     fields); the transform lambda runs once per generated TEST sample.
     """
+    n_base = int(n_base)
     ident = F.col(id_col).cast("bigint")
 
     def le16(col):
@@ -538,13 +569,13 @@ def attach_fake_wav(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     sample_rate = F.lit(8000) + (ident % 3) * 4000
     channels = F.lit(1) + ident % 2
-    n_total = (F.lit(8) + ident % 9) * channels  # interleaved samples
+    n_total = (F.lit(n_base) + ident % 9) * channels  # interleaved samples
     data_size = n_total * 2
     # RIFF size: "WAVE"(4) + fmt(8+16) + LIST(8+5+1 pad) + data(8+size)
     riff_size = F.lit(4 + 24 + 14 + 8) + data_size
     samples_hex = F.expr(
         f"concat_ws('', transform(sequence(0, "
-        f"(8 + {id_col} % 9) * (1 + {id_col} % 2) - 1), k -> "
+        f"({n_base} + {id_col} % 9) * (1 + {id_col} % 2) - 1), k -> "
         f"concat(substring(lpad(hex(pmod(pmod({id_col} * 31 + k * 17, "
         f"4096) - 2048, 65536)), 4, '0'), 3, 2), "
         f"substring(lpad(hex(pmod(pmod({id_col} * 31 + k * 17, 4096) "
@@ -632,6 +663,81 @@ def wav_decode_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "media").mapInPandas(decode, WAV_STATS_SCHEMA)
+
+
+# Audio fingerprint geometry: 72 equal (nearest-neighbor) segments of
+# the interleaved sample stream, arranged row-major into an 8x9 energy
+# grid — the audio twin of the image dHash's 9x8 luma grid.  Bit gx of
+# band gy compares adjacent SEGMENT ENERGIES, so the fingerprint tracks
+# the clip's energy envelope (robust to small sample perturbations that
+# leave segment sums ordered) while staying integer-exact and
+# closed-form reproducible by the SQL oracle.
+WAV_DHASH_SEGMENTS = 72
+
+WAV_DHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"b{i}", IntegerType()) for i in range(8)]
+)
+
+
+def wav_energy_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual energy-profile hash of a WAV binary column, one row
+    per clip: ``(doc_id, b0..b7)`` — one byte per grid row (band), the
+    unit of the banded-Hamming candidate join, shaped exactly like
+    :func:`pnm_dhash` so the image and audio near-dup queries share
+    one pair-class machine (plans/dedup_text._sig_pair_classes).
+
+    The recipe (real RIFF decode, integer-only arithmetic so the
+    oracle can reproduce every bit from the generator's closed form):
+
+    1. decode the actual bytes (:func:`decode_wav` — chunk walk,
+       unknown-chunk skip, odd-size padding);
+    2. per-sample energy ``s[k]^2`` over the raw interleaved int16
+       stream (no mono mix: integer channel averaging would need a
+       floor/trunc choice the engines disagree on for negatives);
+    3. split the n-sample stream into 72 nearest-neighbor segments
+       ``[n*g//72, n*(g+1)//72)`` and sum energy per segment (empty
+       segments = 0);
+    4. arrange row-major into 8 rows of 9; bit gx of band gy =
+       ``E[9*gy + gx + 1] > E[9*gy + gx]``.
+
+    Arrow-batched ``mapInPandas``; clip bytes cross into Python once
+    per batch and 8 small ints per clip come out — at 100 TB the wire
+    carries fingerprints, never waveforms.
+    """
+    nseg = WAV_DHASH_SEGMENTS
+    shifts = 1 << np.arange(8, dtype=np.int64)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = []
+            bands: list[list[int]] = [[] for _ in range(8)]
+            for doc_id, m in zip(pdf[id_col], pdf["media"]):
+                _sr, _ch, _b, _nf, s = decode_wav(bytes(m))
+                e = s.astype(np.int64) ** 2
+                n = e.size
+                bnd = (n * np.arange(nseg + 1)) // nseg
+                if n >= 1:
+                    seg = np.add.reduceat(e, bnd[:-1])
+                    seg[bnd[:-1] == bnd[1:]] = 0  # reduceat quirk on
+                else:  # empty ranges: repeats the next value — zero it
+                    seg = np.zeros(nseg, dtype=np.int64)
+                grid = seg.reshape(8, nseg // 8)
+                b = ((grid[:, 1:] > grid[:, :-1]) * shifts).sum(axis=1)
+                ids.append(int(doc_id))
+                for i in range(8):
+                    bands[i].append(int(b[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    **{
+                        f"b{i}": pd.Series(bands[i], dtype="int32")
+                        for i in range(8)
+                    },
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(hash_batches, WAV_DHASH_SCHEMA)
 
 
 def decode_y4m(data: bytes) -> tuple[int, int, int, int, str, np.ndarray]:

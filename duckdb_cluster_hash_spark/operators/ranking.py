@@ -325,14 +325,28 @@ def _cut_array(
         n_est = _estimate_rows(df)
         if n_est is None:
             n_est = df.count()
-        b_eff = min(
-            int(n_buckets),
-            max(1, -(-int(n_est) // _TARGET_ROWS_PER_BUCKET)),
-        )
+        b_est = max(1, -(-int(n_est) // _TARGET_ROWS_PER_BUCKET))
+        if b_est < int(n_buckets):
+            # FLOOR by the scan's partition count: _estimate_rows divides
+            # compressed sizeInBytes by a flat width guess, so wide-text /
+            # highly-compressed inputs can under-estimate by orders of
+            # magnitude, and a collapsed b_eff funnels the whole frame
+            # through one window task (perf/OOM risk; ranks stay exact
+            # either way).  A multi-partition scan is planner evidence the
+            # input is not tiny; extra near-empty buckets on genuinely
+            # small frames only add ≤ n_buckets broadcast rows.
+            try:
+                b_est = max(
+                    b_est,
+                    min(proj.rdd.getNumPartitions(), int(n_buckets)),
+                )
+            except Exception:
+                pass
+        b_eff = min(int(n_buckets), b_est)
         cuts = []
-        if n_est > 1 and b_eff > 1:
+        if b_eff > 1:
             want = _SAMPLE_PER_BUCKET * b_eff
-            frac = min(1.0, (want * 1.3) / n_est)
+            frac = min(1.0, (want * 1.3) / max(int(n_est), 1))
             rows = (
                 proj.sample(False, frac, seed=_SAMPLE_SEED)
                 .limit(4 * want)
@@ -578,10 +592,14 @@ def ntile_exact(
     the else branch is dead anyway (rem = n there, so every rank takes
     the first branch and tile = r).
     """
+    k = int(k)
+    if k < 1:
+        # non-ANSI Spark turns `div 0` / `% 0` into NULL tiles — fail
+        # loudly instead of degrading an invalid k to NULL output
+        raise ValueError(f"ntile_exact requires k >= 1, got {k}")
     ranked = _global_rn(
         df, _order_specs(order_cols), n_buckets, "_rn", carry_total=_T
     )
-    k = int(k)
     tile = F.expr(
         "CAST(CASE WHEN _rn <= (_t % {k}) * ((_t div {k}) + 1) "
         "THEN (_rn + (_t div {k})) div ((_t div {k}) + 1) "

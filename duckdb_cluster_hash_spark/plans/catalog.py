@@ -46,56 +46,56 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 #   stamp[q] = max round whose CORRECTNESS_r*.json contains q;
 #   window = new queries + sorted(catalog, key=stamp)[:50-len(new)].
 _DRIVER_WINDOW_FIRST = [
-    "docs_quality_perceptron_sweep",  # never stamped
-    "docs_image_neardup_pairs",  # never stamped
-    "docs_image_neardup_bill",  # never stamped
-    "cluster_skew_report",  # newest stamp: r7
-    "cluster_shard_ranges",  # newest stamp: r7
-    "sql_error_probe",  # newest stamp: r7
-    "tpch_q6_forecast_revenue",  # newest stamp: r7
-    "tpch_q14_promo_effect",  # newest stamp: r7
-    "tpch_q3_shipping_priority",  # newest stamp: r7
-    "tpch_q5_local_supplier_volume",  # newest stamp: r7
-    "tpch_q4_order_priority",  # newest stamp: r7
-    "tpch_q13_customer_order_counts",  # newest stamp: r7
-    "tpch_q17_small_quantity_revenue",  # newest stamp: r7
-    "tpch_q18_large_volume_customers",  # newest stamp: r7
-    "lineitem_priority_channels",  # newest stamp: r7
-    "orders_grouping_sets",  # newest stamp: r7
-    "customer_spend_deciles",  # newest stamp: r7
-    "part_price_histogram",  # newest stamp: r7
-    "nation_top_customers_window",  # newest stamp: r7
-    "orders_monthly_priority",  # newest stamp: r7
-    "orders_without_lineitems",  # newest stamp: r7
-    "active_multiline_customers",  # newest stamp: r7
-    "brand_type_setops",  # newest stamp: r7
-    "lineitem_quantity_quartiles",  # newest stamp: r7
-    "customer_running_spend",  # newest stamp: r7
-    "orders_rollup_year_priority",  # newest stamp: r7
-    "docs_stats_by_lang",  # newest stamp: r7
-    "docs_lang_id_counts",  # newest stamp: r7
-    "docs_quality_scores",  # newest stamp: r7
-    "docs_token_stats_by_source",  # newest stamp: r7
-    "docs_media_metadata",  # newest stamp: r7
-    "docs_ilike_filter",  # newest stamp: r7
-    "docs_bpe_encode",  # newest stamp: r7
-    "events_user_first_last",  # newest stamp: r7
-    "events_hourly",  # newest stamp: r7
-    "events_json_stats",  # newest stamp: r7
-    "events_sessionization",  # newest stamp: r7
-    "events_sliding_windows",  # newest stamp: r7
-    "events_node_routing_counts",  # newest stamp: r7
-    "events_user_profile",  # newest stamp: r7
-    "events_lag_deltas",  # newest stamp: r7
-    "events_daily_pivot",  # newest stamp: r7
-    "docs_dedup_representatives",  # newest stamp: r7
-    "docs_ngram_jaccard_pairs",  # newest stamp: r7
-    "docs_simhash_signatures",  # newest stamp: r7
-    "docs_simhash_neardup_pairs",  # newest stamp: r7
-    "docs_fingerprints",  # newest stamp: r7
-    "docs_winnow_fingerprints",  # newest stamp: r7
-    "cluster_rendezvous_placement",  # newest stamp: r9
-    "cluster_hashring_vnodes",  # newest stamp: r9
+    "docs_unigram_lm_train",  # never stamped
+    "docs_unigram_lm_encode",  # never stamped
+    "docs_audio_neardup_pairs",  # never stamped
+    "docs_audio_neardup_bill",  # never stamped
+    "docs_streaming_neardup_ingest",  # never stamped
+    "tpch_q22_dormant_rich_customers",  # newest stamp: r9
+    "tpch_q8_market_share",  # newest stamp: r9
+    "tpch_q2_min_cost_supplier",  # newest stamp: r9
+    "parts_kcore_decomposition",  # newest stamp: r9
+    "docs_pnm_decode_stats",  # newest stamp: r9
+    "docs_wav_decode_stats",  # newest stamp: r9
+    "docs_y4m_video_stats",  # newest stamp: r9
+    "docs_perplexity_filter",  # newest stamp: r9
+    "docs_ngram_novelty",  # newest stamp: r9
+    "docs_zipf_fit",  # newest stamp: r9
+    "docs_dsir_importance",  # newest stamp: r9
+    "docs_token_burstiness",  # newest stamp: r9
+    "docs_keyword_extraction",  # newest stamp: r9
+    "docs_gopher_repetition",  # newest stamp: r9
+    "docs_token_entropy",  # newest stamp: r9
+    "docs_quality_auc",  # newest stamp: r9
+    "docs_labeler_agreement_kappa",  # newest stamp: r9
+    "docs_tokenizer_fertility",  # newest stamp: r9
+    "docs_dedup_impact_by_source",  # newest stamp: r9
+    "parts_link_prediction",  # newest stamp: r9
+    "customer_revenue_gini",  # newest stamp: r9
+    "events_session_paths",  # newest stamp: r9
+    "events_ab_welch_ttest",  # newest stamp: r9
+    "events_ewma_anomaly",  # newest stamp: r9
+    "events_cuped_adjustment",  # newest stamp: r9
+    "events_kmv_distinct_jaccard",  # newest stamp: r9
+    "events_ams_f2_moment",  # newest stamp: r9
+    "events_kendall_tau_daily",  # newest stamp: r9
+    "events_bitmap_distinct_rollup",  # newest stamp: r9
+    "events_weighted_reservoir_sample",  # newest stamp: r9
+    "events_hourly_autocorrelation",  # newest stamp: r9
+    "events_benford_digit_audit",  # newest stamp: r9
+    "events_markov_transition_entropy",  # newest stamp: r9
+    "events_cusum_changepoint",  # newest stamp: r9
+    "events_histogram_quantile_sketch",  # newest stamp: r9
+    "events_bot_rate_audit",  # newest stamp: r9
+    "docs_containment_neardup",  # newest stamp: r9
+    "docs_source_contamination",  # newest stamp: r9
+    "docs_minhash_jaccard_calibration",  # newest stamp: r9
+    "emb_margin_bitext_pairs",  # newest stamp: r9
+    "emb_mmr_diverse_topk",  # newest stamp: r9
+    "emb_kcenter_coreset",  # newest stamp: r9
+    "emb_label_maxsim_retrieval",  # newest stamp: r9
+    "emb_pca_power_iteration",  # newest stamp: r9
+    "emb_jl_projection_quality",  # newest stamp: r9
 ]
 
 

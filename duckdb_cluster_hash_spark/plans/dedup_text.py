@@ -926,28 +926,85 @@ def docs_softdedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _image_dhash_ctes() -> str:
-    """Shared oracle CTE chain ending in ``grp`` (one row per DISTINCT
-    signature: b0..b7, rep = min doc_id, mx = max doc_id, cnt) and
-    ``cross`` (EVERY distinct-signature pair with its Hamming distance
-    and doc-pair multiplicity cnt_a*cnt_b, brute force): the dHash
-    bands re-derived from attach_fake_pnm's closed form (pixel(i) =
-    (7*doc_id + 13*i) % 256, Rec.601 integer luma, nearest-neighbor
-    9x8 grid, horizontal-gradient bits).  The all-pairs cross join is
-    deliberately stronger than the Spark side's banded candidate
-    generation, so the grade also proves the banding loses no
-    signature pair below the threshold."""
-    base = "(((h * gy) // 8) * w + (w * gx) // 9)"
+# Per-(band_idx, band) frequency cap over DISTINCT signatures — the
+# skew safety valve for both dHash banded joins (image + audio), the
+# twin of the substring-anchor df cap (operators/dedup.py).  A band
+# bucket holding f distinct signatures contributes ~f^2 candidate
+# pairs, and a low-entropy band (flat images -> b_i = 0, silent clips
+# -> monotone energy) is a hot key with no other bound; capping each
+# bucket at c bounds total candidate mass by sum min(f, c)^2 <= 8*m*c
+# — LINEAR in the distinct-signature count m.  Semantics (reproduced
+# bit-for-bit in the oracle): a pair is reported iff hamming <= tau
+# AND at least one SHARED band sits in a bucket of <= cap signatures.
+# At tau = 6 the pigeonhole guarantees >= 2 shared bands, so a pair is
+# lost only when EVERY shared band is hot.  The default never triggers
+# at any graded scale (max observed bucket: 264 distinct signatures at
+# the x10 scale notch) — it exists for the 100 TB corpus, where
+# candidate mass is otherwise quadratic in signature diversity
+# (8-bit bands: ~m^2 * 8/256 — see _sig_pair_classes).
+DHASH_BAND_CAP = 512
 
-    def pix(i: str) -> str:
-        return f"((7 * d + 13 * ({i})) % 256)"
 
+def _dhash_class_ctes(head: str, cap: int = DHASH_BAND_CAP) -> str:
+    """Shared oracle CTE tail over a modality head ending in CTE
+    ``b(d, gy, band)``: pivots to one row per doc (``w8``), groups to
+    DISTINCT signatures (``grp``: b0..b7, rep = min doc_id, mx = max
+    doc_id, cnt), computes per-band bucket frequencies over distinct
+    signatures (``fq0..fq7`` -> ``grpf``), and enumerates EVERY
+    distinct-signature pair brute force (``crs``) keeping those with a
+    shared band whose bucket holds <= cap signatures — the exact cap
+    rule the Spark side's banded join implements.  The all-pairs shape
+    is deliberately stronger than banded candidate generation: a
+    banding recall hole (a pair the bands should find but don't) still
+    hash-mismatches, while the cap rule is applied declaratively, not
+    via the join."""
     wide = ", ".join(
         f"CAST(max(CASE WHEN gy = {i} THEN band END) AS INTEGER) AS b{i}"
         for i in range(8)
     )
     ham = " + ".join(f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(8))
+    fqs = ", ".join(
+        f"fq{i} AS (SELECT b{i} AS band, CAST(count(*) AS BIGINT) AS f "
+        f"FROM grp GROUP BY b{i})"
+        for i in range(8)
+    )
+    fcols = ", ".join(f"q{i}.f AS f{i}" for i in range(8))
+    fjoins = " ".join(f"JOIN fq{i} q{i} ON q{i}.band = g.b{i}" for i in range(8))
+    shared_ok = " OR ".join(
+        f"(x.b{i} = y.b{i} AND x.f{i} <= {cap})" for i in range(8)
+    )
     return (
+        head
+        + f", w8 AS (SELECT d, {wide} FROM b GROUP BY d), "
+        "grp AS (SELECT b0, b1, b2, b3, b4, b5, b6, b7, "
+        "CAST(min(d) AS BIGINT) AS rep, CAST(max(d) AS BIGINT) AS mx, "
+        "CAST(count(*) AS BIGINT) AS cnt "
+        "FROM w8 GROUP BY b0, b1, b2, b3, b4, b5, b6, b7), "
+        f"{fqs}, "
+        f"grpf AS (SELECT g.*, {fcols} FROM grp g {fjoins}), "
+        "crs AS (SELECT x.rep AS doc_a, y.rep AS doc_b, "
+        f"CAST({ham} AS BIGINT) AS hamming, "
+        "CAST(x.cnt * y.cnt AS BIGINT) AS n_pairs "
+        f"FROM grpf x JOIN grpf y ON x.rep < y.rep WHERE {shared_ok}), "
+        "cls AS (SELECT rep AS doc_a, mx AS doc_b, CAST(0 AS BIGINT) AS "
+        "hamming, CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS n_pairs "
+        "FROM grp WHERE cnt > 1 "
+        "UNION ALL SELECT doc_a, doc_b, hamming, n_pairs FROM crs "
+        "WHERE hamming <= 6)"
+    )
+
+
+def _image_dhash_ctes(cap: int = DHASH_BAND_CAP) -> str:
+    """Image oracle: dHash bands re-derived from attach_fake_pnm's
+    closed form (pixel(i) = (7*doc_id + 13*i) % 256, Rec.601 integer
+    luma, nearest-neighbor 9x8 grid, horizontal-gradient bits), then
+    the shared capped all-pairs class tail (:func:`_dhash_class_ctes`)."""
+    base = "(((h * gy) // 8) * w + (w * gx) // 9)"
+
+    def pix(i: str) -> str:
+        return f"((7 * d + 13 * ({i})) % 256)"
+
+    head = (
         "WITH p AS (SELECT doc_id AS d, "
         "CAST(4 + doc_id % 8 AS BIGINT) AS w, "
         "CAST(3 + (doc_id * 3) % 5 AS BIGINT) AS h, "
@@ -963,22 +1020,53 @@ def _image_dhash_ctes() -> str:
         "lead(v) OVER (PARTITION BY d, gy ORDER BY gx) AS nxt FROM g), "
         "b AS (SELECT d, gy, CAST(coalesce(sum(CASE WHEN nxt > v "
         "THEN (CAST(1 AS BIGINT) << gx) ELSE 0 END), 0) AS BIGINT) AS band "
-        "FROM s WHERE gx < 8 GROUP BY d, gy), "
-        f"w8 AS (SELECT d, {wide} FROM b GROUP BY d), "
-        "grp AS (SELECT b0, b1, b2, b3, b4, b5, b6, b7, "
-        "CAST(min(d) AS BIGINT) AS rep, CAST(max(d) AS BIGINT) AS mx, "
-        "CAST(count(*) AS BIGINT) AS cnt "
-        "FROM w8 GROUP BY b0, b1, b2, b3, b4, b5, b6, b7), "
-        "crs AS (SELECT x.rep AS doc_a, y.rep AS doc_b, "
-        f"CAST({ham} AS BIGINT) AS hamming, "
-        "CAST(x.cnt * y.cnt AS BIGINT) AS n_pairs "
-        "FROM grp x JOIN grp y ON x.rep < y.rep), "
-        "cls AS (SELECT rep AS doc_a, mx AS doc_b, CAST(0 AS BIGINT) AS "
-        "hamming, CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS n_pairs "
-        "FROM grp WHERE cnt > 1 "
-        "UNION ALL SELECT doc_a, doc_b, hamming, n_pairs FROM crs "
-        "WHERE hamming <= 6)"
+        "FROM s WHERE gx < 8 GROUP BY d, gy)"
     )
+    return _dhash_class_ctes(head, cap)
+
+
+# Clip length for the audio near-dup fingerprint (multimodal.
+# attach_fake_wav's n_base): at the decode-stats default (8) the
+# 72-segment energy profile has at most one sample per segment and the
+# fingerprint collapses to a function of clip LENGTH alone (19
+# distinct signatures over 500 docs, measured); at 240 every segment
+# holds 3-7 samples and the signature space is content-bearing (430
+# distinct signatures over 500 docs, populated Hamming 1..6 mass).
+WAV_NEARDUP_BASE = 240
+
+
+def _audio_band_head() -> str:
+    """Audio oracle head ending in ``b(d, gy, band)``: the energy-dHash
+    bands re-derived from attach_fake_wav's closed form (sample(k) =
+    (31*doc_id + 17*k) % 4096 - 2048 over n = (240 + d%9)*(1 + d%2)
+    interleaved samples), 72 nearest-neighbor segments.  Sample k
+    belongs to segment g = (72*k + 71) // n — the exact integer
+    inverse of the boundary map lo_g = n*g // 72 — and empty trailing
+    segments come back as energy 0 through the left join against the
+    full 72-cell grid."""
+    v = "((d * 31 + k * 17) % 4096 - 2048)"
+    return (
+        "WITH p AS (SELECT doc_id AS d, "
+        f"CAST(({WAV_NEARDUP_BASE} + doc_id % 9) * (1 + doc_id % 2) "
+        "AS BIGINT) AS n FROM documents), "
+        "smp AS (SELECT d, n, unnest(generate_series(0, n - 1)) AS k "
+        "FROM p), "
+        "en AS (SELECT d, (72 * k + 71) // n AS g, "
+        f"sum(CAST({v} AS BIGINT) * {v}) AS e FROM smp GROUP BY d, g), "
+        "grid AS (SELECT p.d, gs.g, coalesce(en.e, 0) AS v FROM p "
+        "CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS g) gs "
+        "LEFT JOIN en ON en.d = p.d AND en.g = gs.g), "
+        "s AS (SELECT d, g // 9 AS gy, g % 9 AS gx, v, "
+        "lead(v) OVER (PARTITION BY d, g // 9 ORDER BY g) AS nxt "
+        "FROM grid), "
+        "b AS (SELECT d, gy, CAST(coalesce(sum(CASE WHEN nxt > v "
+        "THEN (CAST(1 AS BIGINT) << gx) ELSE 0 END), 0) AS BIGINT) AS band "
+        "FROM s WHERE gx < 8 GROUP BY d, gy)"
+    )
+
+
+def _audio_dhash_ctes(cap: int = DHASH_BAND_CAP) -> str:
+    return _dhash_class_ctes(_audio_band_head(), cap)
 
 
 def image_dhash_shared(docs: DataFrame) -> DataFrame:
@@ -999,30 +1087,68 @@ def image_dhash_shared(docs: DataFrame) -> DataFrame:
 _IMG_BANDS = [f"b{i}" for i in range(8)]
 
 
-def _image_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
-    """Near-dup PAIR CLASSES at the DISTINCT-SIGNATURE level:
-    ``(doc_a, doc_b, hamming <= tau, n_pairs)`` where each row is one
-    signature pair (or one exact-duplicate cluster at distance 0),
-    represented by its smallest member ids, carrying the number of
-    underlying doc pairs it stands for.
+def audio_dhash_shared(docs: DataFrame) -> DataFrame:
+    """Per-clip energy-dHash table ``(doc_id, b0..b7)``
+    (operators/multimodal.wav_energy_dhash over attach_fake_wav media
+    at the near-dup clip length), materialized once per corpus per
+    session through the dedup family memo and shared between the audio
+    near-dup pair and bill queries — one decode + fingerprint pass, 8
+    small ints per clip on the wire."""
+    from duckdb_cluster_hash_spark.operators import multimodal as _mm
+
+    return _dd._shared_checkpoint(
+        docs,
+        ("wav_dhash",),
+        lambda: _mm.wav_energy_dhash(
+            _mm.attach_fake_wav(
+                docs.select("doc_id"), n_base=WAV_NEARDUP_BASE
+            )
+        ),
+    )
+
+
+def _sig_pair_classes(
+    sig: DataFrame, tau: int = 6, cap: "int | None" = None
+) -> DataFrame:
+    """Near-dup PAIR CLASSES at the DISTINCT-SIGNATURE level over any
+    8-band signature table ``(doc_id, b0..b7)`` (image dHash, audio
+    energy-dHash): ``(doc_a, doc_b, hamming <= tau, n_pairs)`` where
+    each row is one signature pair (or one exact-duplicate cluster at
+    distance 0), represented by its smallest member ids, carrying the
+    number of underlying doc pairs it stands for.  NOTE the unit: rows
+    are CLASSES, not doc pairs — a consumer wanting the doc-level
+    enumeration expands each class row (cluster rows to the
+    cnt-choose-2 within-group pairs, cross rows to the ca*cb
+    member-id cross product); n_pairs sums are exact either way
+    (pinned by tests/test_text.py::test_pair_class_expansion_...).
 
     Collapsing to distinct signatures FIRST is the load-bearing scale
-    move: duplicate-heavy corpora (the synthetic generator tops out at
-    ~20k distinct rasters, so doc-level pair mass grows ~n^2/20k —
-    measured exp(x10) = 2.0 before this rewrite) cost one linear
-    grouping pass, and the quadratic-risk candidate join runs over
-    distinct signatures only, whose count is bounded by image
-    diversity, not corpus size.  Pair multiplicities are exact integer
-    products, so nothing is lost vs the doc-level enumeration.
+    move on duplicate-heavy corpora (the synthetic image generator
+    tops out at ~1-2k distinct rasters, so doc-level pair mass grows
+    ~n^2/2k — measured exp(x10) = 2.0 before this rewrite): one
+    linear grouping pass, and the candidate join runs over distinct
+    signatures only.  On a HIGH-DIVERSITY corpus (distinct signatures
+    m ~ n) the 8-bit bands make candidate mass ~m^2 * 8/256 —
+    quadratic in diversity, the documented cost of banding 64-bit
+    signatures at tau = 6 (8 bands is the minimum for pigeonhole
+    exactness, so wider bands are not available) — which is where the
+    per-(band_idx, band) frequency cap takes over: hot buckets
+    (> cap distinct signatures — low-entropy bands, e.g. flat images
+    or silent clips) are dropped from candidate generation, bounding
+    candidate mass by 8*m*cap, linear in m.  See DHASH_BAND_CAP for
+    the exact recall semantics (a pair is lost only when every shared
+    band is hot; the oracle applies the identical rule).
 
-    EXACT at the threshold by pigeonhole: the 64-bit dHash splits into
-    8 one-byte bands, and two signatures differing in <= 6 bits share
-    at least two bands — band equality as the candidate key loses
-    nothing below distance 8.  Distance-0 pairs exist only WITHIN a
-    signature group (distinct signatures differ by >= 1 bit), so the
-    cluster row covers them exactly.
+    EXACT at the threshold by pigeonhole (below the cap): the 64-bit
+    hash splits into 8 one-byte bands, and two signatures differing
+    in <= 6 bits share at least TWO bands — so band equality as the
+    candidate key loses nothing below distance 8, and even one hot
+    shared band still leaves a live candidate key.  Distance-0 pairs
+    exist only WITHIN a signature group (distinct signatures differ
+    by >= 1 bit), so the cluster row covers them exactly — the cap
+    never affects exact duplicates.
     """
-    sig = image_dhash_shared(docs)
+    cap = DHASH_BAND_CAP if cap is None else int(cap)
     groups = sig.groupBy(*_IMG_BANDS).agg(
         F.min("doc_id").alias("rep"),
         F.max("doc_id").alias("mx"),
@@ -1033,18 +1159,28 @@ def _image_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
         + ", ".join(f"{i}, b{i}" for i in range(8))
         + ") AS (band_idx, band)"
     )
+    # hot (band_idx, band) buckets over DISTINCT signatures: usually
+    # EMPTY (cap is a skew safety valve), so the anti-join below is a
+    # near-free broadcast filter, never a second shuffle of the stack
+    hot = (
+        groups.select(stack)
+        .groupBy("band_idx", "band")
+        .agg(F.count("*").alias("f"))
+        .where(F.col("f") > int(cap))
+        .select("band_idx", "band")
+    )
     a = groups.select(
         F.col("rep").alias("ra"),
         F.col("cnt").alias("ca"),
         *[F.col(b).alias(f"a{i}") for i, b in enumerate(_IMG_BANDS)],
         stack,
-    )
+    ).join(F.broadcast(hot), ["band_idx", "band"], "left_anti")
     b = groups.select(
         F.col("rep").alias("rb"),
         F.col("cnt").alias("cb"),
         *[F.col(b).alias(f"x{i}") for i, b in enumerate(_IMG_BANDS)],
         stack,
-    )
+    ).join(F.broadcast(hot), ["band_idx", "band"], "left_anti")
     ham = sum(
         F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"x{i}")))
         for i in range(8)
@@ -1071,6 +1207,20 @@ def _image_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
     return clusters.unionByName(cross)
 
 
+def _image_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
+    """Image near-dup pair classes: memoized dHash table through the
+    shared signature-class machine (:func:`_sig_pair_classes` — see it
+    for the class semantics, the distinct-signature collapse, and the
+    band-cap recall rule)."""
+    return _sig_pair_classes(image_dhash_shared(docs), tau)
+
+
+def _audio_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
+    """Audio near-dup pair classes: memoized energy-dHash table through
+    the shared signature-class machine (:func:`_sig_pair_classes`)."""
+    return _sig_pair_classes(audio_dhash_shared(docs), tau)
+
+
 @query(
     "docs_image_neardup_pairs",
     oracle=(
@@ -1093,11 +1243,13 @@ def docs_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: decode + hashing is one Arrow-batched map pass emitting 8
     small ints per image, memoized per corpus (image_dhash_shared);
-    the candidate join runs over DISTINCT signatures only (bounded by
-    image diversity, not corpus size — see _image_pair_classes), on
-    (band_idx, band) EQUALITY, never a cartesian product.  The oracle
-    grades against an all-pairs formulation, so a banding recall hole
-    would hash-mismatch.
+    the candidate join runs over DISTINCT signatures only, on
+    (band_idx, band) EQUALITY, never a cartesian product, with hot
+    band buckets dropped by the DHASH_BAND_CAP skew valve (linear in
+    signature diversity even on high-diversity corpora — see
+    _sig_pair_classes for the full cost/recall analysis).  The oracle
+    grades against an all-pairs formulation carrying the identical
+    cap rule, so a banding recall hole would hash-mismatch.
     """
     docs = _t(spark, sf_dir, "documents")
     return (
@@ -1118,12 +1270,14 @@ def docs_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_image_neardup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-mass bill for the perceptual image near-dup join: DOC-pair
     counts per Hamming distance 0..6 — the full near-dup mass in <= 7
-    rows, computed from multiplicity-weighted signature classes (exact
-    integer products; the synthetic corpus near-dups densely — 829k
-    doc pairs at sf0.1 — yet nothing doc-pair-sized is ever
-    materialized).  Grades EVERY pair the banding finds, so a
-    distance-5/6 recall hole the top-100 query can't see would
-    hash-mismatch here.
+    rows, computed from multiplicity-weighted signature CLASSES (see
+    _sig_pair_classes for the class semantics the pairs query exposes
+    directly: each class row stands for cnt-choose-2 or ca*cb doc
+    pairs, and this bill sums exactly those multiplicities — the
+    synthetic corpus near-dups densely, 829k doc pairs at sf0.1, yet
+    nothing doc-pair-sized is ever materialized).  Grades EVERY pair
+    the banding finds, so a distance-5/6 recall hole the top-100 query
+    can't see would hash-mismatch here.
 
     Scale: shares the memoized hash table and the distinct-signature
     machinery with docs_image_neardup_pairs; the rollup is one 7-group
@@ -1132,6 +1286,71 @@ def docs_image_neardup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
         _image_pair_classes(docs, 6)
+        .groupBy("hamming")
+        .agg(F.sum("n_pairs").cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+@query(
+    "docs_audio_neardup_pairs",
+    oracle=(
+        _audio_dhash_ctes()
+        + " SELECT doc_a, doc_b, hamming, n_pairs FROM cls "
+        "ORDER BY hamming, doc_a, doc_b LIMIT 100"
+    ),
+)
+def docs_audio_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO near-dup — completes the modality trio (text
+    MinHash/SimHash, image dHash, audio energy-dHash): REAL RIFF/WAVE
+    decode -> 72-segment integer energy profile -> 64-bit
+    sign-of-delta fingerprint (operators/multimodal.wav_energy_dhash)
+    -> signature grouping -> banded Hamming join, over spec-compliant
+    PCM16 clips synthesized by attach_fake_wav (LIST-chunk skip and
+    RIFF padding exercised on every row).  Emits the 100 closest pair
+    CLASSES by (hamming, doc_a, doc_b): each row is one exact-dup
+    cluster (distance 0) or one distinct-signature pair, represented
+    by its smallest member ids with its doc-pair multiplicity.
+
+    Scale: decode + fingerprinting is one Arrow-batched map pass
+    emitting 8 small ints per clip, memoized per corpus
+    (audio_dhash_shared); the candidate join runs over DISTINCT
+    signatures only, on (band_idx, band) EQUALITY, hot buckets dropped
+    by DHASH_BAND_CAP — the same pair-class machine as the image twin
+    (_sig_pair_classes).  The oracle re-derives every energy bit from
+    the generator's closed form and grades an all-pairs formulation
+    with the identical cap rule.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _audio_pair_classes(docs, 6)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+@query(
+    "docs_audio_neardup_bill",
+    oracle=(
+        _audio_dhash_ctes()
+        + " SELECT hamming, CAST(sum(n_pairs) AS BIGINT) AS n_pairs "
+        "FROM cls GROUP BY hamming ORDER BY hamming"
+    ),
+)
+def docs_audio_neardup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-mass bill for the audio near-dup join: DOC-pair counts per
+    Hamming distance 0..6, summed from multiplicity-weighted signature
+    classes exactly like docs_image_neardup_bill.  Grades EVERY pair
+    the banding finds (a recall hole anywhere in the 0..6 range
+    hash-mismatches against the all-pairs oracle).
+
+    Scale: shares the memoized fingerprint table and the
+    distinct-signature machinery with docs_audio_neardup_pairs; the
+    rollup is one 7-group aggregate over signature-pair rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _audio_pair_classes(docs, 6)
         .groupBy("hamming")
         .agg(F.sum("n_pairs").cast("bigint").alias("n_pairs"))
         .orderBy("hamming")

@@ -542,6 +542,59 @@ def quality_rep_shared(docs: DataFrame) -> DataFrame:
     return _dd._shared_checkpoint(docs, ("quality_rep",), build)
 
 
+def _curated_artifact_dir(sf_dir: str) -> str:
+    """Temp-dir path for the curation pipeline's kept-corpus artifact,
+    keyed by corpus-path hash + PID (concurrent harnesses on the same
+    corpus must not race the overwrite/read-back), with cleanup owned
+    here: an atexit hook removes THIS process's dirs when it exits, and
+    each call opportunistically sweeps ``dch_curated_*`` dirs whose
+    owning PID no longer exists — a kill -9'd harness never runs its
+    atexit, and without the sweep repeated runs accumulate unbounded
+    tmp garbage."""
+    import atexit as _atexit
+    import glob as _glob
+    import hashlib as _hl
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tf
+
+    tmp = _tf.gettempdir()
+    pid = _os.getpid()
+    for stale in _glob.glob(_os.path.join(tmp, "dch_curated_*_*")):
+        tail = stale.rsplit("_", 1)[-1]
+        if not tail.isdigit() or int(tail) == pid:
+            continue
+        try:
+            _os.kill(int(tail), 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            _shutil.rmtree(stale, ignore_errors=True)
+        except (OSError, PermissionError):
+            pass  # owner alive (or unverifiable): leave it alone
+    global _CURATED_ATEXIT
+    if not _CURATED_ATEXIT:
+        _CURATED_ATEXIT = True
+        _atexit.register(
+            lambda: [
+                _shutil.rmtree(p, ignore_errors=True)
+                for p in _glob.glob(
+                    _os.path.join(tmp, f"dch_curated_*_{pid}")
+                )
+            ]
+        )
+    return _os.path.join(
+        tmp,
+        "dch_curated_{}_{}".format(
+            _hl.md5(
+                _os.path.abspath(sf_dir.rstrip("/")).encode()
+            ).hexdigest()[:8],
+            pid,
+        ),
+    )
+
+
+_CURATED_ATEXIT = False
+
+
 def gopher_rep_shared(docs: DataFrame) -> DataFrame:
     """Per-document Gopher top-bigram repetition table ``(doc_id,
     source, rep_bp)`` (docs with >= 2 letter-words only), materialized
@@ -692,17 +745,11 @@ def docs_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Keyed by a full-path hash + PID: CLAUDE.md allows correctness
     # sweeps to overlap, and a basename-only key let two harnesses on
     # the same corpus race the overwrite/read-back and corrupt the bill.
-    import hashlib as _hl
-
-    path = _os.path.join(
-        _tf.gettempdir(),
-        "dch_curated_{}_{}".format(
-            _hl.md5(
-                _os.path.abspath(sf_dir.rstrip("/")).encode()
-            ).hexdigest()[:8],
-            _os.getpid(),
-        ),
-    )
+    # The PID key means every process leaves a fresh dir, so cleanup is
+    # owned here too: _curated_artifact_dir registers an atexit rm for
+    # this PID's dirs and opportunistically sweeps dirs whose owning
+    # PID is gone (a kill -9'd harness can't run its own atexit).
+    path = _curated_artifact_dir(sf_dir)
     labeled.where(F.col("stage") == "5_kept").select("doc_id").join(
         docs.select("doc_id", "lang", "text"), "doc_id"
     ).write.mode("overwrite").parquet(path)
@@ -1643,6 +1690,54 @@ def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     ).agg(F.sum("f").cast("bigint").alias("n"))
 
 
+_BPE_PARTIAL_SCHEMA = "lhs string, rhs string, n long"
+
+
+def bpe_partial_pair_counts(vocab: DataFrame) -> DataFrame:
+    """PER-PARTITION (map-side only) weighted pair counts over the
+    double-space-encoded vocab ``(s, f)`` — the BPE trainer's
+    per-iteration subtree, with NO exchange: each Arrow batch counts
+    its own adjacent pairs into at most |active symbols|^2 rows
+    (symbols are the 26 letters plus one per learned merge, so <=
+    (26+k)^2 = 1764 at k=16 — a domain bound, independent of corpus
+    and vocab size), and the driver finishes the sum.
+
+    This replaces the shuffled groupBy+TakeOrdered argmax the trainer
+    used through round 13: under AQE that was 2 jobs per iteration
+    (shuffle-map stage + result stage), and the trainer's contended
+    bench wall tracked the 32 serialized driver round-trips rather
+    than any data work (r13 verdict item 4).  A map-only collect is 1
+    job per iteration with no exchange at all, and moving the <= 1764
+    x n_partitions-row final combine to the driver is the same
+    sanctioned shape as the 1-row argmax it replaces — bounded by the
+    symbol domain, never by data.
+    """
+    import pandas as _pd
+
+    def count_batches(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for s, f in zip(pdf["s"], pdf["f"]):
+                t = s.strip().split("  ")
+                if len(t) >= 2:
+                    fi = int(f)
+                    for pair in zip(t, t[1:]):
+                        c[pair] += fi
+            if c:
+                ks = list(c)
+                yield _pd.DataFrame(
+                    {
+                        "lhs": [p[0] for p in ks],
+                        "rhs": [p[1] for p in ks],
+                        "n": _pd.Series([c[p] for p in ks], dtype="int64"),
+                    }
+                )
+
+    return vocab.mapInPandas(count_batches, _BPE_PARTIAL_SCHEMA)
+
+
 def bpe_merge_apply(vocab: DataFrame, lhs: str, rhs: str) -> DataFrame:
     """Apply one merge (lhs, rhs) to the encoded vocab via the
     double-space ``replace`` — map-side, no shuffle.  Symbols are
@@ -1686,13 +1781,13 @@ def docs_bpe_training_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale (how distributed BPE trainers actually work): the corpus is
     touched ONCE — the loop state is the distinct-word frequency table
     (vocab-bounded, millions of rows at 100 TB, never documents); each
-    iteration is one map-side pair explode + one keyed partial
-    aggregation over a domain bounded by |symbols|^2, an argmax via
-    TakeOrderedAndProject (the only collect: 1 row x 16), and a
-    map-side string replace.  Only the initial vocab is
-    localCheckpoint'd; each merge extends the plan by one literal
-    replace projection (bounded lineage, k = 16, no per-iteration
-    materialization — see ``bpe_train_merges``).
+    iteration is ONE map-only job — Arrow per-partition pair counts
+    over a domain bounded by |symbols|^2, driver-side final combine +
+    argmax (``bpe_partial_pair_counts``; no exchange, so no AQE
+    two-job split) — and a map-side string replace.  Only the initial
+    vocab is localCheckpoint'd; each merge extends the plan by one
+    literal replace projection (bounded lineage, k = 16, no
+    per-iteration materialization — see ``bpe_train_merges``).
     """
     docs = _t(spark, sf_dir, "documents")
     wf = (
@@ -1718,7 +1813,11 @@ def bpe_train_merges(
     ``(w, f)`` and return the merge trajectory
     ``[(it, lhs, rhs, merged, n), ...]`` — the loop body shared by
     ``docs_bpe_training_loop`` (full corpus) and ``docs_bpe_encode``
-    (train split).  One job + a 1-row argmax collect per iteration.
+    (train split).  One map-only job per iteration (Arrow partial
+    pair counts + driver combine — bpe_partial_pair_counts), k jobs
+    total; through round 13 this was 2 jobs/iteration (AQE shuffle
+    stage + TakeOrdered result stage) and the trainer's contended
+    bench wall was driver-round-trip-bound (r13 verdict item 4).
 
     Only the INITIAL vocab is localCheckpoint'd (the corpus is scanned
     once); each learned merge extends the plan by one literal
@@ -1729,27 +1828,36 @@ def bpe_train_merges(
     checkpoint variant measured ~2x slower cold (16 extra jobs) and
     leaks 16 blocks per run into executor storage until GC.
 
-    Standalone stamp (round 8, sf0.1, local[32], isolated process):
-    ``docs_bpe_training_loop`` 10.5s cold / 3.5-4.3s warm — so the r7
-    artifact's 10.8s CONTENDED wall is the cold number plus 8-way FAIR
-    queueing of 32 driver round-trips (16 argmax collects + 16 job
-    submits), not a regression of the checkpoint drop: the drop's ~2x
-    cold win is real standalone, and under contention the trainer's
-    serialized driver round-trips are what stretch (each one waits on
-    the FAIR queue, so contended wall tracks round-trip count, not
-    compute)."""
+    History (round 8 standalone stamp, sf0.1, local[32]): the shuffled
+    argmax ran 10.5s cold / 3.5-4.3s warm, and under 8-way FAIR
+    contention its wall tracked the 32 serialized round-trips (each
+    collect waits on the FAIR queue), not compute — which is what the
+    round-14 map-only rewrite halves: k jobs instead of 2k, no
+    shuffle, no sort, trajectory bit-identical (pinned by
+    tests/test_text.py::test_bpe_training_loop_matches_reference_trainer,
+    which drives THIS function)."""
+    from collections import Counter
+
     vocab = wf.select(
         F.expr("concat('  ', regexp_replace(w, '(.)', '$1  '))").alias("s"),
         "f",
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
     for it in range(1, k + 1):
-        pc = bpe_pair_counts(vocab)
-        best = pc.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1).collect()
-        if not best:  # corpus fully merged before k iterations — both
+        # ONE map-only job per iteration (no exchange, so no AQE
+        # stage-split into a second job): per-partition Arrow partial
+        # counts, final <= (26+k)^2 x n_partitions-row combine on the
+        # driver — see bpe_partial_pair_counts for the bound and the
+        # round-trip accounting vs the shuffled argmax it replaced
+        agg: Counter = Counter()
+        for r in bpe_partial_pair_counts(vocab).collect():
+            agg[(r.lhs, r.rhs)] += int(r.n)
+        if not agg:  # corpus fully merged before k iterations — both
             break  # engines emit the same shorter trajectory
-        lhs, rhs, n = best[0].lhs, best[0].rhs, int(best[0].n)
-        merges.append((it, lhs, rhs, lhs + rhs, n))
+        # argmax, ties lexicographic on (lhs, rhs) — symbols are
+        # [a-z]+ only, so Python tuple order == both engines' ASC
+        (lhs, rhs), n = min(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((it, lhs, rhs, lhs + rhs, int(n)))
         vocab = bpe_merge_apply(vocab, lhs, rhs)
     return merges
 
@@ -4016,3 +4124,456 @@ def docs_quality_perceptron_sweep(
         .cast("long")
         .alias("attrition_bp"),
     ).orderBy("threshold")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer trainer — the second
+# canonical trainer next to BPE (Kudo 2018, "Subword Regularization"):
+# seed a piece inventory from frequent substrings, iterate (encode the
+# corpus with the current inventory -> count piece usage -> PRUNE the
+# least-used multi-char pieces), and score the corpus in exact integer
+# milli-bits through the shared mlog2 chain.  The E-step encoder is the
+# deterministic greedy longest-match segmenter (the WordPiece-inference
+# rule — the hard-EM variant of Kudo's Viterbi E-step, chosen because
+# it is closed-form reproducible bit-for-bit by an unrolled-CTE oracle;
+# ties cannot arise since candidate lengths are distinct).
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_WORD = 16  # words longer than this are excluded (both engines)
+UNIGRAM_MAX_PIECE = 4  # seed substrings of length 2..4; singles always kept
+UNIGRAM_SEED = 256  # multi-char seed inventory size (top by weighted freq)
+UNIGRAM_ITERS = 3  # prune iterations; trajectory rows it = 0..3
+
+
+def mlog2_1024_py(x: int) -> int:
+    """Pure-Python twin of the shared integer log2 snippet
+    (``_MLOG2_SEED_EXPRS`` + ``_mlog2_step_exprs``): log2(x) in 1/1024
+    bits for x >= 1, bit-identical to what both engines compute from
+    the same expressions (pinned by
+    tests/test_training.py::test_mlog2_python_twin_matches_engines).
+    The unigram trainer's driver-side M-step uses this so the
+    trajectory it emits as literals equals the oracle's SQL-side
+    arithmetic exactly."""
+    e = x.bit_length() - 1
+    m = (x >> (e - 30)) if e >= 30 else (x << (30 - e))
+    f = 0
+    for _ in range(10):
+        sq = (m * m) >> 30
+        if sq >= 2**31:
+            m = sq >> 1
+            f = f * 2 + 1
+        else:
+            m = sq
+            f = f * 2
+    return e * 1024 + f
+
+
+def unigram_greedy_tokens(
+    wf: DataFrame, pieces_df: DataFrame, keys: tuple = ()
+) -> DataFrame:
+    """Greedy longest-match segmentation of a word-frequency table
+    ``(*keys, w, f)`` under a piece inventory, returning one row per
+    emitted token per distinct word: ``(*keys, f, tok)``.
+
+    The walk is pure whole-stage-codegen column arithmetic: candidate
+    substrings (<= UNIGRAM_MAX_PIECE chars per start) broadcast-join
+    the piece inventory, the best (longest) match per position folds
+    into ONE small map per word, and UNIGRAM_MAX_WORD chained
+    projections advance the cursor — no Python, no per-position
+    shuffle, no join in the walk itself.  Unknown characters (possible
+    on held-out text) fall back to single-char tokens via
+    ``coalesce(try_element_at(...), 1)`` — the byte-fallback rule,
+    identical in the oracle.
+
+    Scale: the explode is a bounded constant factor (<= 16*4 candidate
+    rows per DISTINCT word — vocab-bounded, never corpus-bounded), the
+    piece inventory is broadcast (<= UNIGRAM_SEED + alphabet rows),
+    and the two keyed aggregations shuffle vocab-sized tables only.
+    """
+    mp, mw = UNIGRAM_MAX_PIECE, UNIGRAM_MAX_WORD
+    cand = wf.select(
+        *keys,
+        "w",
+        "f",
+        F.expr(
+            "explode(flatten(transform(sequence(1, length(w)), st -> "
+            f"transform(sequence(1, least({mp}, length(w) - st + 1)), "
+            "l -> struct(CAST(st AS INT) AS st, "
+            "substring(w, st, l) AS cand)))))"
+        ).alias("c"),
+    ).select(*keys, "w", "f", F.col("c.st").alias("st"), F.col("c.cand").alias("cand"))
+    spans = (
+        cand.join(
+            F.broadcast(pieces_df), F.col("cand") == F.col("piece"), "left"
+        )
+        .groupBy(*keys, "w", "f", "st")
+        .agg(
+            F.max(
+                F.when(F.col("piece").isNotNull(), F.length("cand"))
+            ).alias("bl")
+        )
+    )
+    perw = spans.groupBy(*keys, "w", "f").agg(
+        F.map_from_entries(F.collect_list(F.struct("st", "bl"))).alias("bl")
+    )
+    cur = perw.withColumn("p0", F.lit(1).cast("int"))
+    tok_cols = []
+    for s in range(1, mw + 1):
+        ln = F.when(
+            F.col(f"p{s - 1}") <= F.length("w"),
+            F.coalesce(
+                F.try_element_at("bl", F.col(f"p{s - 1}")), F.lit(1)
+            ),
+        ).otherwise(F.lit(0))
+        cur = cur.withColumn(f"l{s}", ln.cast("int"))
+        cur = cur.withColumn(
+            f"t{s}",
+            F.when(
+                F.col(f"l{s}") > 0,
+                F.expr(f"substring(w, p{s - 1}, l{s})"),
+            ),
+        )
+        cur = cur.withColumn(
+            f"p{s}",
+            (F.col(f"p{s - 1}") + F.greatest(F.col(f"l{s}"), F.lit(1))).cast(
+                "int"
+            ),
+        )
+        tok_cols.append(f"t{s}")
+    return cur.select(
+        *keys,
+        "f",
+        F.explode(F.array_compact(F.array(*tok_cols))).alias("tok"),
+    )
+
+
+def _unigram_wordfreq(docs: DataFrame, where=None) -> DataFrame:
+    w = docs if where is None else docs.where(where)
+    return (
+        w.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .where(F.length("w").between(2, UNIGRAM_MAX_WORD))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+
+
+def unigram_train(
+    spark: SparkSession, wf: DataFrame, k: int = UNIGRAM_ITERS
+) -> tuple[list[tuple[int, int, int, int]], list[str]]:
+    """Run the unigram-LM prune trainer over a word-frequency table and
+    return ``(trajectory, final_pieces)`` where trajectory rows are
+    ``(it, n_pieces, n_tokens, bits_1024)`` for it = 0..k.
+
+    Per iteration: ONE distributed E-step job (greedy segmentation +
+    weighted piece counts — unigram_greedy_tokens), a driver-side
+    combine bounded by the piece inventory (<= UNIGRAM_SEED + alphabet
+    rows — the sanctioned iterative-trainer collect shape, like the
+    BPE argmax and the perceptron gradient), then integer M-step
+    bookkeeping: corpus bits = sum over used pieces of
+    cnt * (mlog2(T) - mlog2(cnt)) in 1/1024-bit units (the unigram-LM
+    negative log-likelihood, exact integers via mlog2_1024_py == the
+    oracle's shared SQL chain), and the prune keeps the TOP
+    ``UNIGRAM_SEED >> (it+1)`` multi-char pieces by (cnt desc,
+    piece asc) — the 128/64/32 shrinking schedule — while
+    single-char pieces are the byte-fallback floor and never pruned.
+
+    The corpus is touched only through the vocab-bounded wf table
+    (localCheckpoint'd once); at 100 TB the loop state is the
+    inventory (hundreds of rows) and the E-step is the only
+    distributed work — the same shape real SentencePiece trainers
+    distribute.
+    """
+    wf = wf.localCheckpoint(eager=True)
+    subs = (
+        # st caps at length(w) - 1 so the inner bound least(4, len-st+1)
+        # stays >= 2: Spark's sequence(2, 1) DESCENDS ([2, 1]) where
+        # DuckDB's generate_series(2, 1) is empty, and the descending
+        # branch smuggled truncated 1-char "multis" into the seed
+        wf.select(
+            F.expr(
+                "explode(flatten(transform(sequence(1, length(w) - 1), "
+                f"st -> transform(sequence(2, least({UNIGRAM_MAX_PIECE}, "
+                "length(w) - st + 1)), "
+                "l -> substring(w, st, l)))))"
+            ).alias("piece"),
+            "f",
+        )
+        .groupBy("piece")
+        .agg(F.sum("f").alias("wcnt"))
+        .orderBy(F.desc("wcnt"), F.asc("piece"))
+        .limit(UNIGRAM_SEED)
+        .collect()
+    )
+    singles = (
+        wf.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)), "
+                    "st -> substring(w, st, 1))"
+                )
+            ).alias("piece")
+        )
+        .distinct()
+        .collect()
+    )
+    pieces = sorted(r["piece"] for r in singles) + sorted(
+        r["piece"] for r in subs
+    )
+    rows: list[tuple[int, int, int, int]] = []
+    for it in range(0, k + 1):
+        pieces_df = spark.createDataFrame(
+            [(p,) for p in pieces] or [("",)], "piece string"
+        )
+        counts = {p: 0 for p in pieces}
+        for r in (
+            unigram_greedy_tokens(wf, pieces_df)
+            .groupBy("tok")
+            .agg(F.sum("f").alias("n"))
+            .collect()
+        ):
+            if r["tok"] in counts:
+                counts[r["tok"]] = int(r["n"])
+        total = sum(counts.values())
+        lt = mlog2_1024_py(total) if total > 0 else 0
+        bits = sum(
+            c * (lt - mlog2_1024_py(c)) for c in counts.values() if c > 0
+        )
+        rows.append((it, len(pieces), total, bits))
+        if it < k:
+            # SentencePiece-style shrinking schedule: keep the TOP
+            # K = UNIGRAM_SEED >> (it+1) multi-char pieces by (usage
+            # desc, piece asc) — 128/64/32 against the 256 seed, so by
+            # the later rounds USED pieces are pruned and the encoder
+            # genuinely re-segments (a fraction-of-inventory prune only
+            # ever cleared never-used seeds: greedy longest-match usage
+            # is sparse, ~36/204 multis used at sf0.001)
+            keep_k = UNIGRAM_SEED >> (it + 1)
+            multi = sorted(
+                (-counts[p], p) for p in pieces if len(p) > 1
+            )
+            kept = {p for _, p in multi[:keep_k]}
+            pieces = [p for p in pieces if len(p) == 1 or p in kept]
+    return rows, pieces
+
+
+def _unigram_seed_ctes(where: str) -> str:
+    """Seed CTE chain: wrds (filtered word freq), pc0 (singles + top
+    UNIGRAM_SEED substrings by weighted frequency, ties lexicographic)."""
+    mw, mp, ns = UNIGRAM_MAX_WORD, UNIGRAM_MAX_PIECE, UNIGRAM_SEED
+    return (
+        "wrds AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f "
+        "FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        f"AS w FROM documents {where}) "
+        f"WHERE len(w) BETWEEN 2 AND {mw} GROUP BY w), "
+        "sub AS (SELECT substr(w, st, l) AS piece, "
+        "CAST(sum(f) AS BIGINT) AS wcnt FROM "
+        "(SELECT w, f, unnest(generate_series(1, len(w))) AS st FROM wrds) "
+        f"CROSS JOIN (SELECT unnest(generate_series(2, {mp})) AS l) "
+        "WHERE st + l - 1 <= len(w) GROUP BY piece), "
+        "sg AS (SELECT DISTINCT substr(w, st, 1) AS piece FROM "
+        "(SELECT w, unnest(generate_series(1, len(w))) AS st FROM wrds)), "
+        "pc0 AS MATERIALIZED (SELECT piece FROM sg UNION ALL SELECT piece "
+        f"FROM (SELECT piece FROM sub ORDER BY wcnt DESC, piece LIMIT {ns}))"
+    )
+
+
+def _unigram_walk_ctes(
+    i: str, pieces: str, words: str, keys: str = ""
+) -> str:
+    """Greedy-walk CTE chain for one inventory: spans (best match per
+    position), UNIGRAM_MAX_WORD chained cursor steps, and the token
+    union ``tk{i}`` — MATERIALIZED throughout (each step is referenced
+    by the next step AND the union; default inlining would expand the
+    chain exponentially)."""
+    mw, mp = UNIGRAM_MAX_WORD, UNIGRAM_MAX_PIECE
+    klist = [k.strip() for k in keys.split(",") if k.strip()]
+    kcols = "".join(k + ", " for k in klist)
+    akcols = "".join("a." + k + ", " for k in klist)
+    out = (
+        f"sp{i} AS MATERIALIZED (SELECT q.w, q.st, max(len(q.cand)) AS bl "
+        "FROM (SELECT w, st, substr(w, st, l) AS cand FROM "
+        "(SELECT w, unnest(generate_series(1, len(w))) AS st FROM "
+        f"(SELECT DISTINCT w FROM {words})) "
+        f"CROSS JOIN (SELECT unnest(generate_series(1, {mp})) AS l) "
+        "WHERE st + l - 1 <= len(w)) q "
+        f"JOIN {pieces} p ON p.piece = q.cand GROUP BY q.w, q.st), "
+        f"k{i}_0 AS (SELECT {kcols}w, f, 1 AS pos FROM {words})"
+    )
+    for s in range(1, mw + 1):
+        out += (
+            f", k{i}_{s} AS MATERIALIZED (SELECT {akcols}"
+            "a.w, a.f, a.pos + coalesce(sp.bl, 1) AS pos, "
+            "substr(a.w, a.pos, coalesce(sp.bl, 1)) AS tok "
+            f"FROM k{i}_{s - 1} a LEFT JOIN sp{i} sp "
+            "ON sp.w = a.w AND sp.st = a.pos WHERE a.pos <= len(a.w))"
+        )
+    union = " UNION ALL ".join(
+        f"SELECT {kcols}f, tok FROM k{i}_{s}" for s in range(1, mw + 1)
+    )
+    out += f", tk{i} AS MATERIALIZED ({union})"
+    return out
+
+
+def _unigram_iter_ctes(i: int) -> str:
+    """One trainer iteration: walk + counts over pc{i}, the mlog2
+    milli-bit loss row st{i}, and the pruned inventory pc{i+1}."""
+    steps = []
+    for j in range(1, _MLOG2_STEPS + 1):
+        m, f_ = _mlog2_step_exprs(j)
+        steps.append(
+            f"mx{i}_{j} AS (SELECT kk, c, e, {m}, {f_} FROM mx{i}_{j - 1})"
+        )
+    seed = ", ".join(_MLOG2_SEED_EXPRS)
+    return (
+        _unigram_walk_ctes(str(i), f"pc{i}", "wrds")
+        + f", ct{i} AS MATERIALIZED (SELECT p.piece, "
+        "CAST(coalesce(sum(t.f), 0) AS BIGINT) AS cnt "
+        f"FROM pc{i} p LEFT JOIN tk{i} t ON t.tok = p.piece "
+        "GROUP BY p.piece), "
+        f"mx{i}_0 AS (SELECT kk, c, {seed} FROM "
+        f"(SELECT piece AS kk, cnt AS c, cnt AS x FROM ct{i} WHERE cnt > 0 "
+        "UNION ALL SELECT '#T', 0, "
+        f"(SELECT coalesce(sum(cnt), 0) FROM ct{i}))), "
+        + ", ".join(steps)
+        + f", lg{i} AS MATERIALIZED (SELECT kk, c, "
+        f"e * 1024 + f{_MLOG2_STEPS} AS lv FROM mx{i}_{_MLOG2_STEPS}), "
+        f"st{i} AS (SELECT CAST({i} AS BIGINT) AS it, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM pc{i}) AS n_pieces, "
+        f"(SELECT CAST(coalesce(sum(f), 0) AS BIGINT) FROM tk{i}) "
+        "AS n_tokens, "
+        "CAST(coalesce((SELECT sum(c * ((SELECT lv FROM "
+        f"lg{i} WHERE kk = '#T') - lv)) FROM lg{i} WHERE kk != '#T'), 0) "
+        "AS BIGINT) AS bits_1024), "
+        f"rk{i} AS (SELECT piece, row_number() OVER "
+        "(ORDER BY cnt DESC, piece) "
+        f"AS rn FROM ct{i} WHERE len(piece) > 1), "
+        f"pc{i + 1} AS MATERIALIZED (SELECT piece FROM ct{i} "
+        "WHERE len(piece) = 1 UNION ALL SELECT piece FROM "
+        f"rk{i} WHERE rn <= {UNIGRAM_SEED >> (i + 1)})"
+    )
+
+
+def _unigram_train_oracle_sql(k: int = UNIGRAM_ITERS) -> str:
+    sql = "WITH " + _unigram_seed_ctes("")
+    for i in range(0, k + 1):
+        sql += ", " + _unigram_iter_ctes(i)
+    sql += " SELECT it, n_pieces, n_tokens, bits_1024 FROM (" + (
+        " UNION ALL ".join(
+            f"SELECT * FROM st{i}" for i in range(0, k + 1)
+        )
+    ) + ") ORDER BY it"
+    return sql
+
+
+@query("docs_unigram_lm_train", oracle=_unigram_train_oracle_sql())
+def docs_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram-LM (SentencePiece-style) tokenizer trainer (Kudo
+    2018) — the second canonical trainer next to docs_bpe_training_loop:
+    seed singles + the top-256 weighted substrings (length 2..4),
+    then 3 hard-EM prune iterations (greedy longest-match E-step over
+    the corpus word-frequency table, count-ranked shrink of the
+    multi-char inventory to 128/64/32), emitting the bit-graded
+    trajectory
+    ``(it, n_pieces, n_tokens, bits_1024)`` where bits_1024 is the
+    corpus's unigram negative log-likelihood in exact integer
+    1/1024-bit units through the shared mlog2 chain.
+
+    The oracle unrolls the ENTIRE trainer — seed, 4 greedy walks (16
+    cursor-step CTEs each), counts, mlog2 loss, 3 prunes — so equality
+    pins every iteration's inventory, token count, and loss bit, like
+    the perceptron trajectory (docs.py:3676); an independent Python
+    reference trainer pins the same trajectory in
+    tests/test_training.py.
+
+    Scale: see unigram_train / unigram_greedy_tokens — vocab-bounded
+    state, broadcast inventory, one distributed E-step job per
+    iteration, driver collects only the <= 282-row piece-count table.
+    """
+    wf = _unigram_wordfreq(_t(spark, sf_dir, "documents"))
+    rows, _pieces = unigram_train(spark, wf)
+    return spark.createDataFrame(
+        rows, "it bigint, n_pieces bigint, n_tokens bigint, bits_1024 bigint"
+    ).orderBy("it")
+
+
+def _unigram_encode_oracle_sql(k: int = UNIGRAM_ITERS) -> str:
+    sql = "WITH " + _unigram_seed_ctes("WHERE doc_id % 10 != 0")
+    for i in range(0, k + 1):
+        sql += ", " + _unigram_iter_ctes(i)
+    mw = UNIGRAM_MAX_WORD
+    sql += (
+        ", hw AS MATERIALIZED (SELECT source, w, "
+        "CAST(count(*) AS BIGINT) AS f FROM "
+        "(SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) "
+        "AS w FROM documents WHERE doc_id % 10 = 0) "
+        f"WHERE len(w) BETWEEN 2 AND {mw} GROUP BY source, w), "
+        # the FINAL trained inventory is pc{k} (k prunes happen, at
+        # it = 0..k-1); iteration k's CTE block also defines an unused
+        # pc{k+1}, which must NOT be the one the held-out walk uses
+        + _unigram_walk_ctes("h", f"pc{k}", "hw", keys="source")
+        + " SELECT a.source, a.n_words, a.base_symbols, "
+        "CAST(coalesce(b.toks, 0) AS BIGINT) AS unigram_tokens FROM "
+        "(SELECT source, CAST(sum(f) AS BIGINT) AS n_words, "
+        "CAST(sum(f * len(w)) AS BIGINT) AS base_symbols "
+        "FROM hw GROUP BY source) a LEFT JOIN "
+        "(SELECT source, sum(f) AS toks FROM tkh GROUP BY source) b "
+        "ON a.source = b.source ORDER BY a.source"
+    )
+    return sql
+
+
+@query("docs_unigram_lm_encode", oracle=_unigram_encode_oracle_sql())
+def docs_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM round-trip closure (train -> APPLY), the tokenizer
+    family's held-out grade for the second trainer: train the pruned
+    inventory on the 90% split (doc_id % 10 != 0) with the shared
+    unigram_train loop, then greedy-encode the HELD-OUT 10% with the
+    FINAL inventory (including the single-char fallback for unseen
+    characters), grading per-source word/symbol/token sums — the
+    exact complement of docs_bpe_encode.
+
+    Scale: the apply side is the same broadcast-inventory walk as the
+    E-step (one bounded explode + two vocab-keyed aggregations + pure
+    codegen cursor chain); only the final per-source rollup shuffles.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    _rows, pieces = unigram_train(
+        spark, _unigram_wordfreq(docs, F.col("doc_id") % 10 != 0)
+    )
+    pieces_df = spark.createDataFrame(
+        [(p,) for p in pieces] or [("",)], "piece string"
+    )
+    held = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w"),
+        )
+        .where(F.length("w").between(2, UNIGRAM_MAX_WORD))
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("f"))
+    )
+    toks = unigram_greedy_tokens(held, pieces_df, keys=("source",))
+    stats_w = held.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_words"),
+        F.sum(F.col("f") * F.length("w")).cast("bigint").alias("base_symbols"),
+    )
+    stats_t = toks.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("toks")
+    )
+    return (
+        stats_w.join(stats_t, "source", "left")
+        .select(
+            "source",
+            "n_words",
+            "base_symbols",
+            F.coalesce("toks", F.lit(0)).cast("bigint").alias("unigram_tokens"),
+        )
+        .orderBy("source")
+    )

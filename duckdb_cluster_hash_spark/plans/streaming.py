@@ -641,3 +641,102 @@ def events_streaming_routed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_events", "total_value")
         .orderBy("node_id")
     )
+
+
+def _neardup_ingest_oracle_sql() -> str:
+    from duckdb_cluster_hash_spark.oracle_text import simhash_signatures_cte
+
+    # duplicate-blind: a correct near-dup ingest keeps exactly one doc
+    # per distinct 64-bit signature, so the oracle models only the
+    # DISTINCT signature set of the batch corpus — never the replay
+    return (
+        f"WITH {simhash_signatures_cte('documents')}, "
+        "u AS (SELECT DISTINCT simhash_lo, simhash_hi FROM simhash) "
+        "SELECT (simhash_lo + simhash_hi) % 8 AS sig_bucket, "
+        "CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum((simhash_lo * 31 + simhash_hi) % 1000003) AS BIGINT) "
+        "AS sig_checksum "
+        "FROM u GROUP BY sig_bucket ORDER BY sig_bucket"
+    )
+
+
+@query("docs_streaming_neardup_ingest", oracle=_neardup_ingest_oracle_sql())
+def docs_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup AT INGEST TIME, executed by the REAL micro-batch
+    engine across batches (the C4 x C7 intersection the batch near-dup
+    family leaves open): documents replayed as THREE micro-batches
+    (doc_id % 3 chunks, maxFilesPerTrigger=1 — planted near-dups SPAN
+    batches by construction), each row fingerprinted IN-STREAM by the
+    projection SimHash (operators/dedup.simhash64_project — same 64
+    bits as the batch simhash64, but shuffle-free so it legally chains
+    into the stateful operator), then
+    ``dropDuplicatesWithinWatermark(simhash_lo, simhash_hi)`` keeps the
+    first-arrived doc per signature with state bounded by the 10-minute
+    watermark delay.  A doc whose text near-duplicates an earlier doc
+    closely enough to share all 64 SimHash bits — the signature-level
+    near-dup rule, the same identity docs_simhash_neardup_pairs bands
+    at distance 0 — is dropped before it ever reaches the sink, even
+    when the original arrived BATCHES earlier.
+
+    Grading: the duplicate-blind oracle computes the distinct-signature
+    set of the batch corpus; the sink rollup (signature-PURE columns
+    only — counts and checksums of the signatures themselves, so the
+    grade cannot depend on which member of a same-signature group won
+    intra-batch arrival) must match it exactly — one kept row per
+    distinct signature, none lost, none duplicated across batches.
+
+    Scale: the fingerprint is a per-row projection (no pre-shuffle);
+    dedup state holds one 16-byte key per distinct signature newer
+    than the watermark — bounded by ingest-rate x delay, not stream
+    length; the sink rollup is an ordinary partial-agg groupBy.
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from duckdb_cluster_hash_spark.operators.dedup import simhash64_project
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_docs_{base}")
+    _ev.stage_documents_as_stream(spark, sf_dir, stage_dir)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        s2.readStream.schema(_ev.DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    deduped = (
+        simhash64_project(stream, "text")
+        .select("ts", "simhash_lo", "simhash_hi")
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["simhash_lo", "simhash_hi"])
+    )
+    sink = f"dch_stream_docdedup_{base}"
+    handle = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("docs_streaming_neardup_ingest micro-batches hung")
+    return (
+        s2.table(sink)
+        .groupBy(
+            ((F.col("simhash_lo") + F.col("simhash_hi")) % 8).alias("sig_bucket")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum(
+                (F.col("simhash_lo") * 31 + F.col("simhash_hi")) % 1000003
+            )
+            .cast("bigint")
+            .alias("sig_checksum"),
+        )
+        .orderBy("sig_bucket")
+    )

@@ -64,8 +64,12 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+DOCS_STREAM_SCHEMA = "doc_id bigint, text string, ts timestamp"
+
 __all__ = [
     "EVENTS_SCHEMA",
+    "DOCS_STREAM_SCHEMA",
+    "stage_documents_as_stream",
     "stage_events_as_stream",
     "stage_events_three_phase",
     "stage_events_with_duplicates",
@@ -221,6 +225,42 @@ def _stage_once(out_dir: str, params: tuple, write) -> None:
             return
         write()
         _STAGED.add(key)
+
+
+def stage_documents_as_stream(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 3
+) -> None:
+    """Replay-stage the DOCUMENTS table as ``n_chunks`` single-file
+    parquet chunks for the near-dup ingest stream (DOCS_STREAM_SCHEMA):
+    chunk i carries doc_id % n_chunks == i, so the planted near-dup
+    pairs of the corpus are SPREAD ACROSS micro-batches (contiguous
+    ranges would let most duplicates dedup inside one batch and leave
+    the cross-batch state path untested).
+
+    The synthetic event time ``ts = 2024-01-01 + (doc_id % 540)
+    seconds`` keeps the whole replay inside a 9-minute span — strictly
+    under the ingest query's 10-minute watermark delay, so no document
+    is ever dropped as LATE and the kept set is exactly one doc per
+    distinct signature (the late-drop path is pinned separately by
+    events_streaming_dedup_replay/late_data, where arrival phases are
+    engineered for it).  Concurrency-safe and idempotent per process.
+    """
+
+    def write():
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "text",
+            F.expr(
+                "timestamp'2024-01-01 00:00:00' "
+                "+ make_interval(0, 0, 0, 0, 0, 0, doc_id % 540)"
+            ).alias("ts"),
+        )
+        for i in range(n_chunks):
+            docs.where(F.col("doc_id") % n_chunks == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"chunk={i}"))
+
+    _stage_once(out_dir, ("docchunks", sf_dir, n_chunks), write)
 
 
 def stage_events_as_stream(

@@ -54,7 +54,8 @@ FAMILIES = [
     ("events_histogram_quantile_sketch", "events", "log-bucket histogram + bucketed rank ride-along: ~linear in events"),
     ("docs_bpe_encode", "documents", "fixed merge-table encode, bounded rounds: ~linear in tokens"),
     ("docs_simhash_neardup_pairs", "documents", "64-bit signature banding self-join: ~linear in band-collision mass"),
-    ("docs_image_neardup_bill", "documents", "signature-grouped dHash banding: one linear hash+group pass, candidate join over DISTINCT signatures only (bounded by image diversity — the generator saturates at ~20k classes), doc-pair mass as integer multiplicities"),
+    ("docs_image_neardup_bill", "documents", "signature-grouped dHash banding: one linear hash+group pass, candidate join over DISTINCT signatures only (the unsalted generator saturates at ~1-2k classes; see the high-diversity notch below for the diversity-quadratic regime), doc-pair mass as integer multiplicities"),
+    ("docs_audio_neardup_bill", "documents", "signature-grouped energy-dHash banding (RIFF decode + 72-segment integer energy profile): same distinct-signature class machine as the image twin"),
 ]
 
 # Verified-output sizes are computed IN the probe run (the set-sim
@@ -363,6 +364,89 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    # HIGH-DIVERSITY image notch (r13 verdict item 1): the unsalted
+    # generator's rasters repeat with period 1280 in doc_id, so the
+    # distinct-signature table STOPS GROWING (~1-2k classes) and the
+    # banded join's measured flatness is a generator artifact, not a
+    # property of the join.  Re-measure with PNM_DIVERSITY_BLOCK set —
+    # stride+offset salted per 1280-id block, distinct signatures grow
+    # ~0.6n (measured: 3.1k @ 5k docs, 29k @ 50k docs) — and record,
+    # next to the wall time, the DISTINCT-signature count m and the
+    # BANDED CANDIDATE mass the join actually processes (sum over
+    # (band_idx, band) buckets of f*(f-1)/2 over distinct signatures,
+    # capped at DHASH_BAND_CAP exactly as the join caps it).  The
+    # honest claim is wall ~ linear in CANDIDATE MASS (quadratic in
+    # diversity for 8-bit bands — the documented banding cost), with
+    # the cap bounding mass at 8*m*cap once buckets exceed it.
+    from duckdb_cluster_hash_spark.operators import multimodal as _mm
+    from duckdb_cluster_hash_spark.plans import dedup_text as _dt
+
+    diverse_rows = []
+    saved_block = _mm.PNM_DIVERSITY_BLOCK
+    try:
+        _mm.PNM_DIVERSITY_BLOCK = 1280
+        clear_shared_cache()
+        # untimed warm pass (codegen/python-worker JIT), memo cleared
+        QUERIES["docs_image_neardup_bill"](spark, BASE).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        clear_shared_cache()
+        for key, sf_dir in [("t_small", BASE)] + [
+            (f"t_x{f}", big_dirs[f]) for f in factors
+        ]:
+            t0 = time.time()
+            QUERIES["docs_image_neardup_bill"](spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            wall = round(time.time() - t0, 2)
+            clear_shared_cache()
+            # untimed stats: m and candidate mass, from the same
+            # signature pipeline the query runs
+            from pyspark.sql import functions as _F
+
+            sig = _mm.pnm_dhash(
+                _mm.attach_fake_pnm(
+                    spark.read.parquet(
+                        os.path.join(sf_dir, "documents.parquet")
+                    ).select("doc_id")
+                )
+            )
+            groups = sig.groupBy(*[f"b{i}" for i in range(8)]).count()
+            stacked = groups.select(
+                _F.expr(
+                    "stack(8, "
+                    + ", ".join(f"{i}, b{i}" for i in range(8))
+                    + ") AS (band_idx, band)"
+                )
+            )
+            buckets = stacked.groupBy("band_idx", "band").agg(
+                _F.count("*").alias("f")
+            )
+            cap = _dt.DHASH_BAND_CAP
+            st = buckets.agg(
+                (_F.sum(_F.col("f")) / 8).cast("bigint").alias("m"),
+                _F.sum(
+                    _F.expr(
+                        f"least(f, {cap}) * (least(f, {cap}) - 1) div 2"
+                    )
+                ).alias("cand_mass"),
+                _F.max("f").alias("max_bucket"),
+            ).collect()[0]
+            clear_shared_cache()
+            diverse_rows.append(
+                {
+                    "key": key,
+                    "wall": wall,
+                    "m": int(st["m"]),
+                    "cand_mass": int(st["cand_mass"]),
+                    "max_bucket": int(st["max_bucket"]),
+                }
+            )
+    finally:
+        _mm.PNM_DIVERSITY_BLOCK = saved_block
+        clear_shared_cache()
+    print(json.dumps({"image_diverse_notch": diverse_rows}), file=sys.stderr)
+
     # First-execution warmth attribution for the two iterative graph
     # families (the r12 verdict flagged their t_small drifting across
     # rounds with unchanged plans): neither holds a session memo —
@@ -442,6 +526,56 @@ def main() -> int:
             "worst case for prefix filtering; real corpora (vocab in the"
         )
         lines.append("millions) prune far harder.")
+    if diverse_rows:
+        small = diverse_rows[0]
+        lines.append("")
+        lines.append(
+            "high-diversity image notch (PNM_DIVERSITY_BLOCK=1280: distinct"
+        )
+        lines.append(
+            "signatures m grow ~0.6n instead of saturating, the regime the"
+        )
+        lines.append(
+            "r13 verdict flagged as unmeasured).  Banded CANDIDATE mass ="
+        )
+        lines.append(
+            "sum over (band_idx, band) buckets of C(min(f, cap), 2) with"
+        )
+        lines.append(
+            f"cap = DHASH_BAND_CAP; the claim is wall ~ linear in candidate"
+        )
+        lines.append(
+            "mass (itself ~quadratic in m for 8-bit bands until the cap"
+        )
+        lines.append("bounds it at 8*m*cap):")
+        lines.append("")
+        lines.append(
+            "| size | wall s | distinct sigs m | candidate mass | max bucket "
+            "| exp(wall) | exp(mass) |"
+        )
+        lines.append("|---|---|---|---|---|---|---|")
+        for r in diverse_rows:
+            if r["key"] == "t_small":
+                ew = em = "-"
+            else:
+                f = int(r["key"][3:])
+                ew = round(
+                    math.log(max(r["wall"], 0.01) / max(small["wall"], 0.01))
+                    / math.log(f),
+                    2,
+                )
+                em = round(
+                    math.log(
+                        max(r["cand_mass"], 1) / max(small["cand_mass"], 1)
+                    )
+                    / math.log(f),
+                    2,
+                )
+            lines.append(
+                f"| {r['key']} | {r['wall']} | {r['m']} | {r['cand_mass']} "
+                f"| {r['max_bucket']} | {ew} | {em} |"
+            )
+
     lines.append("")
     lines.append(
         f"exact-substring staging parity at x{fmax}: persist-path "

@@ -35,14 +35,24 @@ _OTHER_TABLES = re.compile(
     r"\b(region|nation|customer|supplier|part|orders|lineitem|events|embeddings)\b",
     re.I,
 )
-# 16-iteration trainers have dedicated tiny-corpus tests and are too slow
-# to re-run per fuzz seed
-_SKIP = {"docs_bpe_training_loop", "docs_bpe_encode"}
+# iterated trainers (16 BPE merges; the unigram trainer's 140-CTE
+# unrolled oracle) have dedicated tiny-corpus + independent-reference
+# tests and are too slow to re-run per fuzz seed
+_SKIP = {
+    "docs_bpe_training_loop",
+    "docs_bpe_encode",
+    "docs_unigram_lm_train",
+    "docs_unigram_lm_encode",
+}
 
 FUZZ_QUERIES = sorted(
     n
     for n, sql in ORACLES.items()
-    if n.startswith("docs_") and not _OTHER_TABLES.search(sql) and n not in _SKIP
+    if n.startswith("docs_")
+    and "_streaming_" not in n  # real micro-batch engine: dedicated
+    # tests + temp stage dirs per corpus; too slow to replay per seed
+    and not _OTHER_TABLES.search(sql)
+    and n not in _SKIP
 )
 
 _VOCAB = (

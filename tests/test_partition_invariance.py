@@ -130,6 +130,10 @@ INVARIANCE_QUERIES = [
     # pair-mass bill must survive any scan split or shuffle width
     # (memo cleared between runs so the alt layout genuinely re-hashes)
     "docs_image_neardup_bill",
+    # the audio twin: energy-dHash via the Arrow RIFF-decode kernel +
+    # the same banded class machine — per-clip pure bits, layout-pure
+    # bill (memo cleared between runs so the alt layout re-decodes)
+    "docs_audio_neardup_bill",
     # two-level keyed top-5 (vec_id%32 salt windows, then per-query) +
     # majority vote: every rank and tie-break is on (micro-cos, vec_id),
     # so no scan split or shuffle width may move a neighbour

@@ -160,7 +160,12 @@ def test_image_neardup_is_banded(spark, sf_small):
     (band_idx, band) EQUALITY — never an all-pairs hash self-join —
     and the decode must be the Arrow mapInPandas kernel (one Python
     crossing per batch, hashes on the wire)."""
-    for name in ("docs_image_neardup_pairs", "docs_image_neardup_bill"):
+    for name in (
+        "docs_image_neardup_pairs",
+        "docs_image_neardup_bill",
+        "docs_audio_neardup_pairs",
+        "docs_audio_neardup_bill",
+    ):
         df = QUERIES[name](spark, sf_small)
         plan = plan_of(df)
         assert "CartesianProduct" not in plan, name
@@ -616,39 +621,37 @@ def test_bpe_pairs_map_side_no_join_topk(spark, sf_small):
 def test_bpe_training_iteration_subtree_plan(spark, sf_small):
     """docs_bpe_training_loop returns a driver-side createDataFrame, so
     blanket plan sweeps see only a LocalTableScan; this gate plans the
-    actual per-iteration subtree (encoded vocab -> bpe_pair_counts ->
-    argmax) the loop runs 16 times: pair explode is map-side (no join,
-    no Python), the weighted count partially aggregates before its
-    exchange, and the argmax is TakeOrderedAndProject, never a global
-    sort."""
-    from duckdb_cluster_hash_spark.plans.catalog import _t, bpe_pair_counts
+    actual per-iteration subtree (encoded vocab ->
+    bpe_partial_pair_counts) the loop runs 16 times.  The round-14
+    point is NO EXCHANGE ANYWHERE: the per-iteration job is map-only
+    (scan -> replace projections -> Arrow MapInPandas), so under AQE
+    it is exactly ONE job per iteration — the r13 trainer's 2-job
+    shuffled argmax (and its 10.5s contended round-trip wall) must not
+    creep back.  The driver-side combine it feeds is bounded by the
+    symbol-pair domain x partition count, never data."""
+    from duckdb_cluster_hash_spark.plans.docs import bpe_partial_pair_counts
 
-    docs = _t(spark, sf_small, "documents")
-    wf = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
-            ).alias("w")
+    vocab = spark.createDataFrame(
+        [("  h  e  y  ", 3), ("  a  a  a  a  ", 2)], "s string, f bigint"
+    ).localCheckpoint(eager=True)
+    step = bpe_partial_pair_counts(
+        vocab.select(
+            F.replace(F.col("s"), F.lit(" a  a "), F.lit(" aa ")).alias("s"),
+            "f",
         )
-        .where(F.length("w") >= 2)
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("f"))
-    )
-    vocab = wf.select(
-        F.expr("concat('  ', regexp_replace(w, '(.)', '$1  '))").alias("s"), "f"
-    )
-    step = (
-        bpe_pair_counts(vocab)
-        .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
-        .limit(1)
     )
     plan = plan_of(step)
+    assert "Exchange" not in plan  # map-only: 1 job/iteration under AQE
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "TakeOrderedAndProject" in plan
-    # two aggregations (word freq, pair count), each partial+final
-    assert plan.count("HashAggregate") >= 4
+    assert "MapInPandas" in plan  # Arrow batch kernel, not row Python
+    # and the single-iteration SHUFFLED building block the standalone
+    # docs_bpe_first_merges query still uses keeps its partial-agg +
+    # top-k shape (no join, no Python, TakeOrdered argmax)
+    first = plan_of(QUERIES["docs_bpe_first_merges"](spark, sf_small))
+    assert "Join" not in first
+    assert "BatchEvalPython" not in first
+    assert "TakeOrderedAndProject" in first
 
 
 def test_bpe_encode_apply_is_map_side(spark, sf_small):

@@ -426,3 +426,69 @@ def test_outer_attribution_batch_twin_counts_matches_not_rows(spark):
     # left-outer keeps every click; inner keeps only matched ones
     assert out.count() == ev.where(F.col("event_type") == "click").count()
     assert out.count() - unmatched.count() == inner.count()
+
+
+def test_simhash_projection_matches_batch(spark):
+    """simhash64_project (the stream-safe per-row fingerprint) must
+    reproduce simhash64's bits EXACTLY on every document — same token
+    hash, same strict-majority rule, same tie handling — or the ingest
+    stream and the batch near-dup family would disagree on what a
+    near-dup is."""
+    from duckdb_cluster_hash_spark.operators.dedup import (
+        simhash64,
+        simhash64_project,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    batch = {
+        r["doc_id"]: (r["simhash_lo"], r["simhash_hi"])
+        for r in simhash64(docs, "doc_id", "text").collect()
+    }
+    proj = {
+        r["doc_id"]: (r["simhash_lo"], r["simhash_hi"])
+        for r in simhash64_project(docs, "text")
+        .select("doc_id", "simhash_lo", "simhash_hi")
+        .collect()
+    }
+    assert proj == batch
+
+
+def test_neardup_ingest_dedups_across_batches(spark, tmp_path):
+    """The staged doc chunks must split at least one same-signature pair
+    across DIFFERENT micro-batches (else the cross-batch state path is
+    untested), and the ingest query's kept mass must equal the distinct
+    signature count — one survivor per signature, batches
+    notwithstanding."""
+    from duckdb_cluster_hash_spark.operators.dedup import simhash64
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    sf = str(tmp_path)
+    docs = spark.createDataFrame(
+        [
+            # doc 0 (chunk 0) and doc 1 (chunk 1): identical text ->
+            # identical signature, guaranteed cross-batch duplicate
+            (0, "alpha beta gamma delta", "en", "s", 22),
+            (1, "alpha beta gamma delta", "en", "s", 22),
+            (2, "alpha beta gamma delta", "en", "s", 22),
+            (3, "one two three four five six", "en", "s", 27),
+            (4, "one two three four five six", "en", "s", 27),
+            (5, "totally different text here", "en", "s", 27),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    sig = {
+        r["doc_id"]: (r["simhash_lo"], r["simhash_hi"])
+        for r in simhash64(
+            spark.read.parquet(f"{sf}/documents.parquet"), "doc_id", "text"
+        ).collect()
+    }
+    # duplicate pairs landing in different doc_id % 3 chunks exist
+    assert any(
+        sig[a] == sig[b] and a % 3 != b % 3
+        for a in sig
+        for b in sig
+        if a < b
+    )
+    out = QUERIES["docs_streaming_neardup_ingest"](spark, sf).collect()
+    assert sum(r["n_kept"] for r in out) == len(set(sig.values()))

@@ -207,6 +207,211 @@ def test_image_neardup_banding_exact_vs_bruteforce(spark, tmp_path):
         assert got_ham == p["hamming"], p
 
 
+def _audio_ref_bands(d, n_base=240):
+    """Independent pure-Python rendering of the audio energy-dHash
+    recipe (closed-form samples -> 72 nearest-neighbor energy segments
+    -> 8x9 grid -> sign-of-delta bits)."""
+    n = (n_base + d % 9) * (1 + d % 2)
+    s = [(d * 31 + k * 17) % 4096 - 2048 for k in range(n)]
+    seg = []
+    for g in range(72):
+        lo, hi = n * g // 72, n * (g + 1) // 72
+        seg.append(sum(v * v for v in s[lo:hi]))
+    return [
+        sum(
+            (1 << gx)
+            for gx in range(8)
+            if seg[9 * gy + gx + 1] > seg[9 * gy + gx]
+        )
+        for gy in range(8)
+    ]
+
+
+def test_wav_energy_dhash_matches_python_reference(spark):
+    """The Arrow energy-dHash kernel must reproduce a pure-Python
+    rendering of the recipe through the REAL RIFF decode on both
+    channel layouts, and the segment-inverse map the oracle uses
+    (g = (72k+71)//n) must agree with the boundary map the kernel
+    uses (lo_g = n*g//72)."""
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(0, "a"), (7, "b"), (100, "c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: [r[f"b{i}"] for i in range(8)]
+        for r in mm.wav_energy_dhash(
+            mm.attach_fake_wav(df, n_base=240)
+        ).collect()
+    }
+    for d in (0, 7, 100):
+        assert got[d] == _audio_ref_bands(d), d
+    # boundary map vs inverse map: every sample lands in the segment
+    # whose [lo, hi) range contains it, for every clip length in play
+    for n in [(240 + r) * c for r in range(9) for c in (1, 2)]:
+        for k in range(n):
+            g = (72 * k + 71) // n
+            assert n * g // 72 <= k < n * (g + 1) // 72, (n, k, g)
+
+
+def test_audio_neardup_banding_exact_vs_bruteforce(spark, tmp_path):
+    """The audio banded join must account EXACTLY the brute-force
+    DOC-pair mass at tau=6 (pigeonhole recall + multiplicity proof on
+    real decoded bytes), including the distance-0 cluster path (the
+    500-id range carries ~71 identical-signature pairs, measured)."""
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    sf = str(tmp_path)
+    docs = spark.range(0, 500).selectExpr(
+        "id AS doc_id", "'t' AS text", "'en' AS lang", "'s' AS source",
+        "CAST(1 AS BIGINT) AS n_chars"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    bill = {
+        r["hamming"]: r["n_pairs"]
+        for r in QUERIES["docs_audio_neardup_bill"](spark, sf).collect()
+    }
+    sig = {
+        r["doc_id"]: tuple(r[f"b{i}"] for i in range(8))
+        for r in mm.wav_energy_dhash(
+            mm.attach_fake_wav(
+                spark.read.parquet(f"{sf}/documents.parquet").select("doc_id"),
+                n_base=240,
+            )
+        ).collect()
+    }
+    want = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+            if ham <= 6:
+                want[ham] = want.get(ham, 0) + 1
+    assert bill == want
+    assert 0 in bill  # the duplicate-cluster path really ran
+    classes = QUERIES["docs_audio_neardup_pairs"](spark, sf).collect()
+    assert 0 < len(classes) <= 100
+    for p in classes:
+        assert p["hamming"] <= 6 and p["doc_a"] < p["doc_b"]
+        got_ham = sum(
+            bin(x ^ y).count("1")
+            for x, y in zip(sig[p["doc_a"]], sig[p["doc_b"]])
+        )
+        assert got_ham == p["hamming"], p
+
+
+def _capped_bruteforce_classes(sig_by_doc, tau, cap):
+    """Reference implementation of the pair-CLASS semantics including
+    the band cap: distinct-signature groups, cluster rows, and cross
+    rows kept iff some shared band's bucket holds <= cap distinct
+    signatures."""
+    from collections import Counter, defaultdict
+
+    groups = defaultdict(list)
+    for d, s in sig_by_doc.items():
+        groups[s].append(d)
+    dist = sorted(groups, key=lambda s: min(groups[s]))
+    freq = [Counter(s[i] for s in dist) for i in range(8)]
+    out = []
+    for s, ds in groups.items():
+        if len(ds) > 1:
+            out.append((min(ds), max(ds), 0, len(ds) * (len(ds) - 1) // 2))
+    for i, a in enumerate(dist):
+        for b in dist[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+            if ham <= tau and any(
+                a[t] == b[t] and freq[t][a[t]] <= cap for t in range(8)
+            ):
+                ra, rb = min(groups[a]), min(groups[b])
+                if ra > rb:
+                    ra, rb = rb, ra
+                out.append((ra, rb, ham, len(groups[a]) * len(groups[b])))
+    return sorted(out)
+
+
+def test_band_cap_semantics_match_bruteforce(spark):
+    """DHASH_BAND_CAP's recall rule must be REAL and engine-exact: with
+    the cap forced low enough to trigger (cap=4 on a 300-doc corpus),
+    the Spark banded join's class rows must equal a brute-force
+    reference applying the identical rule (pair kept iff hamming <=
+    tau and >= 1 shared band in a bucket of <= cap signatures), and
+    must be a strict subset of the uncapped output."""
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+    from duckdb_cluster_hash_spark.plans import dedup_text as dt
+
+    docs = spark.range(0, 300).selectExpr("id AS doc_id")
+    sig_df = mm.pnm_dhash(mm.attach_fake_pnm(docs))
+    sig = {
+        r["doc_id"]: tuple(r[f"b{i}"] for i in range(8))
+        for r in sig_df.collect()
+    }
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"], r["n_pairs"])
+        for r in dt._sig_pair_classes(sig_df, 6, cap=4).collect()
+    )
+    want = _capped_bruteforce_classes(sig, 6, 4)
+    assert got == want
+    uncapped = sorted(
+        (r["doc_a"], r["doc_b"], r["hamming"], r["n_pairs"])
+        for r in dt._sig_pair_classes(sig_df, 6, cap=10**9).collect()
+    )
+    assert set(got) < set(uncapped)  # the cap really dropped hot pairs
+
+
+def test_pair_class_expansion_matches_doc_level(spark):
+    """Class rows are CLASSES, not doc pairs (the API seam a consumer
+    could misread): expanding each cluster row to its cnt-choose-2
+    member pairs and each cross row to its ca*cb member cross product
+    must reproduce the doc-level brute-force enumeration exactly —
+    same pairs, same distances, same total mass."""
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+    from duckdb_cluster_hash_spark.plans import dedup_text as dt
+    from collections import defaultdict
+
+    docs = spark.range(0, 1400).selectExpr("id AS doc_id")
+    sig_df = mm.pnm_dhash(mm.attach_fake_pnm(docs))
+    sig = {
+        r["doc_id"]: tuple(r[f"b{i}"] for i in range(8))
+        for r in sig_df.collect()
+    }
+    members = defaultdict(list)  # signature group keyed by its rep
+    groups = defaultdict(list)
+    for d, s in sig.items():
+        groups[s].append(d)
+    for s, ds in groups.items():
+        members[min(ds)] = sorted(ds)
+    expanded = set()
+    for r in dt._sig_pair_classes(sig_df, 6).collect():
+        if r["hamming"] == 0:
+            ds = members[r["doc_a"]]
+            assert r["doc_b"] == max(ds) and r["n_pairs"] == len(ds) * (
+                len(ds) - 1
+            ) // 2
+            pairs = {
+                (a, b, 0)
+                for i, a in enumerate(ds)
+                for b in ds[i + 1 :]
+            }
+        else:
+            pairs = {
+                (min(a, b), max(a, b), r["hamming"])
+                for a in members[r["doc_a"]]
+                for b in members[r["doc_b"]]
+            }
+            assert len(pairs) == r["n_pairs"]
+        assert not (expanded & pairs)  # classes partition the pairs
+        expanded |= pairs
+    want = set()
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+            if ham <= 6:
+                want.add((a, b, ham))
+    assert expanded == want
+
+
 def test_decode_image_is_stubbed_for_non_pnm():
     from duckdb_cluster_hash_spark.operators import multimodal as mm
 
@@ -614,10 +819,11 @@ def test_bpe_replace_semantics_match_engines(spark):
 
 
 def test_bpe_training_loop_matches_reference_trainer(spark):
-    """Full-trajectory cross-check of the engine's iterated trainer
-    (bpe_pair_counts + argmax + bpe_merge_apply, the exact loop body of
-    docs_bpe_training_loop) against an independent pure-Python BPE
-    trainer over a corpus engineered with runs and ties."""
+    """Full-trajectory cross-check of the engine's iterated trainer —
+    bpe_train_merges itself, the EXACT production loop body of
+    docs_bpe_training_loop (Arrow partial pair counts + driver-side
+    combine/argmax + merge apply) — against an independent pure-Python
+    BPE trainer over a corpus engineered with runs and ties."""
     corpus = {
         # word -> frequency; runs + shared prefixes force interesting merges
         "aaaa": 3,
@@ -646,25 +852,38 @@ def test_bpe_training_loop_matches_reference_trainer(spark):
                 syms[w] = _greedy_merge(syms[w], lhs, rhs)
         return out
 
+    from duckdb_cluster_hash_spark.plans.docs import bpe_train_merges
+
     k = 8
     expected = ref_trainer(corpus, k)
+    wf = spark.createDataFrame(
+        list(corpus.items()), "w string, f bigint"
+    )
+    got = [
+        (it, lhs, rhs, n) for it, lhs, rhs, _m, n in bpe_train_merges(wf, k)
+    ]
+    assert got == expected
+    # the shuffled single-iteration subtree (docs_bpe_first_merges'
+    # shape) must agree with the map-only production path on step 1
     vocab = spark.createDataFrame(
         [(bpe_encode_word(w), f) for w, f in corpus.items()], "s string, f bigint"
     )
-    got = []
-    for it in range(1, k + 1):
-        best = (
-            bpe_pair_counts(vocab)
-            .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        lhs, rhs, n = best[0].lhs, best[0].rhs, int(best[0].n)
-        got.append((it, lhs, rhs, n))
-        vocab = bpe_merge_apply(vocab, lhs, rhs)
-    assert got == expected
+    best = (
+        bpe_pair_counts(vocab)
+        .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+        .limit(1)
+        .collect()
+    )
+    assert (best[0].lhs, best[0].rhs, int(best[0].n)) == expected[0][1:]
+    # and one applied merge must keep the two paths aligned on step 2
+    nxt = bpe_merge_apply(vocab, expected[0][1], expected[0][2])
+    best2 = (
+        bpe_pair_counts(nxt)
+        .orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs"))
+        .limit(1)
+        .collect()
+    )
+    assert (best2[0].lhs, best2[0].rhs, int(best2[0].n)) == expected[1][1:]
 
 
 def test_bpe_encode_short_trajectory_matches_oracle(spark, tmp_path):

@@ -292,3 +292,123 @@ if _HYP:
             f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)"
         ).fetchone()
         assert _trunc_div(a, b) == dd
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) trainer — independent greedy reference
+# ---------------------------------------------------------------------------
+
+
+def _ref_unigram(word_freq, k=3, seed=256, max_piece=4):
+    """Independent pure-Python unigram trainer: greedy longest-match
+    E-step over a dict vocab, count-ranked shrink (keep top seed>>(it+1)
+    multis), milli-bit loss via the mlog2 twin."""
+    from duckdb_cluster_hash_spark.plans.docs import mlog2_1024_py
+
+    subs = {}
+    singles = set()
+    for w, f in word_freq.items():
+        for st in range(len(w)):
+            singles.add(w[st])
+            for l in range(2, min(max_piece, len(w) - st) + 1):
+                p = w[st : st + l]
+                subs[p] = subs.get(p, 0) + f
+    top = sorted(subs.items(), key=lambda kv: (-kv[1], kv[0]))[:seed]
+    pieces = sorted(singles) + sorted(p for p, _ in top)
+    rows = []
+    for it in range(k + 1):
+        pset = set(pieces)
+        counts = {p: 0 for p in pieces}
+        for w, f in word_freq.items():
+            pos = 0
+            while pos < len(w):
+                ln = 1
+                for l in range(min(max_piece, len(w) - pos), 0, -1):
+                    if w[pos : pos + l] in pset:
+                        ln = l
+                        break
+                tok = w[pos : pos + ln]
+                if tok in counts:
+                    counts[tok] += f
+                pos += ln
+        total = sum(counts.values())
+        lt = mlog2_1024_py(total) if total else 0
+        bits = sum(c * (lt - mlog2_1024_py(c)) for c in counts.values() if c)
+        rows.append((it, len(pieces), total, bits))
+        if it < k:
+            keep = seed >> (it + 1)
+            multi = sorted(
+                ((-counts[p], p) for p in pieces if len(p) > 1)
+            )[:keep]
+            kept = {p for _, p in multi}
+            pieces = [p for p in pieces if len(p) == 1 or p in kept]
+    return rows, pieces
+
+
+def test_unigram_trainer_matches_reference(spark):
+    """The distributed trainer (seed -> greedy walk E-step -> shrink)
+    must reproduce the independent Python reference's FULL trajectory —
+    inventory sizes, token counts, and every milli-bit of loss — on a
+    corpus engineered so later prunes remove USED pieces (forcing real
+    re-segmentation), with repeats, shared prefixes, and a 16-char
+    boundary word."""
+    from duckdb_cluster_hash_spark.plans.docs import unigram_train
+
+    corpus = {
+        "banana": 7,
+        "bandana": 3,
+        "ananas": 5,
+        "data": 9,
+        "dataset": 4,
+        "database": 2,
+        "aaaa": 6,
+        "aaab": 1,
+        "abababababababab": 2,  # exactly UNIGRAM_MAX_WORD chars
+        "zq": 1,
+    }
+    want, want_pieces = _ref_unigram(corpus, k=3, seed=256)
+    wf = spark.createDataFrame(list(corpus.items()), "w string, f bigint")
+    got, got_pieces = unigram_train(spark, wf, k=3)
+    assert got == want
+    assert sorted(got_pieces) == sorted(want_pieces)
+
+
+def test_unigram_encode_fallback_for_unknown_chars(spark):
+    """Held-out text with characters absent from the training inventory
+    must fall back to single-char tokens (the byte-fallback rule), not
+    drop words or raise — the walk's coalesce(try_element_at, 1) path."""
+    from duckdb_cluster_hash_spark.plans.docs import unigram_greedy_tokens
+
+    pieces = spark.createDataFrame([("ab",), ("a",), ("b",)], "piece string")
+    held = spark.createDataFrame(
+        [("s1", "abxyab", 2)], "source string, w string, f bigint"
+    )
+    toks = unigram_greedy_tokens(held, pieces, keys=("source",)).collect()
+    got = sorted((r["source"], r["tok"], r["f"]) for r in toks)
+    # ab | x | y | ab — unknown x, y consumed as singletons
+    assert got == [("s1", "ab", 2), ("s1", "ab", 2), ("s1", "x", 2), ("s1", "y", 2)]
+
+
+if _HYP:
+
+    @given(x=st.integers(min_value=1, max_value=2**62))
+    @settings(max_examples=200, deadline=None)
+    def test_mlog2_python_twin_matches_engines(x):
+        """mlog2_1024_py must be bit-identical to the shared SQL chain
+        (the unigram trainer emits driver-computed milli-bits that the
+        oracle recomputes in SQL) for any bigint the trainer can see."""
+        from duckdb_cluster_hash_spark.plans.docs import (
+            _MLOG2_SEED_EXPRS,
+            _MLOG2_STEPS,
+            _mlog2_step_exprs,
+            mlog2_1024_py,
+        )
+
+        sql = f"WITH s0 AS (SELECT {', '.join(_MLOG2_SEED_EXPRS)} FROM (SELECT CAST({x} AS BIGINT) AS x))"
+        for i in range(1, _MLOG2_STEPS + 1):
+            m, f_ = _mlog2_step_exprs(i)
+            sql += f", s{i} AS (SELECT e, {m}, {f_} FROM s{i - 1})"
+        sql += f" SELECT e * 1024 + f{_MLOG2_STEPS} FROM s{_MLOG2_STEPS}"
+        con = duckdb.connect()
+        (dd,) = con.execute(sql).fetchone()
+        assert mlog2_1024_py(x) == dd
