@@ -244,12 +244,14 @@ def main() -> int:
     # prestage re-runs before every timed run to keep runs comparable.
     prestage_names = [
         "docs_curation_pipeline",  # gopher + LSH components + cut memos
+        "docs_minhash_neardup_pairs",  # mh_sigs/ngram_sets/mh_pairs memos
         "docs_exact_substring_dedup",  # substring run-table memo
         "docs_set_similarity_join",  # shingle/prefix-index memo
         "docs_simhash_neardup_pairs",  # simhash64 signature memo
         "docs_quality_perceptron",  # trajectory memo
         "docs_image_neardup_pairs",  # pnm dHash table memo
         "docs_audio_neardup_pairs",  # wav energy-dHash table memo
+        "docs_video_neardup_pairs",  # y4m luma-dHash table memo
         "parts_link_prediction",  # edge-degree checkpoint + codegen warm
         "emb_pca_power_iteration",  # gram/checkpoint warm
         "events_streaming_routed_sink",  # dch_stream_stage_ replay dir

@@ -91,6 +91,7 @@ __all__ = [
     "shingle_table",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "lsh_band_table",
     "lsh_candidate_pairs",
     "minhash_neardup_pairs",
     "neardup_components",
@@ -432,14 +433,14 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def lsh_band_table(
     signatures: DataFrame, bands: int = 8, rows: int = 2
 ) -> DataFrame:
-    """Distinct candidate pairs whose signatures collide in >= 1 band.
-
-    Band digest = md5('band|mh_a,mh_b,...'); the self-join shuffles on the
-    digest, so each bucket's pairs are produced where the bucket lives.
-    Returns (doc_a, doc_b), doc_a < doc_b.
+    """Explode a MinHash signature table to ``(doc_id, band_hash)`` —
+    band digest = md5('band|mh_a,mh_b,...'), the LSH candidate key.
+    Shared by the symmetric self-join (:func:`lsh_candidate_pairs`) and
+    the asymmetric incremental join (plans/dedup_text.
+    docs_incremental_neardup — new-batch-vs-base, never base-vs-base).
     """
     band_cols = []
     for j in range(bands):
@@ -449,9 +450,21 @@ def lsh_candidate_pairs(
                 parts.append(F.lit(","))
             parts.append(F.col(f"mh{j * rows + r}").cast("string"))
         band_cols.append(F.md5(F.concat(*parts)))
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band_hash")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows: int = 2
+) -> DataFrame:
+    """Distinct candidate pairs whose signatures collide in >= 1 band.
+
+    Band digest = md5('band|mh_a,mh_b,...'); the self-join shuffles on the
+    digest, so each bucket's pairs are produced where the bucket lives.
+    Returns (doc_a, doc_b), doc_a < doc_b.
+    """
+    banded = lsh_band_table(signatures, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.band_hash") == F.col("b.band_hash"))

@@ -55,6 +55,7 @@ __all__ = [
     "pnm_decode_stats",
     "wav_decode_stats",
     "wav_energy_dhash",
+    "y4m_luma_dhash",
     "sample_frames",
     "MEDIA_META_SCHEMA",
     "BYTE_FEATURES_SCHEMA",
@@ -421,7 +422,9 @@ PNM_DHASH_SCHEMA = StructType(
 )
 
 
-def pnm_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def pnm_dhash(
+    df: DataFrame, id_col: str = "doc_id", carry: tuple = ()
+) -> DataFrame:
     """Perceptual difference-hash of a PNM binary column, one row per
     image: ``(doc_id, b0..b7)`` — one byte per grid row (band), the
     unit of the banded-Hamming candidate join (band equality = at
@@ -440,8 +443,18 @@ def pnm_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Arrow-batched ``mapInPandas``; payload bytes cross into Python once
     per batch and 8 small ints per image come out — at 100 TB the wire
     carries hashes, never rasters.
+
+    ``carry`` names input columns to pass through unchanged (appended
+    after the bands) — the streaming ingest path needs the event-time
+    column to survive the kernel so the watermark can ride on it
+    (plans/streaming.docs_streaming_media_dedup); the kernel emits
+    exactly one output row per input row in input order, so carried
+    values align positionally.
     """
     shifts = 1 << np.arange(DHASH_GRID_W - 1, dtype=np.int64)
+    schema = StructType(
+        PNM_DHASH_SCHEMA.fields + [df.schema[c] for c in carry]
+    )
 
     def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -468,10 +481,11 @@ def pnm_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         f"b{i}": pd.Series(bands[i], dtype="int32")
                         for i in range(DHASH_GRID_H)
                     },
+                    **{c: pdf[c].reset_index(drop=True) for c in carry},
                 }
             )
 
-    return df.select(id_col, "media").mapInPandas(hash_batches, PNM_DHASH_SCHEMA)
+    return df.select(id_col, "media", *carry).mapInPandas(hash_batches, schema)
 
 
 def decode_wav(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
@@ -821,7 +835,9 @@ def decode_y4m(data: bytes) -> tuple[int, int, int, int, str, np.ndarray]:
     return width, height, fps_num, fps_den, colorspace, y
 
 
-def attach_fake_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_fake_y4m(
+    df: DataFrame, id_col: str = "doc_id", nf_base: int = 2
+) -> DataFrame:
     """Synthesize REAL spec-compliant YUV4MPEG2 clips as a binary
     column, deterministic from doc_id (oracle-reproducible):
 
@@ -829,9 +845,17 @@ def attach_fake_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
       height     = 2 + 2 * ((doc_id div 2) % 2)
       fps        = (24 + (doc_id % 2) * 6):1
       colorspace = C420jpeg for even doc_ids, Cmono for odd
-      n_frames   = 2 + doc_id % 4
+      n_frames   = nf_base + doc_id % 4            (default nf_base = 2)
       frame byte = (doc_id * 11 + i * 29 + j * 7) % 256
                    (i = frame index, j = byte offset in the frame)
+
+    ``nf_base`` scales the clip length without changing the frame-byte
+    closed form: the decode-stats queries keep the tiny default, the
+    video near-dup fingerprint uses ``nf_base=48`` so the 72-segment
+    luma profile has multi-byte segments (at the default, segment
+    EMPTINESS — a function of clip shape alone — would dominate the
+    fingerprint, the same failure mode attach_fake_wav's n_base fixes
+    for audio).
 
     Every ODD frame carries an ``X`` parameter on its FRAME line, so
     the decoder's frame-parameter skip is exercised inside every
@@ -839,6 +863,7 @@ def attach_fake_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     nested sequence/transform hex, decoded by one unhex) — test-media
     synthesis scales with the cluster, not the driver.
     """
+    nf_base = int(nf_base)
     ident = F.col(id_col).cast("bigint")
     width = (F.lit(4) + (ident % 3) * 2).cast("int")
     # integer div, not float /: float division then cast truncates the
@@ -858,7 +883,7 @@ def attach_fake_y4m(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         f"ELSE (4 + ({id_col} % 3) * 2) * (2 + (({id_col} div 2) % 2) * 2) END)"
     )
     frames_hex = F.expr(
-        f"concat_ws('', transform(sequence(0, cast(1 + {id_col} % 4 as bigint)), "
+        f"concat_ws('', transform(sequence(0, cast({nf_base - 1} + {id_col} % 4 as bigint)), "
         f"i -> concat("
         f"hex(concat('FRAME', CASE WHEN i % 2 = 1 THEN ' Xq1' ELSE '' END, '\n')), "
         f"concat_ws('', transform(sequence(0, {fsize} - 1), "
@@ -939,6 +964,83 @@ def y4m_frame_stats(
             )
 
     return df.select(id_col, "media").mapInPandas(decode, Y4M_STATS_SCHEMA)
+
+
+# Video fingerprint geometry: the concatenated per-frame LUMA planes
+# (decode_y4m returns Y only) form one byte stream per clip; 72 equal
+# nearest-neighbor segments of that stream, arranged row-major into an
+# 8x9 luma-mass grid — the spatio-temporal twin of the image dHash's
+# 9x8 luma grid and the audio energy-dHash's 8x9 energy grid.  Bit gx
+# of band gy compares adjacent SEGMENT LUMA SUMS (uint8 luma is
+# non-negative, so plain sums carry the envelope; no squaring needed —
+# audio squares only because PCM samples are signed).
+Y4M_DHASH_SEGMENTS = 72
+
+Y4M_DHASH_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"b{i}", IntegerType()) for i in range(8)]
+)
+
+
+def y4m_luma_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual luma-profile hash of a y4m binary column, one row per
+    clip: ``(doc_id, b0..b7)`` — one byte per grid row (band), the unit
+    of the banded-Hamming candidate join, shaped exactly like
+    :func:`pnm_dhash` / :func:`wav_energy_dhash` so all three
+    modalities share one pair-class machine
+    (plans/dedup_text._sig_pair_classes).
+
+    The recipe (real container decode, integer-only arithmetic so the
+    oracle can reproduce every bit from the generator's closed form):
+
+    1. decode the actual bytes (:func:`decode_y4m` — stream-header
+       parse, FRAME-parameter skip, per-colorspace raster sizing);
+    2. concatenate the per-frame luma planes into one n-byte stream
+       (n = n_frames * width * height — chroma never enters the
+       fingerprint, matching the stats queries' luma-only contract);
+    3. split the stream into 72 nearest-neighbor segments
+       ``[n*g//72, n*(g+1)//72)`` and sum luma per segment (empty
+       segments = 0);
+    4. arrange row-major into 8 rows of 9; bit gx of band gy =
+       ``L[9*gy + gx + 1] > L[9*gy + gx]``.
+
+    Arrow-batched ``mapInPandas``; clip bytes cross into Python once
+    per batch and 8 small ints per clip come out — at 100 TB the wire
+    carries fingerprints, never rasters.
+    """
+    nseg = Y4M_DHASH_SEGMENTS
+    shifts = 1 << np.arange(8, dtype=np.int64)
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = []
+            bands: list[list[int]] = [[] for _ in range(8)]
+            for doc_id, m in zip(pdf[id_col], pdf["media"]):
+                _w, _h, _fn, _fd, _cs, y = decode_y4m(bytes(m))
+                e = y.reshape(-1).astype(np.int64)
+                n = e.size
+                bnd = (n * np.arange(nseg + 1)) // nseg
+                if n >= 1:
+                    seg = np.add.reduceat(e, bnd[:-1])
+                    seg[bnd[:-1] == bnd[1:]] = 0  # reduceat quirk on
+                else:  # empty ranges: repeats the next value — zero it
+                    seg = np.zeros(nseg, dtype=np.int64)
+                grid = seg.reshape(8, nseg // 8)
+                b = ((grid[:, 1:] > grid[:, :-1]) * shifts).sum(axis=1)
+                ids.append(int(doc_id))
+                for i in range(8):
+                    bands[i].append(int(b[i]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    **{
+                        f"b{i}": pd.Series(bands[i], dtype="int32")
+                        for i in range(8)
+                    },
+                }
+            )
+
+    return df.select(id_col, "media").mapInPandas(hash_batches, Y4M_DHASH_SCHEMA)
 
 
 def sample_frames(

@@ -45,14 +45,12 @@ def _h60_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
-def minhash_neardup_pairs_sql(
-    n: int = 3, k: int = 16, bands: int = 8, rows: int = 2, threshold: float = 0.2
-) -> str:
-    """MinHash signatures -> LSH band collisions -> exact-Jaccard verify.
-
-    Mirrors the Spark operator's Kirsch-Mitzenmacher double hashing:
-    one md5 per shingle, g_i = h1 + i*h2 with h2 truncated to 58 bits.
-    """
+def minhash_bands_cte(n: int = 3, k: int = 16, bands: int = 8, rows: int = 2) -> str:
+    """CTE chain ending in ``bands(doc_id, band_hash)``: shingles ->
+    Kirsch-Mitzenmacher double-hashed MinHash signatures -> LSH band
+    digests, mirroring the Spark operator bit-for-bit (one md5 per
+    shingle, g_i = h1 + i*h2 with h2 truncated to 58 bits, band digest
+    md5('j|mh_a,mh_b'))."""
     mh_aggs = ", ".join(f"min(h1 + {i} * h2) AS mh{i}" for i in range(k))
     band_list = ", ".join(
         f"md5('{j}|' || "
@@ -61,14 +59,27 @@ def minhash_neardup_pairs_sql(
         for j in range(bands)
     )
     return (
-        f"WITH {shingles_cte(n)}, "
+        f"{shingles_cte(n)}, "
         "sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled), "
         "hashed AS (SELECT doc_id, "
         "('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1, "
         f"('0x' || substr(md5(shingle), 17, 15))::BIGINT % {1 << 58} AS h2 "
         "FROM sh), "
         f"mh AS (SELECT doc_id, {mh_aggs} FROM hashed GROUP BY doc_id), "
-        f"bands AS (SELECT doc_id, unnest([{band_list}]) AS band_hash FROM mh), "
+        f"bands AS (SELECT doc_id, unnest([{band_list}]) AS band_hash FROM mh)"
+    )
+
+
+def minhash_neardup_pairs_sql(
+    n: int = 3, k: int = 16, bands: int = 8, rows: int = 2, threshold: float = 0.2
+) -> str:
+    """MinHash signatures -> LSH band collisions -> exact-Jaccard verify.
+
+    Mirrors the Spark operator's Kirsch-Mitzenmacher double hashing:
+    one md5 per shingle, g_i = h1 + i*h2 with h2 truncated to 58 bits.
+    """
+    return (
+        f"WITH {minhash_bands_cte(n, k, bands, rows)}, "
         "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         "FROM bands a JOIN bands b ON a.band_hash = b.band_hash AND a.doc_id < b.doc_id), "
         "verified AS (SELECT doc_a, doc_b, "
@@ -78,6 +89,50 @@ def minhash_neardup_pairs_sql(
         "JOIN shingled sb ON cand.doc_b = sb.doc_id) "
         f"SELECT doc_a, doc_b, {_JACC} AS jacc "
         f"FROM verified WHERE {_JACC} >= {threshold}"
+    )
+
+
+def minhash_incremental_neardup_sql(
+    n: int = 3, k: int = 16, bands: int = 8, rows: int = 2, threshold: float = 0.2
+) -> str:
+    """Incremental near-dup accounting: the odd-doc_id batch against
+    the even-doc_id base, NEVER base-vs-base.  Shares the exact
+    signature/banding arithmetic with :func:`minhash_neardup_pairs_sql`;
+    candidates are band collisions where the pair involves at least one
+    incoming doc (inc-vs-base keeps the inc side as ``inc_id``;
+    inc-vs-inc keeps the LARGER id as ``inc_id`` — the later arrival is
+    the duplicate under first-wins), each verified with exact Jaccard.
+    Per-source bill over ALL incoming docs: already-near-base /
+    near-dup-of-an-earlier-incoming / genuinely new."""
+    jacc = "(round((CAST(inter AS DOUBLE) / (sa + sb - inter)) * 10000) / 10000)"
+    return (
+        f"WITH {minhash_bands_cte(n, k, bands, rows)}, "
+        "cvb AS (SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS other_id, "
+        "1 AS is_base FROM bands i JOIN bands b ON i.band_hash = b.band_hash "
+        "WHERE i.doc_id % 2 = 1 AND b.doc_id % 2 = 0), "
+        "cwi AS (SELECT DISTINCT l.doc_id AS inc_id, e.doc_id AS other_id, "
+        "0 AS is_base FROM bands e JOIN bands l ON e.band_hash = l.band_hash "
+        "AND e.doc_id < l.doc_id "
+        "WHERE e.doc_id % 2 = 1 AND l.doc_id % 2 = 1), "
+        "cand AS (SELECT * FROM cvb UNION ALL SELECT * FROM cwi), "
+        "ver AS (SELECT c.inc_id, c.is_base, "
+        "len(list_intersect(si.sh, so.sh)) AS inter, "
+        "len(si.sh) AS sa, len(so.sh) AS sb "
+        "FROM cand c JOIN shingled si ON si.doc_id = c.inc_id "
+        "JOIN shingled so ON so.doc_id = c.other_id), "
+        "hits AS (SELECT inc_id, max(is_base) AS vs_base, "
+        "max(1 - is_base) AS within FROM ver "
+        f"WHERE {jacc} >= {threshold} GROUP BY inc_id) "
+        "SELECT d.source, CAST(count(*) AS BIGINT) AS n_incoming, "
+        "CAST(sum(CASE WHEN h.vs_base = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_neardup_vs_base, "
+        "CAST(sum(CASE WHEN coalesce(h.vs_base, 0) = 0 "
+        "AND h.within = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_within, "
+        "CAST(sum(CASE WHEN coalesce(h.vs_base, 0) = 0 "
+        "AND coalesce(h.within, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_new FROM (SELECT doc_id, source FROM documents "
+        "WHERE doc_id % 2 = 1) d LEFT JOIN hits h ON h.inc_id = d.doc_id "
+        "GROUP BY d.source ORDER BY d.source"
     )
 
 

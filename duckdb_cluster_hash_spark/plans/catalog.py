@@ -51,6 +51,11 @@ _DRIVER_WINDOW_FIRST = [
     "docs_audio_neardup_pairs",  # never stamped
     "docs_audio_neardup_bill",  # never stamped
     "docs_streaming_neardup_ingest",  # never stamped
+    "docs_video_neardup_pairs",  # never stamped
+    "docs_video_neardup_bill",  # never stamped
+    "docs_coverage_greedy_selection",  # never stamped
+    "docs_incremental_neardup",  # never stamped
+    "docs_streaming_media_dedup",  # never stamped
     "tpch_q22_dormant_rich_customers",  # newest stamp: r9
     "tpch_q8_market_share",  # newest stamp: r9
     "tpch_q2_min_cost_supplier",  # newest stamp: r9
@@ -91,11 +96,6 @@ _DRIVER_WINDOW_FIRST = [
     "docs_source_contamination",  # newest stamp: r9
     "docs_minhash_jaccard_calibration",  # newest stamp: r9
     "emb_margin_bitext_pairs",  # newest stamp: r9
-    "emb_mmr_diverse_topk",  # newest stamp: r9
-    "emb_kcenter_coreset",  # newest stamp: r9
-    "emb_label_maxsim_retrieval",  # newest stamp: r9
-    "emb_pca_power_iteration",  # newest stamp: r9
-    "emb_jl_projection_quality",  # newest stamp: r9
 ]
 
 

@@ -369,6 +369,118 @@ def docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "docs_incremental_neardup",
+    oracle=_ot.minhash_incremental_neardup_sql(3, 16, 8, 2, 0.2),
+)
+def docs_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup crawl ingestion — the C4 companion to
+    docs_incremental_dedup's exact digests, and the shape a rolling
+    100 TB ingestion actually runs: a new batch (odd doc_ids) is
+    MinHash-banded against the already-ingested base corpus (even
+    doc_ids) and against itself, and the base is NEVER self-joined —
+    candidate cost is O(batch x collision rate), independent of how
+    big the accumulated base grows.  Verified (exact n-gram Jaccard >=
+    0.2, computed on candidates only) matches roll up per source:
+    already-near-the-base / near-dup of an EARLIER incoming doc
+    (first-wins: the larger id is the duplicate) / genuinely new.
+
+    Scale: signatures and shingle sets come from the same session
+    memos the full self-join pairs query uses (mh_sigs / ngram_sets —
+    one signature pass per corpus per session); the asymmetric join
+    shuffles (doc_id, band_digest) rows only; at 100 TB the base's
+    band table is a bucketed parquet table keyed on band_hash, making
+    the per-batch probe a co-located join against yesterday's buckets.
+    The oracle re-derives the identical signature arithmetic and
+    candidate rule, so a recall hole in the asymmetric banding (vs the
+    symmetric machine) hash-mismatches.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _dd._shared_checkpoint(
+        docs,
+        ("mh_sigs", "doc_id", "text", 3, 16),
+        lambda: _dd.minhash_signatures(docs, "doc_id", "text", 3, 16),
+    )
+    bt = _dd.lsh_band_table(sigs, 8, 2)
+    inc_b = bt.where(F.col("doc_id") % 2 == 1)
+    base_b = bt.where(F.col("doc_id") % 2 == 0)
+    cvb = (
+        inc_b.alias("i")
+        .join(base_b.alias("b"), F.col("i.band_hash") == F.col("b.band_hash"))
+        .select(
+            F.col("i.doc_id").alias("inc_id"),
+            F.col("b.doc_id").alias("other_id"),
+            F.lit(1).alias("is_base"),
+        )
+        .distinct()
+    )
+    cwi = (
+        inc_b.alias("e")
+        .join(
+            inc_b.alias("l"),
+            (F.col("e.band_hash") == F.col("l.band_hash"))
+            & (F.col("e.doc_id") < F.col("l.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("inc_id"),
+            F.col("e.doc_id").alias("other_id"),
+            F.lit(0).alias("is_base"),
+        )
+        .distinct()
+    )
+    sets = _dd._shared_checkpoint(
+        docs,
+        ("ngram_sets", "doc_id", "text", 3),
+        lambda: docs.select(
+            F.col("doc_id"),
+            _dd.word_ngrams(F.col("text"), 3).alias("sh"),
+        ),
+    )
+    si = sets.select(F.col("doc_id").alias("inc_id"), F.col("sh").alias("sh_i"))
+    so = sets.select(F.col("doc_id").alias("other_id"), F.col("sh").alias("sh_o"))
+    inter = F.size(F.array_intersect(F.col("sh_i"), F.col("sh_o")))
+    union = F.size(F.col("sh_i")) + F.size(F.col("sh_o")) - inter
+    jacc = F.round((inter / union) * 10000) / 10000
+    hits = (
+        cvb.unionByName(cwi)
+        .join(si, "inc_id")
+        .join(so, "other_id")
+        .where(jacc >= 0.2)
+        .groupBy("inc_id")
+        .agg(
+            F.max("is_base").alias("vs_base"),
+            F.max(1 - F.col("is_base")).alias("within"),
+        )
+    )
+    inc_docs = docs.where(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("inc_id"), "source"
+    )
+    j = inc_docs.join(hits, "inc_id", "left").select(
+        "source",
+        # coalesce BEFORE aggregating: a source whose docs all miss
+        # would otherwise sum all-NULL conditions to NULL where the
+        # oracle's CASE arithmetic yields 0
+        F.coalesce("vs_base", F.lit(0)).alias("vb"),
+        F.coalesce("within", F.lit(0)).alias("wi"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_incoming"),
+            F.sum((F.col("vb") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_neardup_vs_base"),
+            F.sum(((F.col("vb") == 0) & (F.col("wi") == 1)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_neardup_within"),
+            F.sum(((F.col("vb") == 0) & (F.col("wi") == 0)).cast("bigint"))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .orderBy("source")
+    )
+
+
 def _setsim_oracle_sql(tau_num: int = 8, tau_den: int = 10) -> str:
     # Deliberately naive complete oracle: full token self-join generates
     # every pair sharing ANY token, exact integer Jaccard test
@@ -994,17 +1106,19 @@ def _dhash_class_ctes(head: str, cap: int = DHASH_BAND_CAP) -> str:
     )
 
 
-def _image_dhash_ctes(cap: int = DHASH_BAND_CAP) -> str:
-    """Image oracle: dHash bands re-derived from attach_fake_pnm's
-    closed form (pixel(i) = (7*doc_id + 13*i) % 256, Rec.601 integer
-    luma, nearest-neighbor 9x8 grid, horizontal-gradient bits), then
-    the shared capped all-pairs class tail (:func:`_dhash_class_ctes`)."""
+def _image_band_head() -> str:
+    """Image oracle head ending in ``b(d, gy, band)``: the dHash bands
+    re-derived from attach_fake_pnm's closed form (pixel(i) =
+    (7*doc_id + 13*i) % 256, Rec.601 integer luma, nearest-neighbor
+    9x8 grid, horizontal-gradient bits).  Shared by the near-dup class
+    oracle (:func:`_image_dhash_ctes`) and the streaming media-dedup
+    oracle (plans/streaming.docs_streaming_media_dedup)."""
     base = "(((h * gy) // 8) * w + (w * gx) // 9)"
 
     def pix(i: str) -> str:
         return f"((7 * d + 13 * ({i})) % 256)"
 
-    head = (
+    return (
         "WITH p AS (SELECT doc_id AS d, "
         "CAST(4 + doc_id % 8 AS BIGINT) AS w, "
         "CAST(3 + (doc_id * 3) % 5 AS BIGINT) AS h, "
@@ -1022,7 +1136,13 @@ def _image_dhash_ctes(cap: int = DHASH_BAND_CAP) -> str:
         "THEN (CAST(1 AS BIGINT) << gx) ELSE 0 END), 0) AS BIGINT) AS band "
         "FROM s WHERE gx < 8 GROUP BY d, gy)"
     )
-    return _dhash_class_ctes(head, cap)
+
+
+def _image_dhash_ctes(cap: int = DHASH_BAND_CAP) -> str:
+    """Image oracle: the closed-form band head
+    (:func:`_image_band_head`) through the shared capped all-pairs
+    class tail (:func:`_dhash_class_ctes`)."""
+    return _dhash_class_ctes(_image_band_head(), cap)
 
 
 # Clip length for the audio near-dup fingerprint (multimodal.
@@ -1069,6 +1189,56 @@ def _audio_dhash_ctes(cap: int = DHASH_BAND_CAP) -> str:
     return _dhash_class_ctes(_audio_band_head(), cap)
 
 
+# Clip length for the video near-dup fingerprint (multimodal.
+# attach_fake_y4m's nf_base): at the decode-stats default (2) the
+# luma stream holds 16-160 bytes and most of the 72 segments are
+# EMPTY, so the fingerprint is a function of clip shape alone; at 48
+# the stream holds 384-1632 bytes, every segment is populated (>= 5
+# bytes) and the signature space is content-bearing.  The signature
+# CLASS period in doc_id is lcm(shape period 12, luma-offset period
+# 256) = 768 — corpora longer than that carry exact-duplicate
+# clusters, pinned by tests/test_text.py.
+Y4M_NEARDUP_FRAMES = 48
+
+
+def _video_band_head() -> str:
+    """Video oracle head ending in ``b(d, gy, band)``: the luma-dHash
+    bands re-derived from attach_fake_y4m's closed form (frame byte =
+    (11*doc_id + 29*i + 7*j) % 256; the LUMA plane is the first
+    width*height bytes of every frame under BOTH colorspaces, so luma
+    byte k of the concatenated stream has i = k // (w*h), j = k %
+    (w*h) over n = n_frames*w*h bytes), 72 nearest-neighbor segments
+    of summed luma.  Byte k belongs to segment g = (72*k + 71) // n —
+    the exact integer inverse of the boundary map lo_g = n*g // 72;
+    n >= 384 at the near-dup clip length so no segment is empty, but
+    the full-grid left join keeps the same shape as the audio head."""
+    wh = "((4 + d % 3 * 2) * (2 + (d // 2) % 2 * 2))"
+    v = f"((d * 11 + (k // {wh}) * 29 + (k % {wh}) * 7) % 256)"
+    return (
+        "WITH p AS (SELECT doc_id AS d, "
+        f"CAST(({Y4M_NEARDUP_FRAMES} + doc_id % 4) * "
+        "(4 + doc_id % 3 * 2) * (2 + (doc_id // 2) % 2 * 2) "
+        "AS BIGINT) AS n FROM documents), "
+        "smp AS (SELECT d, n, unnest(generate_series(0, n - 1)) AS k "
+        "FROM p), "
+        "en AS (SELECT d, (72 * k + 71) // n AS g, "
+        f"sum(CAST({v} AS BIGINT)) AS e FROM smp GROUP BY d, g), "
+        "grid AS (SELECT p.d, gs.g, coalesce(en.e, 0) AS v FROM p "
+        "CROSS JOIN (SELECT unnest(generate_series(0, 71)) AS g) gs "
+        "LEFT JOIN en ON en.d = p.d AND en.g = gs.g), "
+        "s AS (SELECT d, g // 9 AS gy, g % 9 AS gx, v, "
+        "lead(v) OVER (PARTITION BY d, g // 9 ORDER BY g) AS nxt "
+        "FROM grid), "
+        "b AS (SELECT d, gy, CAST(coalesce(sum(CASE WHEN nxt > v "
+        "THEN (CAST(1 AS BIGINT) << gx) ELSE 0 END), 0) AS BIGINT) AS band "
+        "FROM s WHERE gx < 8 GROUP BY d, gy)"
+    )
+
+
+def _video_dhash_ctes(cap: int = DHASH_BAND_CAP) -> str:
+    return _dhash_class_ctes(_video_band_head(), cap)
+
+
 def image_dhash_shared(docs: DataFrame) -> DataFrame:
     """Per-image perceptual-hash table ``(doc_id, b0..b7)``
     (operators/multimodal.pnm_dhash over attach_fake_pnm media),
@@ -1102,6 +1272,26 @@ def audio_dhash_shared(docs: DataFrame) -> DataFrame:
         lambda: _mm.wav_energy_dhash(
             _mm.attach_fake_wav(
                 docs.select("doc_id"), n_base=WAV_NEARDUP_BASE
+            )
+        ),
+    )
+
+
+def video_dhash_shared(docs: DataFrame) -> DataFrame:
+    """Per-clip luma-dHash table ``(doc_id, b0..b7)``
+    (operators/multimodal.y4m_luma_dhash over attach_fake_y4m media at
+    the near-dup clip length), materialized once per corpus per
+    session through the dedup family memo and shared between the video
+    near-dup pair and bill queries — one decode + fingerprint pass, 8
+    small ints per clip on the wire."""
+    from duckdb_cluster_hash_spark.operators import multimodal as _mm
+
+    return _dd._shared_checkpoint(
+        docs,
+        ("y4m_dhash",),
+        lambda: _mm.y4m_luma_dhash(
+            _mm.attach_fake_y4m(
+                docs.select("doc_id"), nf_base=Y4M_NEARDUP_FRAMES
             )
         ),
     )
@@ -1219,6 +1409,12 @@ def _audio_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
     """Audio near-dup pair classes: memoized energy-dHash table through
     the shared signature-class machine (:func:`_sig_pair_classes`)."""
     return _sig_pair_classes(audio_dhash_shared(docs), tau)
+
+
+def _video_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
+    """Video near-dup pair classes: memoized luma-dHash table through
+    the shared signature-class machine (:func:`_sig_pair_classes`)."""
+    return _sig_pair_classes(video_dhash_shared(docs), tau)
 
 
 @query(
@@ -1351,6 +1547,73 @@ def docs_audio_neardup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return (
         _audio_pair_classes(docs, 6)
+        .groupBy("hamming")
+        .agg(F.sum("n_pairs").cast("bigint").alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+@query(
+    "docs_video_neardup_pairs",
+    oracle=(
+        _video_dhash_ctes()
+        + " SELECT doc_a, doc_b, hamming, n_pairs FROM cls "
+        "ORDER BY hamming, doc_a, doc_b LIMIT 100"
+    ),
+)
+def docs_video_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual VIDEO near-dup — closes the modality trio's last gap
+    (text MinHash/SimHash, image dHash, audio energy-dHash, and now
+    video luma-dHash): REAL YUV4MPEG2 decode -> concatenated per-frame
+    luma planes -> 72-segment integer luma profile -> 64-bit
+    sign-of-delta fingerprint (operators/multimodal.y4m_luma_dhash)
+    -> signature grouping -> banded Hamming join, over spec-compliant
+    clips synthesized by attach_fake_y4m (stream-header parse, FRAME
+    parameter skip, per-colorspace raster sizing exercised on every
+    row; 4:2:0 and mono layouts both in play).  Emits the 100 closest
+    pair CLASSES by (hamming, doc_a, doc_b): each row is one exact-dup
+    cluster (distance 0) or one distinct-signature pair, represented
+    by its smallest member ids with its doc-pair multiplicity.
+
+    Scale: decode + fingerprinting is one Arrow-batched map pass
+    emitting 8 small ints per clip, memoized per corpus
+    (video_dhash_shared); the candidate join runs over DISTINCT
+    signatures only, on (band_idx, band) EQUALITY, hot buckets dropped
+    by DHASH_BAND_CAP — the same pair-class machine as the image and
+    audio twins (_sig_pair_classes).  The oracle re-derives every luma
+    bit from the generator's closed form and grades an all-pairs
+    formulation with the identical cap rule.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _video_pair_classes(docs, 6)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+@query(
+    "docs_video_neardup_bill",
+    oracle=(
+        _video_dhash_ctes()
+        + " SELECT hamming, CAST(sum(n_pairs) AS BIGINT) AS n_pairs "
+        "FROM cls GROUP BY hamming ORDER BY hamming"
+    ),
+)
+def docs_video_neardup_bill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-mass bill for the video near-dup join: DOC-pair counts per
+    Hamming distance 0..6, summed from multiplicity-weighted signature
+    classes exactly like the image and audio bills.  Grades EVERY pair
+    the banding finds (a recall hole anywhere in the 0..6 range
+    hash-mismatches against the all-pairs oracle).
+
+    Scale: shares the memoized fingerprint table and the
+    distinct-signature machinery with docs_video_neardup_pairs; the
+    rollup is one 7-group aggregate over signature-pair rows.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _video_pair_classes(docs, 6)
         .groupBy("hamming")
         .agg(F.sum("n_pairs").cast("bigint").alias("n_pairs"))
         .orderBy("hamming")

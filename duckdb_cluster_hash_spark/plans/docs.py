@@ -4577,3 +4577,132 @@ def docs_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Greedy max-coverage data selection (the lazy-greedy/facility-location
+# family used for training-subset selection): iteratively pick the doc
+# whose distinct tokens add the most NOT-YET-COVERED vocabulary.  The
+# classic submodular-maximization greedy carries the (1 - 1/e)
+# approximation guarantee, and its trajectory is fully deterministic
+# under (gain DESC, doc_id ASC) tie-breaking — so it is bit-gradable
+# by an unrolled-CTE oracle like the other iterative trainers.
+# ---------------------------------------------------------------------------
+
+COVERAGE_GREEDY_K = 8
+
+
+def _coverage_greedy_oracle_sql(k: int = COVERAGE_GREEDY_K) -> str:
+    sql = (
+        # coverage units are word BIGRAMS: the synthetic corpus's
+        # unigram vocabulary is ~31 tokens (one doc covers it all and
+        # the greedy would terminate after a single pick); the bigram
+        # universe is ~1k units at sf0.01 and composition-diverse, so
+        # all 8 iterations carry signal
+        "WITH w AS (SELECT doc_id, "
+        "regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents), "
+        "dt AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        "ws[i] || ' ' || ws[i + 1] AS tok FROM "
+        "(SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i "
+        "FROM w)), "
+        "cov0 AS (SELECT tok FROM dt WHERE 1 = 0)"
+    )
+    for i in range(1, k + 1):
+        sql += (
+            f", g{i} AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain "
+            f"FROM dt WHERE tok NOT IN (SELECT tok FROM cov{i - 1}) "
+            "GROUP BY doc_id), "
+            f"p{i} AS MATERIALIZED (SELECT doc_id, gain FROM g{i} "
+            "ORDER BY gain DESC, doc_id LIMIT 1), "
+            f"cov{i} AS MATERIALIZED (SELECT tok FROM cov{i - 1} "
+            "UNION SELECT tok FROM dt "
+            f"WHERE doc_id IN (SELECT doc_id FROM p{i})), "
+            f"st{i} AS (SELECT CAST({i} AS BIGINT) AS it, "
+            f"CAST(doc_id AS BIGINT) AS doc_id, gain, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM cov{i}) AS covered_total "
+            f"FROM p{i})"
+        )
+    sql += (
+        " SELECT it, doc_id, gain, covered_total FROM ("
+        + " UNION ALL ".join(f"SELECT * FROM st{i}" for i in range(1, k + 1))
+        + ") ORDER BY it"
+    )
+    return sql
+
+
+@query("docs_coverage_greedy_selection", oracle=_coverage_greedy_oracle_sql())
+def docs_coverage_greedy_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy max-coverage subset selection over the corpus vocabulary
+    — the submodular data-selection primitive (select the k docs that
+    together cover the most distinct word BIGRAMS; each step takes the
+    doc with the largest MARGINAL gain, ties to the smallest doc_id).
+    Emits the selection trajectory ``(it, doc_id, gain,
+    covered_total)`` for it = 1..8, where covered_total is the
+    covered-vocabulary size after the pick — the greedy invariant
+    covered_total = sum of gains is pinned because the oracle computes
+    the count from its materialized covered set, not the running sum.
+
+    Scale: the distinct (doc_id, token) table is localCheckpoint'd
+    once (one corpus pass); each iteration is ONE distributed job — a
+    broadcast LEFT ANTI join against the covered-token set (bounded by
+    the vocabulary of the <= 8 winners, built IN-PLAN from the winner
+    ids, never collected) feeding a partial-aggregated per-doc count
+    and a 1-row TakeOrdered argmax (the only collect, the sanctioned
+    iterative-trainer shape).  The unrolled-CTE oracle re-runs the
+    whole selection declaratively, so every pick, gain, and coverage
+    count is bit-graded.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        docs.select(
+            "doc_id",
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0).alias(
+                "ws"
+            ),
+        )
+        # guard BEFORE the sequence: Spark's sequence(0, -1) DESCENDS
+        # where DuckDB's generate_series(1, 0) is empty
+        .where(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2), "
+                    "i -> concat(ws[i], ' ', ws[i + 1]))"
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    winners: list[int] = []
+    rows: list[tuple[int, int, int, int]] = []
+    covered_total = 0
+    for it in range(1, COVERAGE_GREEDY_K + 1):
+        if winners:
+            cov = (
+                dt.where(F.col("doc_id").isin(winners))
+                .select("tok")
+                .distinct()
+            )
+            remaining = dt.join(F.broadcast(cov), "tok", "left_anti")
+        else:
+            remaining = dt
+        best = (
+            remaining.groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not best:  # vocabulary exhausted: both engines emit the
+            break  # same shorter trajectory
+        d, g = int(best[0]["doc_id"]), int(best[0]["gain"])
+        winners.append(d)
+        covered_total += g
+        rows.append((it, d, g, covered_total))
+    return spark.createDataFrame(
+        rows, "it bigint, doc_id bigint, gain bigint, covered_total bigint"
+    ).orderBy("it")

@@ -740,3 +740,117 @@ def docs_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("sig_bucket")
     )
+
+
+def _media_dedup_oracle_sql() -> str:
+    from duckdb_cluster_hash_spark.plans.dedup_text import _image_band_head
+
+    # duplicate-blind: a correct media dedup-at-ingest keeps exactly
+    # one image per distinct 64-bit dHash signature, so the oracle
+    # models only the DISTINCT signature set of the batch corpus —
+    # bucket/checksum columns are signature-PURE (pack the 8 bands
+    # into two 32-bit halves, the SimHash ingest's grading shape)
+    wide = ", ".join(
+        f"CAST(max(CASE WHEN gy = {i} THEN band END) AS BIGINT) AS b{i}"
+        for i in range(8)
+    )
+    lo = " + ".join(f"b{i} * {1 << (8 * i)}" for i in range(4))
+    hi = " + ".join(f"b{i + 4} * {1 << (8 * i)}" for i in range(4))
+    return (
+        _image_band_head()
+        + f", w8 AS (SELECT d, {wide} FROM b GROUP BY d), "
+        "u AS (SELECT DISTINCT b0, b1, b2, b3, b4, b5, b6, b7 FROM w8), "
+        f"pk AS (SELECT {lo} AS lo, {hi} AS hi FROM u) "
+        "SELECT (lo + hi) % 8 AS sig_bucket, "
+        "CAST(count(*) AS BIGINT) AS n_kept, "
+        "CAST(sum((lo * 31 + hi) % 1000003) AS BIGINT) AS sig_checksum "
+        "FROM pk GROUP BY sig_bucket ORDER BY sig_bucket"
+    )
+
+
+@query("docs_streaming_media_dedup", oracle=_media_dedup_oracle_sql())
+def docs_streaming_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL media dedup AT INGEST TIME, executed by the REAL
+    micro-batch engine across batches — the multimodal twin of
+    docs_streaming_neardup_ingest (C4 x C7 over binary media instead
+    of text): documents replayed as THREE micro-batches, each row's
+    PNM image synthesized and decoded IN-STREAM by the Arrow dHash
+    kernel (operators/multimodal.pnm_dhash with the event-time column
+    carried through — mapInPandas is a stream-safe projection, so it
+    legally chains into the stateful operator), then
+    ``dropDuplicatesWithinWatermark(b0..b7)`` keeps the first-arrived
+    image per 64-bit perceptual signature with state bounded by the
+    10-minute watermark delay.  An image whose raster perceptually
+    duplicates an earlier one — all 64 dHash bits equal, the identity
+    docs_image_neardup_pairs clusters at distance 0 — is dropped
+    before the sink even when the original arrived BATCHES earlier.
+
+    Grading: the duplicate-blind oracle re-derives the distinct dHash
+    signature set from the generator's closed form; the sink rollup
+    (signature-PURE bucket/checksum columns, so the grade cannot
+    depend on which member of a signature class won intra-batch
+    arrival) must match exactly — one kept row per distinct
+    signature, none lost, none duplicated across batches.
+
+    Scale: decode + fingerprint is an Arrow-batched per-row projection
+    (no pre-shuffle; rasters never leave the Python worker); dedup
+    state holds 8 small ints per distinct signature newer than the
+    watermark — bounded by ingest-rate x delay; the sink rollup is an
+    ordinary partial-agg groupBy.  Shares the staged replay directory
+    with the text ingest query (one staging pass per corpus per
+    process).
+    """
+    import os as _os
+    import tempfile as _tf
+
+    from duckdb_cluster_hash_spark.operators import multimodal as _mm
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in _os.path.basename(sf_dir.rstrip("/"))
+    )
+    stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_docs_{base}")
+    _ev.stage_documents_as_stream(spark, sf_dir, stage_dir)
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        s2.readStream.schema(_ev.DOCS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage_dir)
+    )
+    bands = [f"b{i}" for i in range(8)]
+    deduped = (
+        _mm.pnm_dhash(
+            _mm.attach_fake_pnm(stream.select("doc_id", "ts")),
+            carry=("ts",),
+        )
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(bands)
+    )
+    sink = f"dch_stream_mediadedup_{base}"
+    handle = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not handle.awaitTermination(300):
+        handle.stop()
+        raise RuntimeError("docs_streaming_media_dedup micro-batches hung")
+    lo = sum(F.col(f"b{i}").cast("bigint") * (1 << (8 * i)) for i in range(4))
+    hi = sum(
+        F.col(f"b{i + 4}").cast("bigint") * (1 << (8 * i)) for i in range(4)
+    )
+    return (
+        s2.table(sink)
+        .select(lo.alias("lo"), hi.alias("hi"))
+        .groupBy(((F.col("lo") + F.col("hi")) % 8).alias("sig_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum((F.col("lo") * 31 + F.col("hi")) % 1000003)
+            .cast("bigint")
+            .alias("sig_checksum"),
+        )
+        .orderBy("sig_bucket")
+    )

@@ -56,6 +56,7 @@ FAMILIES = [
     ("docs_simhash_neardup_pairs", "documents", "64-bit signature banding self-join: ~linear in band-collision mass"),
     ("docs_image_neardup_bill", "documents", "signature-grouped dHash banding: one linear hash+group pass, candidate join over DISTINCT signatures only (the unsalted generator saturates at ~1-2k classes; see the high-diversity notch below for the diversity-quadratic regime), doc-pair mass as integer multiplicities"),
     ("docs_audio_neardup_bill", "documents", "signature-grouped energy-dHash banding (RIFF decode + 72-segment integer energy profile): same distinct-signature class machine as the image twin"),
+    ("docs_video_neardup_bill", "documents", "signature-grouped luma-dHash banding (y4m decode + 72-segment luma profile over concatenated frames): same distinct-signature class machine; classes saturate at the generator's 768-id period"),
 ]
 
 # Verified-output sizes are computed IN the probe run (the set-sim

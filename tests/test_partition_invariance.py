@@ -134,6 +134,8 @@ INVARIANCE_QUERIES = [
     # the same banded class machine — per-clip pure bits, layout-pure
     # bill (memo cleared between runs so the alt layout re-decodes)
     "docs_audio_neardup_bill",
+    # the video twin: luma-dHash via the Arrow y4m-decode kernel
+    "docs_video_neardup_bill",
     # two-level keyed top-5 (vec_id%32 salt windows, then per-query) +
     # majority vote: every rank and tie-break is on (micro-cos, vec_id),
     # so no scan split or shuffle width may move a neighbour

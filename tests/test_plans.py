@@ -165,6 +165,8 @@ def test_image_neardup_is_banded(spark, sf_small):
         "docs_image_neardup_bill",
         "docs_audio_neardup_pairs",
         "docs_audio_neardup_bill",
+        "docs_video_neardup_pairs",
+        "docs_video_neardup_bill",
     ):
         df = QUERIES[name](spark, sf_small)
         plan = plan_of(df)

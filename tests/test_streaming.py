@@ -492,3 +492,41 @@ def test_neardup_ingest_dedups_across_batches(spark, tmp_path):
     )
     out = QUERIES["docs_streaming_neardup_ingest"](spark, sf).collect()
     assert sum(r["n_kept"] for r in out) == len(set(sig.values()))
+
+
+def test_media_dedup_ingest_dedups_across_batches(spark, tmp_path):
+    """The media ingest twin: doc_ids 1280 apart synthesize IDENTICAL
+    PNM rasters (the generator's raster period is lcm(shape 40,
+    offset 256) = 1280), land in different doc_id % 3 chunks, and must
+    be deduplicated by perceptual signature ACROSS micro-batches — the
+    kept mass equals the distinct-signature count."""
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    sf = str(tmp_path)
+    ids = list(range(0, 40)) + list(range(1280, 1300))
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in ids],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    sig = {
+        r["doc_id"]: tuple(r[f"b{i}"] for i in range(8))
+        for r in mm.pnm_dhash(
+            mm.attach_fake_pnm(
+                spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+            )
+        ).collect()
+    }
+    # the planted duplicates really are signature-identical, and at
+    # least one duplicate pair straddles a doc_id % 3 chunk boundary
+    for d in range(1280, 1300):
+        assert sig[d] == sig[d - 1280], d
+    assert any(
+        sig[a] == sig[b] and a % 3 != b % 3
+        for a in sig
+        for b in sig
+        if a < b
+    )
+    out = QUERIES["docs_streaming_media_dedup"](spark, sf).collect()
+    assert sum(r["n_kept"] for r in out) == len(set(sig.values()))

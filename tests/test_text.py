@@ -1018,3 +1018,197 @@ def test_decode_y4m_rejects_malformed():
         mm.decode_y4m(b"YUV4MPEG2 W2 H2 F24:1 C999\nFRAME\n" + bytes(12))
     with _pytest.raises(ValueError):  # unknown stream parameter
         mm.decode_y4m(b"YUV4MPEG2 W2 H2 F24:1 Q9\nFRAME\n" + bytes(6))
+
+
+def _video_ref_bands(d, nf_base=48):
+    """Independent pure-Python rendering of the video luma-dHash recipe
+    (closed-form frame bytes -> concatenated luma stream -> 72
+    nearest-neighbor luma-sum segments -> 8x9 grid -> sign-of-delta
+    bits)."""
+    w = 4 + (d % 3) * 2
+    h = 2 + ((d // 2) % 2) * 2
+    nf = nf_base + d % 4
+    wh = w * h
+    n = nf * wh
+    s = [(d * 11 + (k // wh) * 29 + (k % wh) * 7) % 256 for k in range(n)]
+    seg = []
+    for g in range(72):
+        lo, hi = n * g // 72, n * (g + 1) // 72
+        seg.append(sum(s[lo:hi]))
+    return [
+        sum(
+            (1 << gx)
+            for gx in range(8)
+            if seg[9 * gy + gx + 1] > seg[9 * gy + gx]
+        )
+        for gy in range(8)
+    ]
+
+
+def test_y4m_luma_dhash_matches_python_reference(spark):
+    """The Arrow luma-dHash kernel must reproduce a pure-Python
+    rendering of the recipe through the REAL y4m decode on both
+    colorspace layouts (420jpeg luma extraction skips chroma; mono is
+    all-luma), and the segment-inverse map the oracle uses
+    (g = (72k+71)//n) must agree with the boundary map the kernel
+    uses (lo_g = n*g//72)."""
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(0, "a"), (7, "b"), (100, "c")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: [r[f"b{i}"] for i in range(8)]
+        for r in mm.y4m_luma_dhash(
+            mm.attach_fake_y4m(df, nf_base=48)
+        ).collect()
+    }
+    for d in (0, 7, 100):
+        assert got[d] == _video_ref_bands(d), d
+    # boundary map vs inverse map, over a spread of clip lengths in
+    # play (n = (48 + d%4) * w*h for the six shape combinations)
+    for n in {(48 + r) * wh for r in range(4) for wh in (8, 12, 16, 24, 32)}:
+        for k in range(n):
+            g = (72 * k + 71) // n
+            assert n * g // 72 <= k < n * (g + 1) // 72, (n, k, g)
+
+
+def test_video_neardup_banding_exact_vs_bruteforce(spark, tmp_path):
+    """The video banded join must account EXACTLY the brute-force
+    DOC-pair mass at tau=6 (pigeonhole recall + multiplicity proof on
+    real decoded bytes), including the distance-0 cluster path: the
+    signature class period is lcm(shape 12, offset 256) = 768 in
+    doc_id, so a 1600-id range carries exact-duplicate clusters by
+    construction (d and d+768 decode to identical luma streams)."""
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+    from duckdb_cluster_hash_spark.operators import multimodal as mm
+
+    sf = str(tmp_path)
+    docs = spark.range(0, 1600).selectExpr(
+        "id AS doc_id", "'t' AS text", "'en' AS lang", "'s' AS source",
+        "CAST(1 AS BIGINT) AS n_chars"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    bill = {
+        r["hamming"]: r["n_pairs"]
+        for r in QUERIES["docs_video_neardup_bill"](spark, sf).collect()
+    }
+    sig = {
+        r["doc_id"]: tuple(r[f"b{i}"] for i in range(8))
+        for r in mm.y4m_luma_dhash(
+            mm.attach_fake_y4m(
+                spark.read.parquet(f"{sf}/documents.parquet").select("doc_id"),
+                nf_base=48,
+            )
+        ).collect()
+    }
+    # the generator's class structure really is 768-periodic
+    for d in range(0, 832):
+        assert sig[d] == sig[d + 768], d
+    want = {}
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+            if ham <= 6:
+                want[ham] = want.get(ham, 0) + 1
+    assert bill == want
+    assert 0 in bill  # the duplicate-cluster path really ran
+    classes = QUERIES["docs_video_neardup_pairs"](spark, sf).collect()
+    assert 0 < len(classes) <= 100
+    for p in classes:
+        assert p["hamming"] <= 6 and p["doc_a"] < p["doc_b"]
+        got_ham = sum(
+            bin(x ^ y).count("1")
+            for x, y in zip(sig[p["doc_a"]], sig[p["doc_b"]])
+        )
+        assert got_ham == p["hamming"], p
+
+
+def test_incremental_neardup_consistent_with_full_pairs(spark):
+    """The asymmetric (batch-vs-base) banding must find EXACTLY the
+    odd-involving subset of the symmetric near-dup pair list — derive
+    the per-source accounting from docs_minhash_neardup_pairs and it
+    must equal docs_incremental_neardup row for row."""
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["docs_minhash_neardup_pairs"](spark, sf).collect()
+    ]
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    vs_base, within = set(), set()
+    for a, b in pairs:
+        for inc, other in ((a, b), (b, a)):
+            if inc % 2 == 1 and other % 2 == 0:
+                vs_base.add(inc)
+        if a % 2 == 1 and b % 2 == 1:
+            within.add(max(a, b))
+    want = {}
+    for d, src in docs.items():
+        if d % 2 == 0:
+            continue
+        n, vb, wi, new = want.get(src, (0, 0, 0, 0))
+        if d in vs_base:
+            vb += 1
+        elif d in within:
+            wi += 1
+        else:
+            new += 1
+        want[src] = (n + 1, vb, wi, new)
+    got = {
+        r["source"]: (
+            r["n_incoming"],
+            r["n_neardup_vs_base"],
+            r["n_neardup_within"],
+            r["n_new"],
+        )
+        for r in QUERIES["docs_incremental_neardup"](spark, sf).collect()
+    }
+    assert got == want
+    # the near-dup mass is real on this corpus (not all-new)
+    assert any(v[1] or v[2] for v in got.values())
+
+
+def test_coverage_greedy_matches_python_reference(spark):
+    """The distributed greedy max-coverage trajectory must equal an
+    independent Python simulation of the same greedy (bigram units,
+    gain DESC / doc_id ASC tie-break, covered set carried forward)."""
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    import re
+
+    dt = {}
+    for r in (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ):
+        ws = re.findall("[a-z]+", r["text"].lower())
+        dt[r["doc_id"]] = {
+            f"{ws[i]} {ws[i + 1]}" for i in range(len(ws) - 1)
+        }
+    covered: set = set()
+    want = []
+    for it in range(1, 9):
+        best_doc, best_gain = None, -1
+        for d in sorted(dt):
+            g = len(dt[d] - covered)
+            if g > best_gain:
+                best_doc, best_gain = d, g
+        if best_gain <= 0 and not any(dt[d] - covered for d in dt):
+            break
+        covered |= dt[best_doc]
+        want.append((it, best_doc, best_gain, len(covered)))
+    got = [
+        (r["it"], r["doc_id"], r["gain"], r["covered_total"])
+        for r in QUERIES["docs_coverage_greedy_selection"](spark, sf).collect()
+    ]
+    assert got == want
