@@ -249,6 +249,8 @@ def main() -> int:
         "docs_set_similarity_join",  # shingle/prefix-index memo
         "docs_simhash_neardup_pairs",  # simhash64 signature memo
         "docs_quality_perceptron",  # trajectory memo
+        "docs_unigram_lm_train",  # unigram trainer memo (full corpus)
+        "docs_unigram_lm_encode",  # unigram trainer memo (train90 split)
         "docs_image_neardup_pairs",  # pnm dHash table memo
         "docs_audio_neardup_pairs",  # wav energy-dHash table memo
         "docs_video_neardup_pairs",  # y4m luma-dHash table memo

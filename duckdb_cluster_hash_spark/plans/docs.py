@@ -4457,6 +4457,76 @@ def _unigram_iter_ctes(i: int) -> str:
     )
 
 
+# Per-(corpus, split) unigram-training memo — the perceptron-trajectory
+# pattern (docs.py:3884): the trainer's 4 E-step jobs + seed collects
+# run once per corpus per split per session, shared between the
+# trajectory query (full corpus) and the encode query (90% train
+# split), builder-EXCLUSIVE under bench's concurrent workers, and
+# registered with clear_shared_cache so every timing harness's
+# between-runs reset retrains instead of silently measuring a memo hit.
+_UNI_MEMO: "_weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    _weakref.WeakKeyDictionary()
+)
+_UNI_LOCK = _threading.Lock()
+
+
+def _clear_unigram_memo(df: DataFrame | None = None) -> int:
+    with _UNI_LOCK:
+        if df is not None:
+            per = _UNI_MEMO.pop(df, None)
+            return len(per) if per else 0
+        n = sum(len(p) for p in _UNI_MEMO.values())
+        _UNI_MEMO.clear()
+        return n
+
+
+_dd.register_cache_clearer(_clear_unigram_memo)
+
+
+def unigram_train_shared(
+    spark: SparkSession,
+    docs: DataFrame,
+    split: "str | None",
+    k: int = UNIGRAM_ITERS,
+):
+    """Memoized :func:`unigram_train` keyed on (corpus frame, split, k)
+    — ``split`` is None for the full corpus (the trajectory query) or
+    ``'train90'`` for the doc_id % 10 != 0 split (the encode query's
+    training side).  Latecomers block on the builder's event and reuse
+    its (trajectory, pieces) instead of re-training."""
+    memo_key = (split, k)
+    with _UNI_LOCK:
+        per = _UNI_MEMO.get(docs)
+        if per is None:
+            per = {}
+            _UNI_MEMO[docs] = per
+        entry = per.get(memo_key)
+        if entry is None:
+            entry = {"done": _threading.Event(), "out": None}
+            per[memo_key] = entry
+            is_builder = True
+        else:
+            is_builder = False
+    if is_builder:
+        try:
+            where = None if split is None else F.col("doc_id") % 10 != 0
+            entry["out"] = unigram_train(
+                spark, _unigram_wordfreq(docs, where), k
+            )
+        except BaseException:
+            with _UNI_LOCK:
+                if _UNI_MEMO.get(docs, {}).get(memo_key) is entry:
+                    _UNI_MEMO[docs].pop(memo_key, None)
+            entry["done"].set()
+            raise
+        entry["done"].set()
+        return entry["out"]
+    entry["done"].wait()
+    if entry["out"] is None:  # builder failed after we enqueued; retry
+        return unigram_train_shared(spark, docs, split, k)
+    return entry["out"]
+
+
 def _unigram_train_oracle_sql(k: int = UNIGRAM_ITERS) -> str:
     sql = "WITH " + _unigram_seed_ctes("")
     for i in range(0, k + 1):
@@ -4491,10 +4561,14 @@ def docs_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: see unigram_train / unigram_greedy_tokens — vocab-bounded
     state, broadcast inventory, one distributed E-step job per
-    iteration, driver collects only the <= 282-row piece-count table.
+    iteration, driver collects only the <= 282-row piece-count table;
+    training runs once per corpus per session through the
+    :func:`unigram_train_shared` memo (the perceptron's train-once
+    design, shared with any future consumer of the trained inventory).
     """
-    wf = _unigram_wordfreq(_t(spark, sf_dir, "documents"))
-    rows, _pieces = unigram_train(spark, wf)
+    rows, _pieces = unigram_train_shared(
+        spark, _t(spark, sf_dir, "documents"), None
+    )
     return spark.createDataFrame(
         rows, "it bigint, n_pieces bigint, n_tokens bigint, bits_1024 bigint"
     ).orderBy("it")
@@ -4541,9 +4615,7 @@ def docs_unigram_lm_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen cursor chain); only the final per-source rollup shuffles.
     """
     docs = _t(spark, sf_dir, "documents")
-    _rows, pieces = unigram_train(
-        spark, _unigram_wordfreq(docs, F.col("doc_id") % 10 != 0)
-    )
+    _rows, pieces = unigram_train_shared(spark, docs, "train90")
     pieces_df = spark.createDataFrame(
         [(p,) for p in pieces] or [("",)], "piece string"
     )
