@@ -1401,20 +1401,37 @@ def _image_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
     """Image near-dup pair classes: memoized dHash table through the
     shared signature-class machine (:func:`_sig_pair_classes` — see it
     for the class semantics, the distinct-signature collapse, and the
-    band-cap recall rule)."""
-    return _sig_pair_classes(image_dhash_shared(docs), tau)
+    band-cap recall rule).  The CLASS table itself is also memoized
+    (hundreds of rows — cluster + cross class rows, never doc pairs):
+    the pairs and bill queries consume the identical class set, so the
+    grouping + banded join runs once per corpus per session."""
+    return _dd._shared_checkpoint(
+        docs,
+        ("pnm_pair_classes", tau, DHASH_BAND_CAP),
+        lambda: _sig_pair_classes(image_dhash_shared(docs), tau),
+    )
 
 
 def _audio_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
     """Audio near-dup pair classes: memoized energy-dHash table through
-    the shared signature-class machine (:func:`_sig_pair_classes`)."""
-    return _sig_pair_classes(audio_dhash_shared(docs), tau)
+    the shared signature-class machine (:func:`_sig_pair_classes`);
+    class table memoized like the image twin."""
+    return _dd._shared_checkpoint(
+        docs,
+        ("wav_pair_classes", tau, DHASH_BAND_CAP),
+        lambda: _sig_pair_classes(audio_dhash_shared(docs), tau),
+    )
 
 
 def _video_pair_classes(docs: DataFrame, tau: int = 6) -> DataFrame:
     """Video near-dup pair classes: memoized luma-dHash table through
-    the shared signature-class machine (:func:`_sig_pair_classes`)."""
-    return _sig_pair_classes(video_dhash_shared(docs), tau)
+    the shared signature-class machine (:func:`_sig_pair_classes`);
+    class table memoized like the image twin."""
+    return _dd._shared_checkpoint(
+        docs,
+        ("y4m_pair_classes", tau, DHASH_BAND_CAP),
+        lambda: _sig_pair_classes(video_dhash_shared(docs), tau),
+    )
 
 
 @query(

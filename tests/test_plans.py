@@ -156,10 +156,28 @@ def test_simhash_neardup_pairs_is_banded(spark, sf_small):
 
 
 def test_image_neardup_is_banded(spark, sf_small):
-    """The perceptual image near-dup join must restrict candidates by
-    (band_idx, band) EQUALITY — never an all-pairs hash self-join —
-    and the decode must be the Arrow mapInPandas kernel (one Python
-    crossing per batch, hashes on the wire)."""
+    """The perceptual near-dup joins must restrict candidates by
+    (band_idx, band) EQUALITY — never an all-pairs hash self-join.
+    The pair-CLASS table is session-memoized (a checkpointed frame, so
+    the consumer queries' own plans show a scan), so the banding shape
+    is asserted on the BUILDER subtree each modality feeds through
+    _sig_pair_classes; the consumer queries are still swept for
+    cartesian shapes."""
+    from duckdb_cluster_hash_spark.plans import dedup_text as dtx
+    from duckdb_cluster_hash_spark.plans.catalog import _t
+
+    docs = _t(spark, sf_small, "documents")
+    for shared in (
+        dtx.image_dhash_shared,
+        dtx.audio_dhash_shared,
+        dtx.video_dhash_shared,
+    ):
+        built = dtx._sig_pair_classes(shared(docs), 6)
+        plan = plan_of(built)
+        assert "CartesianProduct" not in plan, shared.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, shared.__name__
+        opt = optimized_of(built)
+        assert "band_idx" in opt and "band" in opt, shared.__name__
     for name in (
         "docs_image_neardup_pairs",
         "docs_image_neardup_bill",
@@ -168,12 +186,9 @@ def test_image_neardup_is_banded(spark, sf_small):
         "docs_video_neardup_pairs",
         "docs_video_neardup_bill",
     ):
-        df = QUERIES[name](spark, sf_small)
-        plan = plan_of(df)
+        plan = plan_of(QUERIES[name](spark, sf_small))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
-        opt = optimized_of(df)
-        assert "band_idx" in opt and "band" in opt, name
 
 
 def test_shard_ranges_udtf_matches_reference_table(spark):
