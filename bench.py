@@ -254,7 +254,8 @@ def main() -> int:
         "docs_image_neardup_pairs",  # pnm dHash table memo
         "docs_audio_neardup_pairs",  # wav energy-dHash table memo
         "docs_video_neardup_pairs",  # y4m luma-dHash table memo
-        "parts_link_prediction",  # edge-degree checkpoint + codegen warm
+        "parts_link_prediction",  # shared part-edge memo (also k-core) + codegen warm
+        "parts_brand_pagerank",  # shared (order,brand) basket + brand-edge memos
         "emb_pca_power_iteration",  # gram/checkpoint warm
         "events_streaming_routed_sink",  # dch_stream_stage_ replay dir
         "events_streaming_late_data",  # dch_stream_late_ replay dir

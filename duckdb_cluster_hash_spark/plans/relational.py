@@ -12,6 +12,88 @@ from duckdb_cluster_hash_spark.plans._registry import _money_sum, _t, query
 from duckdb_cluster_hash_spark.plans._shared import _os_path_basename
 
 
+def _copurchase_part_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical (p1 < p2) part co-purchase edges, memoized per
+    session via the dedup shared-checkpoint registry (weakly keyed on
+    the lineitem table object, cleared by ``clear_shared_cache``).
+
+    Both iterative part-graph queries (k-core, link prediction) peel
+    exactly this table; before round 14 each rebuilt it — the basket
+    self-join + distinct is the single most expensive subtree of either
+    query, paid twice per suite.  At true 100 TB the equivalent is a
+    materialized edge table built once per corpus snapshot.  No
+    pre-distinct of (o, p): the pair set is distinct'd after the join,
+    so a pre-dedup would only add a full |lineitem| exchange (the
+    self-join keys on ``o``, which a (o, p) hash layout cannot feed).
+    """
+    from duckdb_cluster_hash_spark.operators import dedup as _dd
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def build() -> DataFrame:
+        op = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        a, b = op.alias("a"), op.alias("b")
+        return (
+            a.join(
+                b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+            )
+            .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+            .distinct()
+        )
+
+    return _dd._shared_checkpoint(li, ("copurchase_part_edges",), build)
+
+
+def _order_brand_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (order, brand) basket table, memoized per session — the
+    shared root of the three brand-graph queries (PageRank, triangles,
+    co-purchase affinity), each of which re-derived the lineitem ⋈ part
+    join + distinct before round 14."""
+    from duckdb_cluster_hash_spark.operators import dedup as _dd
+
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+
+    def build() -> DataFrame:
+        return (
+            li.select("l_orderkey", "l_partkey")
+            .join(
+                part.select("p_partkey", "p_brand"),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
+            .distinct()
+        )
+
+    return _dd._shared_checkpoint(li, ("order_brand_basket",), build)
+
+
+def _brand_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical (u < v) brand co-purchase edges from the
+    memoized basket, memoized per session.  Triangles use it directly;
+    PageRank derives its directed edge list as the union of both
+    orientations (distinct u<v pairs -> distinct src!=dst pairs,
+    exactly the per-query build it replaces)."""
+    from duckdb_cluster_hash_spark.operators import dedup as _dd
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def build() -> DataFrame:
+        ob = _order_brand_basket(spark, sf_dir)
+        a, c = ob.alias("a"), ob.alias("c")
+        return (
+            a.join(
+                c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b"))
+            )
+            .select(F.col("a.b").alias("u"), F.col("c.b").alias("v"))
+            .distinct()
+        )
+
+    return _dd._shared_checkpoint(li, ("brand_edges",), build)
+
+
 @query(
     "lineitem_priority_channels",
     oracle=(
@@ -623,18 +705,13 @@ def parts_copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-support floor — the recommendation/assortment signal.
 
     Scale: the pair generation self-joins the DISTINCT (order, brand)
-    table keyed on the ORDER key, so the blow-up per order is bounded by
+    table (session-memoized, shared with PageRank/triangles — r14)
+    keyed on the ORDER key, so the blow-up per order is bounded by
     the basket's brand count (TPC-H: <= 7 lines/order), never all-pairs
     over brands or orders; brand totals join on the 25-value brand key;
     the order-count scalar comes from one small aggregate.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
-    )
+    ob = _order_brand_basket(spark, sf_dir)
     n_orders = int(ob.select(F.countDistinct("o")).head()[0])
     a, c = ob.alias("a"), ob.alias("c")
     pairs = (
@@ -1039,22 +1116,18 @@ def parts_brand_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the rank vector is |nodes| rows — broadcast against the
     edge list each iteration (Catalyst picks broadcast at this size;
     at web scale the same loop is edges-partitioned shuffle joins, one
-    per iteration exactly like the components operator); edges build
-    once from the DISTINCT (order, brand) table keyed on the order —
-    basket-bounded, never all-pairs.
+    per iteration exactly like the components operator); edges derive
+    from the session-memoized canonical brand edge set (built once from
+    the DISTINCT (order, brand) table keyed on the order —
+    basket-bounded, never all-pairs — and shared with triangles, r14).
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
-    )
-    a, c = ob.alias("a"), ob.alias("c")
-    edges = (
-        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") != F.col("c.b")))
-        .select(F.col("a.b").alias("src"), F.col("c.b").alias("dst"))
-        .distinct()
+    ob = _order_brand_basket(spark, sf_dir)
+    # Directed edge list = both orientations of the memoized canonical
+    # (u < v) edge set — identical to the old per-query self-join with
+    # b != b' + distinct, without re-running the basket join (r14).
+    be = _brand_edges(spark, sf_dir)
+    edges = be.selectExpr("u AS src", "v AS dst").unionByName(
+        be.selectExpr("v AS src", "u AS dst")
     )
     deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("d"))
     nodes = ob.select("b").distinct()
@@ -1131,20 +1204,7 @@ def parts_brand_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand-bounded), shuffle-hash at scale.  No cartesian products
     anywhere (gated).
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("b"))
-        .distinct()
-    )
-    a, c = ob.alias("a"), ob.alias("c")
-    edges = (
-        a.join(c, (F.col("a.o") == F.col("c.o")) & (F.col("a.b") < F.col("c.b")))
-        .select(F.col("a.b").alias("u"), F.col("c.b").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _brand_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.u") == F.col("e1.v"))
@@ -1602,24 +1662,17 @@ def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: edges build once from the DISTINCT (order, part) table
     keyed on the order (basket-bounded, never all-pairs) and are
-    checkpointed; each round is a degree groupBy plus two key-equality
-    semi-joins — the standard iterative-dataflow shape whose shuffles
-    shrink monotonically as the graph peels.  The scalar k is a 1-row
-    collect of a global aggregate.
+    checkpointed via the shared session memo (one build serves k-core
+    AND link prediction — r14); each round is a degree groupBy plus two
+    key-equality semi-joins — the standard iterative-dataflow shape
+    whose shuffles shrink monotonically as the graph peels.  The scalar
+    k is a 1-row collect of a global aggregate, and the six graded
+    per-round counts are ONE union-of-aggregates job over the round
+    checkpoints instead of six serialized count() round-trips (r14 —
+    under the bench's FAIR contention each extra action waits in the
+    scheduler queue, so job count, not data, set this query's wall).
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # No distinct here: the edge table is DISTINCT'd after the join, so
-    # pre-deduping (o, p) would only add a 2|L|-row shuffle for nothing.
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    )
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_part_edges(spark, sf_dir)
 
     def degrees(e: DataFrame) -> DataFrame:
         return (
@@ -1635,14 +1688,14 @@ def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .head()[0]
     )
     # Each round checkpoints the KEEP vertex set once (the degree
-    # shuffle runs exactly once per round) and takes bounded scalar
-    # counts off the checkpointed tables — the graded 3-row trajectory
-    # is then a driver-side createDataFrame, so collecting the result
-    # re-runs nothing (the naive union-of-aggregates shape re-ran every
-    # degree shuffle at collect time).
-    rows = []
+    # shuffle runs exactly once per round); the graded counts are
+    # deferred to ONE union-of-aggregates job over the six checkpointed
+    # tables (each leg a count over an ExistingRDD scan — no shuffle
+    # re-run), then the 3-row trajectory is a driver-side
+    # createDataFrame, so collecting the result re-runs nothing.
     cur = edges
-    ckpts = [edges]
+    ckpts = []
+    rounds = []
     for r in range(1, 4):
         keep = (
             degrees(cur)
@@ -1657,10 +1710,27 @@ def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         ckpts += [keep, cur]
-        rows.append((r, keep.count(), cur.count(), k))
-    # All counts are taken: release the checkpoint blocks eagerly
-    # instead of waiting for the ContextCleaner — in a shared session
-    # (the bench's 8 workers) lingering blocks are pure GC pressure.
+        rounds.append((r, keep, cur))
+    counts_df = None
+    for r, keep, cur_ in rounds:
+        leg = keep.agg(F.count("*").alias("c")).selectExpr(
+            f"{r} AS r", "'v' AS kind", "c"
+        )
+        leg2 = cur_.agg(F.count("*").alias("c")).selectExpr(
+            f"{r} AS r", "'e' AS kind", "c"
+        )
+        counts_df = (
+            leg.unionAll(leg2)
+            if counts_df is None
+            else counts_df.unionAll(leg).unionAll(leg2)
+        )
+    cnt = {(row.r, row.kind): int(row.c) for row in counts_df.collect()}
+    rows = [(r, cnt[(r, "v")], cnt[(r, "e")], k) for r in range(1, 4)]
+    # All counts are taken: release the per-round checkpoint blocks
+    # eagerly instead of waiting for the ContextCleaner — in a shared
+    # session (the bench's 8 workers) lingering blocks are pure GC
+    # pressure.  The memoized edge table stays (shared with link
+    # prediction; clear_shared_cache owns it).
     for df_ in ckpts:
         try:
             df_.unpersist()
@@ -1733,45 +1803,37 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree), so scores are exact BIGINTs and the top-15 ranking is
     deterministic cross-engine.
 
-    Scale: wedges come from the adjacency self-join keyed on the
-    MIDDLE vertex, and each middle vertex's neighbor list is first
-    capped at _LINKPRED_HUB_CAP = 64 deterministic md5-ordered
-    entries (the standard hub knob for power-law graphs), so wedge
-    work is Σ min(deg, 64)² = O(V·64²) instead of Σ deg² — at sf0.1
-    that is 41M wedge rows instead of 149M, and at 100x a hub of
-    degree 10^6 contributes 2k wedges, not 10^12.  The cap is
-    mirrored bit-exactly in the oracle's nbrc CTE (same md5(v|u)
-    ordering); the AA weight still uses the TRUE degree.  Existing
-    edges drop via one keyed anti-join.  The middle vertex's weight
-    is resolved on the capped adjacency BEFORE the self-join (deg
-    join + broadcast log chain on ≤|2E| rows, never the wedge
-    table), and each wedge ships as two packed BIGINTs
-    ((a << 32) | b, weight), so the one unavoidable O(wedges)
-    exchange — the (a,b) group-by — carries the narrowest possible
-    rows.  Two measured fixes on that exchange (sf0.1): the edge
-    set is localCheckpoint'ed once (it feeds FOUR plan branches —
-    both union legs of the adjacency, deg, and the anti-join — and
-    re-deriving the order self-join + distinct per branch dominated
-    the wall), and the wedge group-by is explicitly repartitioned
-    to 4x defaultParallelism on the pair key before aggregating:
-    the pair key is nearly unique, so map-side partial aggregation
-    cannot shrink the exchange and the win is smaller per-task hash
-    maps that stay cache/memory-resident (measured 24.5s -> 9.5s
-    for the uncapped agg).  At true 100 TB the checkpoint is a
-    materialized edge table and the repartition count follows
-    cluster parallelism.
+    Scale: wedges enumerate per MIDDLE vertex, and each middle
+    vertex's neighbor list is first capped at _LINKPRED_HUB_CAP = 64
+    deterministic md5-ordered entries (the standard hub knob for
+    power-law graphs), so wedge work is Σ min(deg, 64)² = O(V·64²)
+    instead of Σ deg² — at sf0.1 that is 41M wedge rows instead of
+    149M, and at 100x a hub of degree 10^6 contributes 2k wedges,
+    not 10^12.  The cap is mirrored bit-exactly in the oracle's nbrc
+    CTE (same md5(v|u) ordering); the AA weight still uses the TRUE
+    degree.  Existing edges drop via one keyed anti-join.
+
+    Wedge generation (r14 rework): through round 13 the capped
+    adjacency self-joined on v, which planned the md5 window + 2E-row
+    exchange TWICE (once per join side) plus a sort-merge; now the
+    single window pass feeds a groupBy(v) collect of the ≤64 sorted
+    neighbors (no new exchange — the window's hashpartitioning(v)
+    already satisfies the grouping) and all C(|us|,2) ordered pairs
+    explode MAP-SIDE from the array, weight resolved once per middle
+    vertex (deg join + broadcast log chain on ≤|V| grouped rows,
+    never the wedge table).  Each wedge still ships as two packed
+    BIGINTs ((a << 32) | b, weight) into the one unavoidable
+    O(wedges) exchange — the (a,b) group-by — explicitly
+    repartitioned to 4x defaultParallelism on the pair key: the pair
+    key is nearly unique, so map-side partial aggregation cannot
+    shrink the exchange and the win is smaller per-task hash maps
+    that stay cache/memory-resident (measured 24.5s -> 9.5s for the
+    uncapped agg in r12).  The edge table is the session-memoized
+    shared checkpoint (one build serves k-core and link prediction);
+    at true 100 TB it is a materialized edge table and the
+    repartition count follows cluster parallelism.
     """
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a_, b_ = op.alias("a"), op.alias("b")
-    e0 = (
-        a_.join(b_, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    e0 = _copurchase_part_edges(spark, sf_dir)
     nbr = e0.selectExpr("p1 AS v", "p2 AS u").unionByName(
         e0.selectExpr("p2 AS v", "p1 AS u")
     )
@@ -1786,10 +1848,16 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcap = Window.partitionBy("v").orderBy(
         F.md5(F.concat_ws("|", F.col("v"), F.col("u"))), F.asc("u")
     )
-    nbrc = (
+    # ≤64 sorted neighbors per middle vertex, grouped in the SAME
+    # partitioning the window established; size >= 2 both guarantees
+    # ascending sequences below and matches the old inner lg join's
+    # d >= 2 middle filter (size >= 2 <=> d >= 2 under the cap).
+    nbrg = (
         nbr.withColumn("rk", F.row_number().over(wcap))
         .where(F.col("rk") <= _LINKPRED_HUB_CAP)
-        .select("v", "u")
+        .groupBy("v")
+        .agg(F.sort_array(F.collect_list("u")).alias("us"))
+        .where(F.size("us") >= 2)
     )
     from duckdb_cluster_hash_spark.plans.docs import (
         _MLOG2_SEED_EXPRS,
@@ -1808,20 +1876,22 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         m, f_ = _mlog2_step_exprs(i)
         s = s.selectExpr("d", "e", m, f_)
     lg = s.selectExpr("d", f"(e * 1024 + f{_MLOG2_STEPS}) - 20480 AS l1024")
-    # Resolve the middle vertex's weight on the adjacency table (|2E|
-    # rows) before the wedge blow-up; the inner lg join also drops
-    # d=1 middles, which generate no wedges anyway.
-    nbrw = (
-        nbrc.join(deg, "v")
+    # Weight once per middle vertex (grouped table is ≤|V| rows), then
+    # map-side ordered-pair explode: us is ascending, so (i < j) pairs
+    # are exactly the old n1.u < n2.u wedge rows.
+    w = (
+        nbrg.join(deg, "v")
         .join(F.broadcast(lg), "d")
-        .selectExpr("v", "u", "CAST((1 << 20) div l1024 AS BIGINT) AS wv")
-    )
-    n1, n2 = nbrw.alias("n1"), nbrc.alias("n2")
-    w = n1.join(
-        n2, (F.col("n1.v") == F.col("n2.v")) & (F.col("n1.u") < F.col("n2.u"))
-    ).selectExpr(
-        "shiftleft(CAST(n1.u AS BIGINT), 32) | CAST(n2.u AS BIGINT) AS ab",
-        "n1.wv AS wv",
+        .select(
+            F.expr(
+                "explode(flatten(transform(sequence(1, size(us) - 1), "
+                "i -> transform(sequence(i + 1, size(us)), "
+                "j -> struct(element_at(us, i) AS a, "
+                "element_at(us, j) AS b)))))"
+            ).alias("p"),
+            F.expr("CAST((1 << 20) div l1024 AS BIGINT)").alias("wv"),
+        )
+        .selectExpr("shiftleft(p.a, 32) | p.b AS ab", "wv")
     )
     n_agg = spark.sparkContext.defaultParallelism * 4
     aa = w.repartition(n_agg, "ab").groupBy("ab").agg(
