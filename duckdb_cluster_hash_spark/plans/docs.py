@@ -1692,6 +1692,14 @@ def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
 
 _BPE_PARTIAL_SCHEMA = "lhs string, rhs string, n long"
 
+# Adaptive trainer cutover (see bpe_train_merges): vocabs that probe at or
+# under this many DISTINCT WORDS train on the driver (one limit-capped
+# collect, zero per-iteration jobs); above it the distributed Arrow loop
+# runs.  8192 encoded words x ~16 symbols x k=16 iterations is ~2M driver
+# Counter ops (well under a second) — the cap bounds driver work by
+# construction, never by data size.
+_BPE_DRIVER_CAP = 8192
+
 
 def bpe_partial_pair_counts(vocab: DataFrame) -> DataFrame:
     """PER-PARTITION (map-side only) weighted pair counts over the
@@ -1835,7 +1843,23 @@ def bpe_train_merges(
     round-14 map-only rewrite halves: k jobs instead of 2k, no
     shuffle, no sort, trajectory bit-identical (pinned by
     tests/test_text.py::test_bpe_training_loop_matches_reference_trainer,
-    which drives THIS function)."""
+    which drives THIS function).
+
+    Adaptive driver cutover (r14, same pattern as the components
+    operator's small-graph path): when the encoded vocab probes at or
+    under _BPE_DRIVER_CAP rows (one limit-capped collect over the
+    checkpointed table — bounded by the cap, never by data), the k
+    iterations run in pure Python on the driver as a LITERAL
+    transcription of the distributed loop body — the same
+    strip/split-on-double-space pair count (bpe_partial_pair_counts'
+    kernel), the same (-n, pair) argmax, the same doubled-separator
+    str.replace merge (engine replace semantics are pinned to Python
+    str.replace by tests/test_text.py::
+    test_bpe_replace_semantics_match_engines) — so the
+    trajectory is bit-identical while the 16 per-iteration Python-worker
+    jobs (measured ~0.24s apiece of pure task/Arrow spin-up over a
+    30-row sf0.1 vocab) collapse to zero.  Above the cap the
+    distributed loop below runs unchanged."""
     from collections import Counter
 
     vocab = wf.select(
@@ -1843,6 +1867,25 @@ def bpe_train_merges(
         "f",
     ).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, str, int]] = []
+    probe = vocab.limit(_BPE_DRIVER_CAP + 1).collect()
+    if len(probe) <= _BPE_DRIVER_CAP:
+        vocab_l = [(r.s, int(r.f)) for r in probe]
+        for it in range(1, k + 1):
+            agg_d: Counter = Counter()
+            for s_, f_ in vocab_l:
+                t = s_.strip().split("  ")
+                if len(t) >= 2:
+                    for pair in zip(t, t[1:]):
+                        agg_d[pair] += f_
+            if not agg_d:
+                break
+            (lhs, rhs), n = min(agg_d.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((it, lhs, rhs, lhs + rhs, int(n)))
+            vocab_l = [
+                (s_.replace(f" {lhs}  {rhs} ", f" {lhs}{rhs} "), f_)
+                for s_, f_ in vocab_l
+            ]
+        return merges
     for it in range(1, k + 1):
         # ONE map-only job per iteration (no exchange, so no AQE
         # stage-split into a second job): per-partition Arrow partial
