@@ -6,11 +6,63 @@ window, and rotation stay in catalog.py.
 """
 
 from __future__ import annotations
+
+import threading
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from duckdb_cluster_hash_spark import oracle_text as _ot
 from duckdb_cluster_hash_spark.operators import similarity as _sim
 from duckdb_cluster_hash_spark.plans._registry import _t, query
+
+# Session memo of the two corpus probes nearly every emb query repeats —
+# the row count (scaled_n_cells input) and the vec_id=0 query row — each
+# a full-scan driver job.  Ten queries re-ran them independently (~15
+# probe jobs per suite; under the bench's 8-way FAIR contention each
+# waits in the scheduler queue, so the probes, not the ANN work, set
+# several queries' contended walls).  Weakly keyed on the corpus
+# DataFrame (load_table memoizes one object per (session, path)) and
+# cleared through the dedup family's clear_shared_cache hook, exactly
+# like the perceptron/unigram memos.  Scalars only — never a corpus
+# collect (the probe row is one embedding + label).
+_EMB_PROBE: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+_EMB_PROBE_LOCK = threading.Lock()
+
+
+def _emb_n(emb: DataFrame) -> int:
+    with _EMB_PROBE_LOCK:
+        memo = _EMB_PROBE.setdefault(emb, {})
+        if "n" not in memo:
+            memo["n"] = int(emb.count())
+        return memo["n"]
+
+
+def _emb_q0(emb: DataFrame):
+    """The vec_id = 0 probe row (vec_id, label, embedding)."""
+    with _EMB_PROBE_LOCK:
+        memo = _EMB_PROBE.setdefault(emb, {})
+        if "q0" not in memo:
+            memo["q0"] = emb.where(F.col("vec_id") == 0).head()
+        return memo["q0"]
+
+
+def _clear_emb_probe(df=None) -> int:
+    with _EMB_PROBE_LOCK:
+        if df is not None:
+            return 1 if _EMB_PROBE.pop(df, None) is not None else 0
+        n = len(_EMB_PROBE)
+        # drain rather than rebind: WeakKeyDictionary has no .clear race
+        for k in list(_EMB_PROBE.keys()):
+            _EMB_PROBE.pop(k, None)
+        return n
+
+
+from duckdb_cluster_hash_spark.operators import dedup as _dd  # noqa: E402
+
+_dd.register_cache_clearer(_clear_emb_probe)
 
 
 @query("emb_cosine_topk", oracle=_ot.cosine_topk_sql(0, 10, 64))
@@ -18,7 +70,7 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search (C5): brute-force cosine top-10 to vec_id 0,
     fold-exact arithmetic shared with the oracle."""
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _emb_q0(emb)["embedding"]
     return _sim.cosine_topk(emb, [float(x) for x in qvec], k=10)
 
 
@@ -110,10 +162,10 @@ def emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile as _tf
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_cells = _sim.scaled_n_cells(emb.count())
+    n_cells = _sim.scaled_n_cells(_emb_n(emb))
     qvec = [
         float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+        for x in _emb_q0(emb)["embedding"]
     ]
     index_path = _os.path.join(
         _tf.gettempdir(),
@@ -206,9 +258,9 @@ def emb_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinking-fraction story.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    n_clusters = _sim.scaled_n_cells(emb.count())
+    n_clusters = _sim.scaled_n_cells(_emb_n(emb))
     nprobe = n_clusters // 2
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = [float(x) for x in _emb_q0(emb)["embedding"]]
     # quantizer trained on an md5-deterministic 25% sample (standard IVF
     # practice — at 100 TB nobody KMeans-fits the full corpus)
     approx = _sim.ivf_topk(
@@ -250,7 +302,7 @@ def emb_lsh_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate and ranks first — a structural invariant of LSH probing.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = [float(x) for x in _emb_q0(emb)["embedding"]]
     approx = _sim.ann_lsh_topk(emb, qvec, k=10, planes=4, tables=16)
     exact = _sim.cosine_topk(emb, qvec, k=10).select("vec_id")
     overlap = (
@@ -344,7 +396,7 @@ def emb_pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the full-vector corpus.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = [float(x) for x in _emb_q0(emb)["embedding"]]
     cb = _sim.pq_sample_codebook(emb, m=8, n_codes=32)
     approx = _sim.pq_adc_topk(emb, cb, qvec, k=10, rerank=128)
     exact = _sim.cosine_topk(emb, qvec, k=10).select("vec_id")
@@ -387,7 +439,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN operators, the portable oracle is the recall CONTRACT row.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    qvec = [float(x) for x in _emb_q0(emb)["embedding"]]
     trunc = emb.select(
         "vec_id", "label", F.slice("embedding", 1, 16).alias("embedding")
     )
@@ -533,7 +585,7 @@ def emb_margin_bitext_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # heavy-codegen fold joins also wedged a 68-query-old session's JVM
     # during the full sf0.1 sweep).
     sides = (
-        _sim.ivf_assign_cells(emb, n_cells=_sim.scaled_n_cells(emb.count()))
+        _sim.ivf_assign_cells(emb, n_cells=_sim.scaled_n_cells(_emb_n(emb)))
         .withColumn("nsq", _sim.dot_fold(F.col("embedding"), F.col("embedding")))
         .localCheckpoint(eager=True)
     )
@@ -664,7 +716,7 @@ def emb_label_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+        for x in _emb_q0(emb)["embedding"]
     ]
     scored = emb.where(F.col("vec_id") != 0).select(
         "label",
@@ -738,7 +790,7 @@ def emb_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     model artifact (sqrt(n) x dim rows, broadcast).
     """
     emb = _t(spark, sf_dir, "embeddings")
-    n_cells = _sim.scaled_n_cells(emb.count())
+    n_cells = _sim.scaled_n_cells(_emb_n(emb))
     assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=n_cells)
     x = assigned.select(
         "cell", F.posexplode("embedding").alias("d0", "xv")
@@ -809,7 +861,7 @@ def emb_ivf_cell_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     _half_away = _sim.round_half_away
 
     emb = _t(spark, sf_dir, "embeddings")
-    n_cells = _sim.scaled_n_cells(emb.count())
+    n_cells = _sim.scaled_n_cells(_emb_n(emb))
     assigned = _sim.ivf_assign_cells(emb, dim=64, n_cells=n_cells)
     x = assigned.select(
         "cell", F.posexplode("embedding").alias("d0", "xv")
@@ -924,19 +976,36 @@ def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not evals:
         return spark.createDataFrame([], out_schema)
+    # Hoist both norms out of the 40x query fan-out (r14): the corpus
+    # row's norm is computed ONCE per row before the explode, and each
+    # query's norm ships as a literal computed by _norm_sq_py — the
+    # established bit-exact Python twin of the engines' sequential fold
+    # (same pattern as _cos_micro_to).  The product keeps the original
+    # operand order (row norm * query norm), so every cosine bit
+    # matches the pre-r14 three-fold form while the per-pair fold work
+    # drops from 3 dot products to 1.
     qarr = F.array(
         *[
             F.struct(
                 F.lit(int(r["vec_id"])).cast("long").alias("qid"),
                 F.lit(int(r["label"])).alias("qlabel"),
                 _sim._vec_lit([float(x) for x in r["embedding"]]).alias("qv"),
+                F.lit(
+                    _sim._norm_sq_py([float(x) for x in r["embedding"]])
+                ).alias("qq"),
             )
             for r in evals
         ]
     )
     sc = (
         emb.where(~is_eval)
-        .select("vec_id", "label", "embedding", F.explode(qarr).alias("q"))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            _sim.dot_fold(F.col("embedding"), F.col("embedding")).alias("en"),
+        )
+        .select("vec_id", "label", "embedding", "en", F.explode(qarr).alias("q"))
         .select(
             F.col("q.qid").alias("qid"),
             F.col("q.qlabel").alias("qlabel"),
@@ -945,10 +1014,7 @@ def emb_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (
                     _sim.dot_fold(F.col("embedding"), F.col("q.qv"))
-                    / F.sqrt(
-                        _sim.dot_fold(F.col("embedding"), F.col("embedding"))
-                        * _sim.dot_fold(F.col("q.qv"), F.col("q.qv"))
-                    )
+                    / F.sqrt(F.col("en") * F.col("q.qq"))
                 )
                 * 1000000
             )
