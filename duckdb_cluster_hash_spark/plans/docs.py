@@ -2580,14 +2580,18 @@ def docs_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ratio >= 1 (and >= 2^20 after scaling) even on a degenerate
     empty-train split, so bin() never sees 0.
 
-    Scale: the model is vocab-bounded (c12/c1 broadcast into the eval
-    join); eval bigrams collapse to DISTINCT (doc, ratio) rows BEFORE
-    the log chain, so the 10 iterations run on the grouped table, not
-    the bigram stream; the stratum mean is a keyed window (no global
-    exchange).  The one scalar is V (train vocab size), a 1-row
-    broadcast cross join.  At scales where (c1+V+1) << 20 nears
-    int64 (prefix counts ~2^42), both sides would drop the scale
-    factor to 2^10 in lockstep.
+    Scale: bigrams explode MAP-SIDE from each doc's token array
+    (adjacent element_at pairs — r14; the previous shape posexploded
+    the token stream and SELF-JOINED it on (doc_id, p+1), shuffling
+    the full corpus token stream twice to recover adjacency the array
+    already encodes); the model is vocab-bounded (c12/c1 broadcast
+    into the eval join); eval bigrams collapse to DISTINCT (doc,
+    ratio) rows BEFORE the log chain, so the 10 iterations run on the
+    grouped table, not the bigram stream; the stratum mean is a keyed
+    window (no global exchange).  The one scalar is V (train vocab
+    size), a 1-row broadcast cross join.  At scales where (c1+V+1)
+    << 20 nears int64 (prefix counts ~2^42), both sides would drop
+    the scale factor to 2^10 in lockstep.
     """
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source",
@@ -2597,17 +2601,24 @@ def docs_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
         F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0).alias("ts"),
     )
-    pos = docs.select(
-        "doc_id", "lang", "source", "b", F.posexplode("ts").alias("p0", "tok")
-    ).withColumn("p", F.col("p0") + 1).drop("p0")
-    a, c = pos.alias("a"), pos.alias("c")
-    bi = a.join(
-        c,
-        (F.col("c.doc_id") == F.col("a.doc_id")) & (F.col("c.p") == F.col("a.p") + 1),
-    ).select(
-        F.col("a.doc_id").alias("doc_id"), F.col("a.lang").alias("lang"),
-        F.col("a.source").alias("source"), F.col("a.b").alias("b"),
-        F.col("a.tok").alias("w1"), F.col("c.tok").alias("w2"),
+    # guard BEFORE the sequence: Spark's sequence(1, 0) DESCENDS, so a
+    # 1-token doc must be filtered out, exactly like the coverage query
+    bi = (
+        docs.where(F.size("ts") >= 2)
+        .select(
+            "doc_id", "lang", "source", "b",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1), "
+                    "i -> struct(element_at(ts, i) AS w1, "
+                    "element_at(ts, i + 1) AS w2))"
+                )
+            ).alias("pr"),
+        )
+        .select(
+            "doc_id", "lang", "source", "b",
+            F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"),
+        )
     )
     c12 = (
         bi.where(F.col("b") < 9)
@@ -2616,7 +2627,8 @@ def docs_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
     vocab = (
-        pos.where(F.col("b") < 9)
+        docs.where(F.col("b") < 9)
+        .select(F.explode("ts").alias("tok"))
         .agg(F.countDistinct("tok").cast("bigint").alias("v"))
     )
     ev = (
