@@ -1687,29 +1687,29 @@ def parts_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("(sum(d) div count(*)) + 1 AS k")
         .head()[0]
     )
-    # Each round checkpoints the KEEP vertex set once (the degree
-    # shuffle runs exactly once per round); the graded counts are
-    # deferred to ONE union-of-aggregates job over the six checkpointed
-    # tables (each leg a count over an ExistingRDD scan — no shuffle
-    # re-run), then the 3-row trajectory is a driver-side
-    # createDataFrame, so collecting the result re-runs nothing.
+    # ONE checkpoint job per round (r14): keep stays LAZY inside the
+    # cur build — its degree-aggregate exchange feeds both semi-joins
+    # and is planned once (ReuseExchange/ReusedBroadcast dedupe the
+    # identical subtree), so materializing keep separately only added a
+    # serialized job per round that the bench's FAIR queue charged at
+    # full contention price.  The graded counts are deferred to ONE
+    # union-of-aggregates job at the end (keep legs re-derive one
+    # degree exchange each off the previous round's CHECKPOINTED edge
+    # table — cheap, and all six legs run inside a single job), then
+    # the 3-row trajectory is a driver-side createDataFrame, so
+    # collecting the result re-runs nothing.  8 jobs -> 5.
     cur = edges
     ckpts = []
     rounds = []
     for r in range(1, 4):
-        keep = (
-            degrees(cur)
-            .where(F.col("d") >= k)
-            .select("p")
-            .localCheckpoint(eager=True)
-        )
+        keep = degrees(cur).where(F.col("d") >= k).select("p")
         cur = (
             cur.join(keep.withColumnRenamed("p", "p1"), "p1", "leftsemi")
             .join(keep.withColumnRenamed("p", "p2"), "p2", "leftsemi")
             .select("p1", "p2")
             .localCheckpoint(eager=True)
         )
-        ckpts += [keep, cur]
+        ckpts.append(cur)
         rounds.append((r, keep, cur))
     counts_df = None
     for r, keep, cur_ in rounds:
