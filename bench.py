@@ -251,6 +251,8 @@ def main() -> int:
         "docs_quality_perceptron",  # trajectory memo
         "docs_unigram_lm_train",  # unigram trainer memo (full corpus)
         "docs_unigram_lm_encode",  # unigram trainer memo (train90 split)
+        "docs_coverage_greedy_selection",  # bigram (doc, tok) table memo
+        "customer_rfm_segments",  # 3 ranking cut-point memos
         "docs_image_neardup_pairs",  # pnm dHash table memo
         "docs_audio_neardup_pairs",  # wav energy-dHash table memo
         "docs_video_neardup_pairs",  # y4m luma-dHash table memo
