@@ -105,13 +105,24 @@ def docs_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized winnow fingerprint table (r14): the fingerprint
+    query and the source-contamination matrix both consume the same
+    (doc_id, fp) minima — one windowed gram pass per corpus per session
+    instead of one per consumer."""
+    docs = _t(spark, sf_dir, "documents")
+    return _dd._shared_checkpoint(
+        docs,
+        ("winnow_fp", 3, 4),
+        lambda: _dd.winnow_fingerprints(docs, "doc_id", "text", n=3, window=4),
+    )
+
+
 @query("docs_winnow_fingerprints", oracle=_ot.winnow_fingerprints_sql(3, 4))
 def docs_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (C6): distinct sliding-window minima of
     3-gram hashes, window 4 — the local fingerprinting scheme."""
-    return _dd.winnow_fingerprints(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, window=4
-    )
+    return _winnow_fp_shared(spark, sf_dir)
 
 
 @query("docs_neardup_components", oracle=_ot.neardup_components_sql(3, 16, 8, 2, 0.2))
@@ -835,7 +846,7 @@ def docs_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final matrix is |sources|^2-bounded.
     """
     docs = _t(spark, sf_dir, "documents")
-    wf = _dd.winnow_fingerprints(docs, "doc_id", "text", 3, 4)
+    wf = _winnow_fp_shared(spark, sf_dir)
     d = (
         wf.join(docs.select("doc_id", "source"), "doc_id")
         .select("source", "fp")
