@@ -599,7 +599,8 @@ def main() -> int:
         lines.append(
             "iterative-graph measurement-state footnote (measured in "
             f"THIS run): {pairs} — same plan, same data, same session, "
-            "memo clears active (neither query holds a session memo), "
+            "memo clears active (clear_shared_cache drops the r14 shared "
+            "edge-table memo between timings, so both timings rebuild it), "
             "so the first-vs-re-run spread bounds the pure "
             "measurement-state component (JVM codegen/JIT on first "
             "execution, page-cache/GC state after the big-factor "
