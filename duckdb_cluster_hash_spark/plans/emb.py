@@ -32,21 +32,49 @@ _EMB_PROBE: "weakref.WeakKeyDictionary[DataFrame, dict]" = (
 _EMB_PROBE_LOCK = threading.Lock()
 
 
-def _emb_n(emb: DataFrame) -> int:
+def _emb_probe(emb: DataFrame, key: str, compute):
+    """One prober per (corpus, key); the global lock guards only the memo
+    dict, never a Spark action — under the bench's 8-way contention the
+    old whole-probe lock serialized every emb query's probe behind
+    whichever probe was in flight, even for a different key.  Same
+    builder/Event pattern as dedup._shared_checkpoint: concurrent
+    requesters of the SAME key block on the builder's event; a failed
+    builder unregisters so a later caller rebuilds."""
     with _EMB_PROBE_LOCK:
         memo = _EMB_PROBE.setdefault(emb, {})
-        if "n" not in memo:
-            memo["n"] = int(emb.count())
-        return memo["n"]
+        entry = memo.get(key)
+        if entry is None:
+            entry = {"done": threading.Event(), "val": None, "ok": False}
+            memo[key] = entry
+            is_builder = True
+        else:
+            is_builder = False
+    if is_builder:
+        try:
+            entry["val"] = compute()
+            entry["ok"] = True
+        except BaseException:
+            with _EMB_PROBE_LOCK:
+                memo.pop(key, None)  # let a later caller rebuild
+            entry["done"].set()
+            raise
+        entry["done"].set()
+        return entry["val"]
+    entry["done"].wait()
+    if not entry["ok"]:  # builder failed after we enqueued; rebuild
+        return _emb_probe(emb, key, compute)
+    return entry["val"]
+
+
+def _emb_n(emb: DataFrame) -> int:
+    return _emb_probe(emb, "n", lambda: int(emb.count()))
 
 
 def _emb_q0(emb: DataFrame):
     """The vec_id = 0 probe row (vec_id, label, embedding)."""
-    with _EMB_PROBE_LOCK:
-        memo = _EMB_PROBE.setdefault(emb, {})
-        if "q0" not in memo:
-            memo["q0"] = emb.where(F.col("vec_id") == 0).head()
-        return memo["q0"]
+    return _emb_probe(
+        emb, "q0", lambda: emb.where(F.col("vec_id") == 0).head()
+    )
 
 
 def _clear_emb_probe(df=None) -> int:

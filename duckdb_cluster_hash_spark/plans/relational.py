@@ -1886,8 +1886,8 @@ def parts_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 "explode(flatten(transform(sequence(1, size(us) - 1), "
                 "i -> transform(sequence(i + 1, size(us)), "
-                "j -> struct(element_at(us, i) AS a, "
-                "element_at(us, j) AS b)))))"
+                "j -> struct(CAST(element_at(us, i) AS BIGINT) AS a, "
+                "CAST(element_at(us, j) AS BIGINT) AS b)))))"
             ).alias("p"),
             F.expr("CAST((1 << 20) div l1024 AS BIGINT)").alias("wv"),
         )

@@ -51,6 +51,33 @@ def main() -> int:
             names.append(args[i])
             i += 1
 
+    # Same calm discipline as bench.py (this script is the round's
+    # before/after evidence harness — an isolated wall measured in a
+    # neighbor-storm window must never be stamped as evidence unmarked):
+    # wait for ambient 1-min load <= the calm gate, and bracket the runs
+    # with bench.py's serial CPU probe so a storm that STARTS mid-run is
+    # visible in the payload.
+    import bench as _bench
+
+    calm_gate = float(os.environ.get("SPARK_GRAFT_BENCH_CALM_GATE", "4"))
+    calm_wait = float(os.environ.get("SPARK_GRAFT_BENCH_CALM_WAIT", "600"))
+    waited = 0.0
+    try:
+        load1 = round(os.getloadavg()[0], 1)
+    except OSError:
+        load1 = None
+    while load1 is not None and load1 > calm_gate and waited < calm_wait:
+        print(
+            f"calm-gate: ambient load {load1} > {calm_gate}, waiting "
+            f"({waited:.0f}/{calm_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        waited += 30
+        load1 = round(os.getloadavg()[0], 1)
+    noisy = (load1 > calm_gate) if load1 is not None else None
+    probe_ms_pre = _bench._cpu_probe_ms()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
@@ -63,6 +90,9 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # match bench.py: coalesce post-shuffle partitions by data size
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -88,7 +118,23 @@ def main() -> int:
         results[name] = runs
         print(f"{name}: {runs}", file=sys.stderr)
 
-    payload = json.dumps(results)
+    probe_ms_post = _bench._cpu_probe_ms()
+    if _bench._probe_degraded(probe_ms_pre, probe_ms_post):
+        print(
+            f"probe-guard: serial probe degraded {probe_ms_pre}→"
+            f"{probe_ms_post}ms during the runs; stamping noisy",
+            file=sys.stderr,
+        )
+        noisy = True
+    payload = json.dumps(
+        {
+            "ambient_load1": load1,
+            "noisy": noisy,
+            "probe_ms_pre": probe_ms_pre,
+            "probe_ms_post": probe_ms_post,
+            "runs": results,
+        }
+    )
     if out:
         with open(out, "w") as fh:
             fh.write(payload)
