@@ -2331,27 +2331,35 @@ def events_histogram_quantile_sketch(
         .selectExpr("CAST(vc AS BIGINT) AS exact_cents", "rn", "n")
         .localCheckpoint(eager=True)
     )
-    legs = []
-    for q in _HQ_QUANTILES:
-        est = (
-            cum.crossJoin(F.broadcast(tot))
-            .filter(F.expr(f"1000 * csum >= {q} * n"))
-            .agg(F.min("ub").cast("bigint").alias("est_upper_cents"))
-        )
-        exact = exacts.filter(
-            F.expr(f"rn = ({q} * n + 999) div 1000")
-        ).select("exact_cents")
-        legs.append(
-            est.crossJoin(exact).selectExpr(
-                f"CAST({q} AS BIGINT) AS q_permille",
-                "est_upper_cents",
-                "exact_cents",
-            )
-        )
-    out = legs[0]
-    for leg in legs[1:]:
-        out = out.unionByName(leg)
-    return out.orderBy("q_permille")
+    # ONE non-equi join of the |quantiles|-row target table against the
+    # bin-bounded cumulative table replaces the three unioned
+    # scalar-agg legs (r15, VERDICT item 7): the legs each re-planned
+    # the cum/exacts subtrees and union-stitched three 1-row frames —
+    # three covering-bin aggregates and a 3-way union for what is one
+    # grouped min.  The BroadcastNestedLoopJoins this introduces carry
+    # (a) targets x cum — |quantiles| * (<=16*log2(max)) bin rows, a
+    # domain bound, never data — and (b) targets x exacts — 3 x (<=3)
+    # rows; both are final-stitch shapes, waived in audit_plans with
+    # these row bounds.  The corpus-side work (bin groupBy, rank pass)
+    # is untouched.
+    targets = spark.createDataFrame(
+        [(int(q),) for q in _HQ_QUANTILES], "q_permille bigint"
+    )
+    est = (
+        cum.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(targets), F.expr("1000 * csum >= q_permille * n"))
+        .groupBy("q_permille")
+        .agg(F.min("ub").cast("bigint").alias("est_upper_cents"))
+    )
+    exact = exacts.join(
+        F.broadcast(targets),
+        F.expr("rn = (q_permille * n + 999) div 1000"),
+    ).select("q_permille", "exact_cents")
+    return (
+        est.join(exact, "q_permille")
+        .select("q_permille", "est_upper_cents", "exact_cents")
+        .orderBy("q_permille")
+    )
 
 
 @query(

@@ -148,11 +148,13 @@ WAIVERS: dict[str, str] = {
         "in one keyed map-side-combined aggregate"
     ),
     "events_histogram_quantile_sketch": (
-        "the nested-loops are 1-row stitches (total count x per-quantile "
-        "covering-bin scalar x exact ride-along scalar) and the "
-        "SinglePartition exchanges are the <=16*log2(max)-row bin table's "
-        "prefix sum, global_row_number's 256-row offsets, and the 1-row "
-        "legs; the unpushed filter is vc >= 0 over the computed "
+        "the nested-loops are the 3-row quantile-target table joined "
+        "non-equi against (a) the <=16*log2(max)-row cumulative bin "
+        "table (domain-bounded, never data-bounded) and (b) the <=3-row "
+        "exact-rank ride-along — final stitches, r15 VERDICT item 7; "
+        "the SinglePartition exchanges are the bin table's prefix sum, "
+        "global_row_number's 256-row offsets, and the 3-row final "
+        "orderBy; the unpushed filter is vc >= 0 over the computed "
         "value-cents column; the corpus itself sees one map-side-combined "
         "bin groupBy plus the range-partitioned rank pass"
     ),
