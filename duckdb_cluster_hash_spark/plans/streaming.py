@@ -14,6 +14,23 @@ from duckdb_cluster_hash_spark.plans._registry import _t, query
 from duckdb_cluster_hash_spark.plans._shared import _USER_TAG_KEY_SQL
 
 
+def _stream_session(spark: SparkSession, stage_dir: str) -> SparkSession:
+    """Isolated session clone (shared SparkContext) whose shuffle width —
+    and therefore state-store partition count — is DERIVED from the
+    staged replay volume (streaming/events.staged_stream_shuffle_partitions)
+    instead of the fixed 8 used through round 14: at sf0.1 every staged
+    replay is ≤2 MB, so the state store opens/commits ONE partition per
+    micro-batch rather than 8 (7 of them empty), and at 100 TB the same
+    rule widens with the data.  The clone keeps the width off the shared
+    session's batch config."""
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_ev.staged_stream_shuffle_partitions(stage_dir)),
+    )
+    return s2
+
+
 @query(
     "events_streaming_hourly",
     oracle=(
@@ -50,12 +67,7 @@ def events_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ev.stage_events_as_stream(
         spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
     )
-    # Isolated session clone (shared SparkContext): the hourly state is a
-    # few hundred (window, type) keys, so 32 state-store partitions are
-    # ~all empty — 8 cuts the per-batch store open/commit overhead 4x
-    # without touching the shared session's shuffle width.
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("recursiveFileLookup", "true")
@@ -142,8 +154,7 @@ def events_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_late_{base}")
     _ev.stage_events_three_phase(spark, sf_dir, stage_dir)
-    s2 = spark.newSession()  # narrow state-store width, isolated from the
-    s2.conf.set("spark.sql.shuffle.partitions", "8")  # shared session
+    s2 = _stream_session(spark, stage_dir)
     # Sanity: staging routes every global-argmax row to phase 0, so the
     # staged phase-0 max must equal the corpus max on ANY corpus.  A
     # mismatch means the staging rule itself regressed — fail loudly.
@@ -227,10 +238,7 @@ def events_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ev.stage_events_as_stream(
         spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
     )
-    s2 = spark.newSession()
-    # joint join state is a few thousand keys: 8 state-store partitions
-    # cut per-batch open/commit overhead without touching shared config
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("recursiveFileLookup", "true")
@@ -300,8 +308,7 @@ def events_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_dup_{base}")
     _ev.stage_events_with_duplicates(spark, sf_dir, stage_dir)
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -376,8 +383,7 @@ def events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ev.stage_events_as_stream(
         spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
     )
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("recursiveFileLookup", "true")
@@ -440,8 +446,7 @@ def events_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ev.stage_events_as_stream(
         spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
     )
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("recursiveFileLookup", "true")
@@ -534,8 +539,7 @@ def events_streaming_outer_attribution(
     _ev.stage_events_as_stream(
         spark, sf_dir, stage_dir, n_chunks=1, single_file_chunks=False
     )
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("recursiveFileLookup", "true")
@@ -617,8 +621,7 @@ def events_streaming_routed_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_routed_ck_{base}")
     _sh.rmtree(out_dir, ignore_errors=True)
     _sh.rmtree(ckpt_dir, ignore_errors=True)
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.EVENTS_SCHEMA)
         .option("recursiveFileLookup", "true")
@@ -700,8 +703,7 @@ def docs_streaming_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_docs_{base}")
     _ev.stage_documents_as_stream(spark, sf_dir, stage_dir)
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -810,8 +812,7 @@ def docs_streaming_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage_dir = _os.path.join(_tf.gettempdir(), f"dch_stream_docs_{base}")
     _ev.stage_documents_as_stream(spark, sf_dir, stage_dir)
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2 = _stream_session(spark, stage_dir)
     stream = (
         s2.readStream.schema(_ev.DOCS_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)

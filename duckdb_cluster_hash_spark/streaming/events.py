@@ -70,6 +70,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "DOCS_STREAM_SCHEMA",
     "stage_documents_as_stream",
+    "staged_stream_shuffle_partitions",
     "stage_events_as_stream",
     "stage_events_three_phase",
     "stage_events_with_duplicates",
@@ -225,6 +226,34 @@ def _stage_once(out_dir: str, params: tuple, write) -> None:
             return
         write()
         _STAGED.add(key)
+
+
+def staged_stream_shuffle_partitions(
+    stage_dir: str, target_bytes: int = 32 << 20
+) -> int:
+    """State-store width DERIVED FROM THE STAGED REPLAY VOLUME — one
+    shuffle partition per ``target_bytes`` of staged parquet, floor 1.
+
+    The fixed width 8 used through round 14 was a constant tuned to
+    neither scale: at sf0.1 (≤2 MB staged) 7 of the 8 state-store
+    partitions were empty, yet every micro-batch still paid their store
+    opens/commits (a 3-batch replay = 24 commits where 3 suffice), and
+    at 100 TB a width of 8 would be absurdly narrow.  Deriving from the
+    input volume gives 1 at test scale and thousands at cluster scale
+    from the same rule; the per-batch state commit count scales with the
+    data instead of with a constant.  Partition count never changes
+    which rows a stateful operator sees for a key (hash partitioning by
+    key is total), so results are unchanged at any width.
+    """
+    total = 0
+    for root, _dirs, files in os.walk(stage_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return max(1, -(-total // target_bytes))
 
 
 def stage_documents_as_stream(
