@@ -124,6 +124,19 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by DATA SIZE, not core count:
+        # with the default parallelismFirst=true AQE targets the 1MB
+        # minPartitionSize to maximize parallelism, so a 200KB shuffle
+        # still fans out to `shuffle.partitions` near-empty tasks — at 32
+        # cores that is pure scheduling overhead, and the r14 8-vs-32-core
+        # probe measured three queries FASTER at 8 cores (kcore 0.56,
+        # set-sim 0.75, streaming ingest 0.45 low/high ratio).  With
+        # parallelismFirst=false AQE honors the advisory size (a data
+        # quantity — the same setting that sizes partitions at 100 TB),
+        # so tiny shuffles collapse to one task and big shuffles still
+        # fan out by bytes.  Nothing here is tuned to local[32].
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
@@ -230,52 +243,59 @@ def main() -> int:
     from duckdb_cluster_hash_spark.operators.dedup import clear_shared_cache
     from duckdb_cluster_hash_spark.operators.ranking import release_rank_pins
 
-    # PRESTAGE (untimed): one-time session staging — memoized checkpoint
-    # builds (LSH components, Gopher bigrams, substring run tables,
-    # simhash signatures, the perceptron trajectory) and the streaming
-    # replay stage dirs — used to land INSIDE the first timed run, so the
-    # driver's single cold run read 12-17s above the warm median of the
-    # same code (r12: runs [73.3, 55.8, 61.8]).  Running the known
-    # stagers once through the same pool before the clock starts makes a
-    # single-run bench measure the same steady state as a repeats>=3
-    # median; per-call compute (iterative peels, windows, joins) is NOT
-    # cached by these queries, so the timed run still pays every
-    # non-memoized cost.  Memos are cleared between repeat runs, so the
-    # prestage re-runs before every timed run to keep runs comparable.
-    prestage_names = [
-        "docs_curation_pipeline",  # gopher + LSH components + cut memos
-        "docs_minhash_neardup_pairs",  # mh_sigs/ngram_sets/mh_pairs memos
-        "docs_exact_substring_dedup",  # substring run-table memo
-        "docs_set_similarity_join",  # shingle/prefix-index memo
-        "docs_simhash_neardup_pairs",  # simhash64 signature memo
-        "docs_quality_perceptron",  # trajectory memo
-        "docs_unigram_lm_train",  # unigram trainer memo (full corpus)
-        "docs_unigram_lm_encode",  # unigram trainer memo (train90 split)
-        "docs_coverage_greedy_selection",  # bigram (doc, tok) table memo
-        "customer_rfm_segments",  # 3 ranking cut-point memos
-        "docs_image_neardup_pairs",  # pnm dHash table memo
-        "docs_audio_neardup_pairs",  # wav energy-dHash table memo
-        "docs_video_neardup_pairs",  # y4m luma-dHash table memo
-        "parts_link_prediction",  # shared part-edge memo (also k-core) + codegen warm
-        "parts_brand_pagerank",  # shared (order,brand) basket + brand-edge memos
-        "emb_pca_power_iteration",  # gram/checkpoint warm
-        "events_streaming_routed_sink",  # dch_stream_stage_ replay dir
-        "events_streaming_late_data",  # dch_stream_late_ replay dir
-        "events_streaming_dedup_replay",  # dch_stream_dup_ replay dir
-        "docs_streaming_neardup_ingest",  # dch_stream_docs_ replay dir
-    ]
-    prestage_items = [
-        (n, QUERIES[n]) for n in prestage_names if n in QUERIES
+    # PRESTAGE (untimed): FIXTURE SETUP ONLY.  Through round 14 this list
+    # had grown to 20 full catalog queries whose session-memo builds
+    # (set-sim prefix tables, graph edge tables, signature tables, ...)
+    # ran off the clock — 49.6s untimed against a 65.5s timed makespan in
+    # the r14 driver artifact.  Disclosed or not, that moved real compute
+    # out of the timed region (VERDICT r14 item 1), so from round 15 the
+    # prestage is ONLY the four streaming replay stage-dir writes: pure
+    # one-time fixture I/O (writing the replay parquet directories the
+    # file-source streams consume — the streaming analogue of the
+    # /root/testdata input files themselves), invoked directly rather
+    # than through the catalog queries so no query compute can hide here.
+    # EVERY memo build now runs inside the timed region; memos are still
+    # cleared between repeat runs (clear_shared_cache below), so each
+    # timed run pays every memo build — run 1 and run N measure the same
+    # cold-memo semantics.
+    import tempfile as _tf
+
+    from duckdb_cluster_hash_spark.streaming import events as _sev
+
+    _base = "".join(
+        c if c.isalnum() else "_" for c in os.path.basename(sf_dir.rstrip("/"))
+    )
+    _tmp = _tf.gettempdir()
+    fixture_stagers = [
+        # one-chunk event replay dir (hourly/attribution/sessions/
+        # user_totals/outer_attribution/routed_sink)
+        lambda: _sev.stage_events_as_stream(
+            spark, sf_dir, os.path.join(_tmp, f"dch_stream_stage_{_base}"),
+            n_chunks=1, single_file_chunks=False,
+        ),
+        # three-phase watermark replay dir (late_data)
+        lambda: _sev.stage_events_three_phase(
+            spark, sf_dir, os.path.join(_tmp, f"dch_stream_late_{_base}")
+        ),
+        # duplicate-redelivery replay dir (dedup_replay)
+        lambda: _sev.stage_events_with_duplicates(
+            spark, sf_dir, os.path.join(_tmp, f"dch_stream_dup_{_base}")
+        ),
+        # three-chunk documents replay dir (neardup_ingest/media_dedup)
+        lambda: _sev.stage_documents_as_stream(
+            spark, sf_dir, os.path.join(_tmp, f"dch_stream_docs_{_base}")
+        ),
     ]
 
     def prestage() -> float:
         t0 = time.time()
-        with ThreadPoolExecutor(max_workers=workers) as ex:
-            list(ex.map(lambda kv: run_one(*kv), prestage_items))
+        with ThreadPoolExecutor(max_workers=len(fixture_stagers)) as ex:
+            list(ex.map(lambda f: f(), fixture_stagers))
         dt = round(time.time() - t0, 3)
         print(
-            f"prestage: {len(prestage_items)} stagers in "
-            f"{dt:.1f}s (untimed)",
+            f"prestage: {len(fixture_stagers)} replay-dir fixture writes "
+            f"in {dt:.1f}s (untimed; staging is once per process — "
+            f"repeat runs cost ~0)",
             file=sys.stderr,
         )
         return dt
@@ -327,7 +347,16 @@ def main() -> int:
     # makespan under FAIR scheduling with `workers` threads; `queries_sum` =
     # sum of per-query walls under contention (the round-over-round
     # comparable).  Full per-query map + deltas go to BENCH_LOCAL.json.
-    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    # 15 slowest + every query the PREVIOUS artifact carried, so the
+    # round-over-round perf join never degenerates to 4 rows or emits a
+    # phantom "dropped_from_bench" for a query that merely left the
+    # top-N (r14's PERF could compare only 4 queries).  ~20 entries x
+    # ~45 bytes stays far under the r02 tail-capture truncation bound
+    # (r02 died mid-way through a 92-entry map).
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    for q in prev.get("queries", {}):
+        if q in timings:
+            top.setdefault(q, timings[q])
     probe_ms_post = _cpu_probe_ms()
     if _probe_degraded(probe_ms_pre, probe_ms_post):
         print(
