@@ -4199,6 +4199,15 @@ UNIGRAM_MAX_PIECE = 4  # seed substrings of length 2..4; singles always kept
 UNIGRAM_SEED = 256  # multi-char seed inventory size (top by weighted freq)
 UNIGRAM_ITERS = 3  # prune iterations; trajectory rows it = 0..3
 
+# Adaptive driver cutover (see unigram_train; the BPE trainer's cap
+# pattern): word-frequency tables that probe at or under this many
+# DISTINCT WORDS train entirely on the driver — one limit-capped collect
+# replaces 2 seed collects + (k+1) multi-stage E-step jobs.  8192 words
+# x <=16 chars is ~2M dict operations across seed + 4 segmentations
+# (well under a second); the cap bounds driver work by construction,
+# never by data size.  Above it the distributed loop runs unchanged.
+_UNIGRAM_DRIVER_CAP = 8192
+
 
 def mlog2_1024_py(x: int) -> int:
     """Pure-Python twin of the shared integer log2 snippet
@@ -4316,6 +4325,63 @@ def _unigram_wordfreq(docs: DataFrame, where=None) -> DataFrame:
     )
 
 
+def _unigram_train_driver(
+    vocab: list[tuple[str, int]], k: int
+) -> tuple[list[tuple[int, int, int, int]], list[str]]:
+    """Driver-side LITERAL transcription of the distributed unigram
+    trainer (the ≤ _UNIGRAM_DRIVER_CAP path of :func:`unigram_train`):
+    same seed rule (singles + top-UNIGRAM_SEED weighted substrings of
+    length 2..UNIGRAM_MAX_PIECE, ties lexicographic — [a-z]+ pieces, so
+    Python str order == both engines' ASC), same greedy longest-match
+    E-step (position-wise max matched length, single-char fallback,
+    cursor advance — unigram_greedy_tokens' walk), same mlog2 M-step and
+    count-ranked prune.  Trajectory bit-identical by construction;
+    pinned against the distributed loop by
+    tests/test_training.py::test_unigram_distributed_loop_matches_driver_cutover."""
+    mp = UNIGRAM_MAX_PIECE
+    wcnt: dict = {}
+    chars: set = set()
+    for w, f in vocab:
+        chars.update(w)
+        n = len(w)
+        for st0 in range(0, n - 1):
+            for ln in range(2, min(mp, n - st0) + 1):
+                piece = w[st0 : st0 + ln]
+                wcnt[piece] = wcnt.get(piece, 0) + f
+    top = sorted(wcnt.items(), key=lambda kv: (-kv[1], kv[0]))[:UNIGRAM_SEED]
+    pieces = sorted(chars) + sorted(p for p, _ in top)
+    rows: list[tuple[int, int, int, int]] = []
+    for it in range(0, k + 1):
+        piece_set = set(pieces)
+        counts = {p: 0 for p in pieces}
+        for w, f in vocab:
+            n = len(w)
+            p0 = 0
+            while p0 < n:
+                bl = 0
+                for ln in range(min(mp, n - p0), 1, -1):
+                    if w[p0 : p0 + ln] in piece_set:
+                        bl = ln
+                        break
+                adv = bl if bl > 0 else 1
+                tok = w[p0 : p0 + adv]
+                if tok in counts:
+                    counts[tok] += f
+                p0 += adv
+        total = sum(counts.values())
+        lt = mlog2_1024_py(total) if total > 0 else 0
+        bits = sum(
+            c * (lt - mlog2_1024_py(c)) for c in counts.values() if c > 0
+        )
+        rows.append((it, len(pieces), total, bits))
+        if it < k:
+            keep_k = UNIGRAM_SEED >> (it + 1)
+            multi = sorted((-counts[p], p) for p in pieces if len(p) > 1)
+            kept = {p for _, p in multi[:keep_k]}
+            pieces = [p for p in pieces if len(p) == 1 or p in kept]
+    return rows, pieces
+
+
 def unigram_train(
     spark: SparkSession, wf: DataFrame, k: int = UNIGRAM_ITERS
 ) -> tuple[list[tuple[int, int, int, int]], list[str]]:
@@ -4343,6 +4409,9 @@ def unigram_train(
     distribute.
     """
     wf = wf.localCheckpoint(eager=True)
+    probe = wf.limit(_UNIGRAM_DRIVER_CAP + 1).collect()
+    if len(probe) <= _UNIGRAM_DRIVER_CAP:
+        return _unigram_train_driver([(r["w"], int(r["f"])) for r in probe], k)
     subs = (
         # st caps at length(w) - 1 so the inner bound least(4, len-st+1)
         # stays >= 2: Spark's sequence(2, 1) DESCENDS ([2, 1]) where

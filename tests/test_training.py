@@ -373,6 +373,37 @@ def test_unigram_trainer_matches_reference(spark):
     assert sorted(got_pieces) == sorted(want_pieces)
 
 
+def test_unigram_distributed_loop_matches_driver_cutover(spark, monkeypatch):
+    """The above-cap DISTRIBUTED trainer — seed collects + per-iteration
+    greedy-walk E-step jobs, the code that actually runs at large scale
+    — is dead at every tested vocab size because sf0.001–0.1 corpora all
+    probe under _UNIGRAM_DRIVER_CAP (the r15 cutover).  Force it by
+    pinning the cap to 0 and assert the full (trajectory, final pieces)
+    pair is bit-identical to the driver transcription's on the same
+    runs/prefix/boundary-word corpus."""
+    from duckdb_cluster_hash_spark.plans import docs as docs_mod
+
+    corpus = {
+        "banana": 7,
+        "bandana": 3,
+        "ananas": 5,
+        "data": 9,
+        "dataset": 4,
+        "database": 2,
+        "aaaa": 6,
+        "aaab": 1,
+        "abababababababab": 2,
+        "zq": 1,
+    }
+    wf = spark.createDataFrame(list(corpus.items()), "w string, f bigint")
+    driver_rows, driver_pieces = docs_mod.unigram_train(spark, wf, k=3)
+    assert driver_rows, "driver cutover produced no trajectory"
+    monkeypatch.setattr(docs_mod, "_UNIGRAM_DRIVER_CAP", 0)
+    dist_rows, dist_pieces = docs_mod.unigram_train(spark, wf, k=3)
+    assert dist_rows == driver_rows
+    assert dist_pieces == driver_pieces
+
+
 def test_unigram_encode_fallback_for_unknown_chars(spark):
     """Held-out text with characters absent from the training inventory
     must fall back to single-char tokens (the byte-fallback rule), not
