@@ -1223,7 +1223,11 @@ def _jl_signs(k_dims: int, dim: int) -> list[list[float]]:
 
 
 def jl_projection_quality(
-    emb: DataFrame, k_dims: int = 16, n_cand: int = 20, dim: int = 64
+    emb: DataFrame,
+    k_dims: int = 16,
+    n_cand: int = 20,
+    dim: int = 64,
+    qvec: "list[float] | None" = None,
 ) -> DataFrame:
     """Johnson–Lindenstrauss sign-projection quality probe: project the
     64-dim embeddings to ``k_dims`` dims with a deterministic +-1 sign
@@ -1241,10 +1245,13 @@ def jl_projection_quality(
     only the bounded candidate pool computes both-space cosines.
     """
     signs = _jl_signs(k_dims, dim)
-    qvec = [
-        float(x)
-        for x in emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
-    ]
+    if qvec is None:  # caller may pass the memoized probe row (plans/emb)
+        qvec = [
+            float(x)
+            for x in emb.where(F.col("vec_id") == 0)
+            .select("embedding")
+            .head()[0]
+        ]
 
     def fold_signed_py(vec: list[float], w: list[float]) -> float:
         acc = 0.0

@@ -2316,9 +2316,12 @@ def events_histogram_quantile_sketch(
     tot = v.agg(F.count("*").cast("bigint").alias("n"))
     # exact ride-along: global rank over values (literal-cut buckets, no
     # single-partition sort), then pick the ceil(q*n/1000)-th value —
-    # ALL quantile targets filtered in ONE pass over the ranked frame
-    # and the (<= |quantiles|)-row result eagerly checkpointed, so the
-    # corpus-wide rank job runs once, not once per quantile leg
+    # ALL quantile targets filtered in ONE pass over the ranked frame.
+    # The r14 eager checkpoint here existed because the three unioned
+    # legs each referenced this subtree; the single non-equi join below
+    # (r15) references it exactly once, so the checkpoint became a pure
+    # extra serialized job and is gone — one fewer action to wait a
+    # FAIR-queue turn under the bench's 8-way contention.
     ranked = global_row_number(
         v, [F.col("vc")], out_col="rn"
     )
@@ -2329,7 +2332,6 @@ def events_histogram_quantile_sketch(
         ranked.crossJoin(F.broadcast(tot))
         .filter(F.expr(any_target))
         .selectExpr("CAST(vc AS BIGINT) AS exact_cents", "rn", "n")
-        .localCheckpoint(eager=True)
     )
     # ONE non-equi join of the |quantiles|-row target table against the
     # bin-bounded cumulative table replaces the three unioned

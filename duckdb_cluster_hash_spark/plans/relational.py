@@ -922,11 +922,28 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("d"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
-    ref = orders.agg(F.max("d")).head()[0]
-    base = orders.groupBy("o_custkey").agg(
-        F.datediff(F.lit(ref), F.max("d")).cast("bigint").alias("recency"),
-        F.count("*").cast("bigint").alias("frequency"),
-        F.sum("cents").cast("bigint").alias("monetary_cents"),
+    # reference date folded IN-PLAN (r15): the old driver-side
+    # `orders.agg(max(d)).head()` probe was one more serialized action
+    # waiting a FAIR-queue turn per bench run; a broadcast 1-row global
+    # max joined onto the per-customer rollup computes the identical
+    # datediff without any extra driver round-trip.
+    ref_df = orders.agg(F.max("d").alias("ref_d"))
+    base = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("d").alias("last_d"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum("cents").cast("bigint").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(ref_df))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref_d"), F.col("last_d"))
+            .cast("bigint")
+            .alias("recency"),
+            "frequency",
+            "monetary_cents",
+        )
     )
     # THREE INDEPENDENT rankings joined on the key, not a 3-deep chain:
     # chaining ntile_exact re-references each level's subtree three
