@@ -124,19 +124,19 @@ def main() -> int:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions by DATA SIZE, not core count:
-        # with the default parallelismFirst=true AQE targets the 1MB
-        # minPartitionSize to maximize parallelism, so a 200KB shuffle
-        # still fans out to `shuffle.partitions` near-empty tasks — at 32
-        # cores that is pure scheduling overhead, and the r14 8-vs-32-core
-        # probe measured three queries FASTER at 8 cores (kcore 0.56,
-        # set-sim 0.75, streaming ingest 0.45 low/high ratio).  With
-        # parallelismFirst=false AQE honors the advisory size (a data
-        # quantity — the same setting that sizes partitions at 100 TB),
-        # so tiny shuffles collapse to one task and big shuffles still
-        # fan out by bytes.  Nothing here is tuned to local[32].
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # AQE size-based coalescing (parallelismFirst=false + a 64m
+        # advisory) was TRIED for the r14 32-core anti-scaling finding
+        # and REJECTED on measurement (r15,
+        # plans/r15/isolate_r15_aqe64m_rejected.json): this suite's hot
+        # exchanges are compute-dense but byte-light (packed-bigint
+        # wedges, token digests), so size-targeted coalescing collapsed
+        # them to 1-2 tasks and serialized the compute —
+        # parts_link_prediction 5.7s → 32s, docs_set_similarity_join
+        # 5.3s → 13-16s isolated-warm.  The default parallelismFirst
+        # coalescing (min 1MB partitions) already folds the genuinely
+        # tiny shuffles; the r14 anti-scaling was the fixed streaming
+        # state width (fixed in plans/streaming.py) plus scheduler
+        # overhead, not reduce-partition fan-out.
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
