@@ -387,7 +387,7 @@ def main() -> int:
         # apples-to-apples.
         "prestaged": True,
         "prestage_sec": _median(prestage_walls),
-        "queries": top,  # 5 slowest only; full map in BENCH_LOCAL.json
+        "queries": top,  # 15 slowest + prev artifact's; full map in BENCH_LOCAL.json
     }
 
     detail = dict(

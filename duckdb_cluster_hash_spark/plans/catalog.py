@@ -46,56 +46,56 @@ from duckdb_cluster_hash_spark.plans.docs import bpe_encode_word, bpe_merge_appl
 #   stamp[q] = max round whose CORRECTNESS_r*.json contains q;
 #   window = new queries + sorted(catalog, key=stamp)[:50-len(new)].
 _DRIVER_WINDOW_FIRST = [
-    "docs_unigram_lm_train",  # never stamped
-    "docs_unigram_lm_encode",  # never stamped
-    "docs_audio_neardup_pairs",  # never stamped
-    "docs_audio_neardup_bill",  # never stamped
-    "docs_streaming_neardup_ingest",  # never stamped
-    "docs_video_neardup_pairs",  # never stamped
-    "docs_video_neardup_bill",  # never stamped
-    "docs_coverage_greedy_selection",  # never stamped
-    "docs_incremental_neardup",  # never stamped
-    "docs_streaming_media_dedup",  # never stamped
-    "tpch_q22_dormant_rich_customers",  # newest stamp: r9
-    "tpch_q8_market_share",  # newest stamp: r9
-    "tpch_q2_min_cost_supplier",  # newest stamp: r9
-    "parts_kcore_decomposition",  # newest stamp: r9
-    "docs_pnm_decode_stats",  # newest stamp: r9
-    "docs_wav_decode_stats",  # newest stamp: r9
-    "docs_y4m_video_stats",  # newest stamp: r9
-    "docs_perplexity_filter",  # newest stamp: r9
-    "docs_ngram_novelty",  # newest stamp: r9
-    "docs_zipf_fit",  # newest stamp: r9
-    "docs_dsir_importance",  # newest stamp: r9
-    "docs_token_burstiness",  # newest stamp: r9
-    "docs_keyword_extraction",  # newest stamp: r9
-    "docs_gopher_repetition",  # newest stamp: r9
-    "docs_token_entropy",  # newest stamp: r9
-    "docs_quality_auc",  # newest stamp: r9
-    "docs_labeler_agreement_kappa",  # newest stamp: r9
-    "docs_tokenizer_fertility",  # newest stamp: r9
-    "docs_dedup_impact_by_source",  # newest stamp: r9
-    "parts_link_prediction",  # newest stamp: r9
-    "customer_revenue_gini",  # newest stamp: r9
-    "events_session_paths",  # newest stamp: r9
-    "events_ab_welch_ttest",  # newest stamp: r9
-    "events_ewma_anomaly",  # newest stamp: r9
-    "events_cuped_adjustment",  # newest stamp: r9
-    "events_kmv_distinct_jaccard",  # newest stamp: r9
-    "events_ams_f2_moment",  # newest stamp: r9
-    "events_kendall_tau_daily",  # newest stamp: r9
-    "events_bitmap_distinct_rollup",  # newest stamp: r9
-    "events_weighted_reservoir_sample",  # newest stamp: r9
-    "events_hourly_autocorrelation",  # newest stamp: r9
-    "events_benford_digit_audit",  # newest stamp: r9
-    "events_markov_transition_entropy",  # newest stamp: r9
-    "events_cusum_changepoint",  # newest stamp: r9
-    "events_histogram_quantile_sketch",  # newest stamp: r9
-    "events_bot_rate_audit",  # newest stamp: r9
-    "docs_containment_neardup",  # newest stamp: r9
-    "docs_source_contamination",  # newest stamp: r9
-    "docs_minhash_jaccard_calibration",  # newest stamp: r9
-    "emb_margin_bitext_pairs",  # newest stamp: r9
+    "emb_mmr_diverse_topk",  # newest stamp: r9
+    "emb_kcenter_coreset",  # newest stamp: r9
+    "emb_label_maxsim_retrieval",  # newest stamp: r9
+    "emb_pca_power_iteration",  # newest stamp: r9
+    "emb_jl_projection_quality",  # newest stamp: r9
+    "emb_kmeans_lloyd_step",  # newest stamp: r9
+    "emb_ivf_cell_health",  # newest stamp: r9
+    "emb_hubness_audit",  # newest stamp: r9
+    "cluster_resharding_key_impact",  # newest stamp: r10
+    "tpch_q7_nation_volume",  # newest stamp: r10
+    "tpch_q10_returned_items",  # newest stamp: r10
+    "tpch_q15_top_supplier",  # newest stamp: r10
+    "tpch_q19_disjunctive_revenue",  # newest stamp: r10
+    "tpch_q21_waiting_supplier",  # newest stamp: r10
+    "tpch_q9_product_profit",  # newest stamp: r10
+    "tpch_q11_important_parts",  # newest stamp: r10
+    "tpch_q16_supplier_part_counts",  # newest stamp: r10
+    "tpch_q20_promotable_suppliers",  # newest stamp: r10
+    "tpch_q12_priority_shipping",  # newest stamp: r10
+    "orders_trailing_3mo_revenue",  # newest stamp: r10
+    "part_size_unpivot_profile",  # newest stamp: r10
+    "orders_bucketed_coloc_join",  # newest stamp: r10
+    "parts_copurchase_affinity",  # newest stamp: r10
+    "supplier_pareto_abc",  # newest stamp: r10
+    "lineitem_price_approx_median_contract",  # newest stamp: r10
+    "customer_rfm_segments",  # newest stamp: r10
+    "docs_token_top20",  # newest stamp: r10
+    "docs_corpus_curation",  # newest stamp: r10
+    "docs_stratified_sample",  # newest stamp: r10
+    "docs_token_shards",  # newest stamp: r10
+    "docs_media_byte_features",  # newest stamp: r10
+    "docs_eval_contamination",  # newest stamp: r10
+    "docs_train_val_test_split",  # newest stamp: r10
+    "docs_source_length_drift",  # newest stamp: r10
+    "docs_source_novelty_attribution",  # newest stamp: r10
+    "docs_stratified_quota_split",  # newest stamp: r10
+    "docs_repetition_quality",  # newest stamp: r10
+    "docs_tfidf_top_terms",  # newest stamp: r10
+    "docs_mixture_epochs",  # newest stamp: r10
+    "docs_cross_lang_duplicates",  # newest stamp: r10
+    "events_asof_purchase_view",  # newest stamp: r10
+    "events_range_join_error_followers",  # newest stamp: r10
+    "events_dedup_ingest",  # newest stamp: r10
+    "events_click_purchase_attribution",  # newest stamp: r10
+    "events_hot_type_salted_counts",  # newest stamp: r10
+    "events_enriched_by_segment",  # newest stamp: r10
+    "docs_neardup_components",  # newest stamp: r10
+    "docs_neardup_component_census",  # newest stamp: r10
+    "docs_chunk_dedup_histogram",  # newest stamp: r10
+    "formats_csv_roundtrip",  # newest stamp: r10
 ]
 
 

@@ -278,6 +278,17 @@ WAIVERS: dict[str, str] = {
         "array (computed column, unknowable to the scan); map-side, no "
         "shuffle before it (same shape as docs_bigram_collocations)"
     ),
+    "emb_knn_label_accuracy": (
+        "the unpushed filter is the eval-holdout complement "
+        "NOT(vec_id % 29 = 0 AND vec_id < 1160) — an arithmetic (modulo) "
+        "predicate the parquet source cannot evaluate, so it rides as a "
+        "DataFilters entry ON the scan node itself (no extra pass) and "
+        "excludes only the <=40 eval rows; pushdown is impossible and "
+        "would prune nothing.  The plan is unchanged since r14 — the "
+        "flag surfaced because the r15 window rotation reordered the "
+        "audit session, shrinking this query's expression IDs enough "
+        "for the fragment to fit the smell regex's 400-char window"
+    ),
     "emb_jl_projection_quality": (
         "the SinglePartition step carries only the top-20 candidate pool "
         "into the 16 projection map expressions (bounded by n_cand, not "
